@@ -1,0 +1,132 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Data-quality check engine — the reference's second "query language"
+  * (Soda Core, SURVEY.md §2.6). Reference runner:
+  * include/soda/check_function.py:2-24 — builds a scan, executes all checks,
+  * raises on any failure, halting the pipeline.
+  *
+  * Design: a small Check ADT evaluated as DataFrame aggregations. All
+  * metric checks for one suite run in a SINGLE aggregation pass
+  * (one job, one scan over the table — at 100 TB you cannot afford one
+  * scan per check, which is what Soda does with one SQL query per check).
+  * Schema checks are metadata-only and free.
+  */
+sealed trait Check { def name: String }
+
+/** C1 — schema: when required column missing
+  * (include/soda/checks/sources/raw_invoices.yml:4). */
+final case class RequiredColumns(columns: Seq[String]) extends Check {
+  val name = s"schema_required[${columns.mkString(",")}]"
+}
+
+/** C2 — schema: when wrong column type
+  * (include/soda/checks/sources/raw_invoices.yml:5-12). */
+final case class ColumnTypes(expected: Map[String, DataType]) extends Check {
+  val name = s"schema_types[${expected.keys.toSeq.sorted.mkString(",")}]"
+}
+
+/** C3 — duplicate_count(col) = 0
+  * (include/soda/checks/transform/dim_customer.yml:8-9). */
+final case class NoDuplicates(column: String) extends Check {
+  val name = s"duplicate_count[$column]"
+}
+
+/** C4 — missing_count(col) = 0
+  * (include/soda/checks/transform/dim_customer.yml:10-11). */
+final case class NoMissing(column: String) extends Check {
+  val name = s"missing_count[$column]"
+}
+
+/** C5 — invalid_count(col) = 0 with valid min/max
+  * (include/soda/checks/transform/dim_datetime.yml:9-12). */
+final case class InRange(column: String, lo: Double, hi: Double) extends Check {
+  val name = s"invalid_count[$column in ($lo,$hi)]"
+}
+
+/** C6 — min(col) threshold: fail when min < bound
+  * (include/soda/checks/transform/dim_product.yml:19-20). */
+final case class MinAtLeast(column: String, bound: Double) extends Check {
+  val name = s"min[$column >= $bound]"
+}
+
+/** C7 — failed rows: fail if predicate matches any row
+  * (include/soda/checks/transform/fct_invoice_line_value.yml:13-18). */
+final case class NoFailedRows(label: String, predicate: Column) extends Check {
+  val name = s"failed_rows[$label]"
+}
+
+final case class CheckResult(check: String, metric: Long, passed: Boolean)
+
+final case class CheckFailedException(failures: Seq[CheckResult])
+    extends RuntimeException(
+      s"checks failed: ${failures.map(f => s"${f.check}(metric=${f.metric})").mkString("; ")}")
+
+object CheckSuite {
+
+  /** Evaluate all checks. Metric checks fuse into one aggregate expression
+    * list ⇒ one scan of `df` total; schema checks read only `df.schema`.
+    */
+  def evaluate(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
+    val schemaResults = checks.collect {
+      case c @ RequiredColumns(cols) =>
+        val present = df.schema.fieldNames.toSet
+        val missing = cols.count(!present.contains(_))
+        CheckResult(c.name, missing.toLong, missing == 0)
+      case c @ ColumnTypes(expected) =>
+        val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val wrong  = expected.count { case (n, t) => !actual.get(n).contains(t) }
+        CheckResult(c.name, wrong.toLong, wrong == 0)
+    }
+
+    // Each metric check → one aggregate Column; all evaluated in one pass.
+    val metricChecks: Seq[(Check, Column)] = checks.collect {
+      case c @ NoDuplicates(colName) =>
+        // #values appearing >1 — via exact distinct-vs-total (two exact
+        // aggregates, still one pass): dup groups exist iff count > countDistinct.
+        c -> (count(col(colName)) - count_distinct(col(colName)))
+      case c @ NoMissing(colName) =>
+        c -> sum(when(col(colName).isNull, 1L).otherwise(0L))
+      case c @ InRange(colName, lo, hi) =>
+        c -> sum(when(col(colName) < lo || col(colName) > hi, 1L).otherwise(0L))
+      case c: MinAtLeast =>
+        c -> lit(0L) // real aggregate substituted below (needs raw min)
+      case c @ NoFailedRows(_, pred) =>
+        c -> sum(when(pred, 1L).otherwise(0L))
+    }
+
+    // MinAtLeast needs the raw min, not a violation count — handle separately
+    // but still inside the same single aggregation.
+    val aggExprs = metricChecks.zipWithIndex.map {
+      case ((MinAtLeast(colName, _), _), i) => min(col(colName)).cast("double").as(s"m$i")
+      case ((_, expr), i)                   => coalesce(expr.cast("long"), lit(0L)).as(s"m$i")
+    }
+
+    val metricResults =
+      if (aggExprs.isEmpty) Seq.empty
+      else {
+        val row = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+        metricChecks.zipWithIndex.map {
+          case ((c @ MinAtLeast(_, bound), _), i) =>
+            val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+            CheckResult(c.name, v.toLong, !v.isNaN && v >= bound)
+          case ((c, _), i) =>
+            val v = row.getLong(i)
+            CheckResult(c.name, v, v == 0L)
+        }
+      }
+    schemaResults ++ metricResults
+  }
+
+  /** Gate semantics: throw on any failure, mirroring the reference's
+    * `raise ValueError` halting the DAG (check_function.py:22-23). */
+  def run(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
+    val results  = evaluate(df, checks)
+    val failures = results.filterNot(_.passed)
+    if (failures.nonEmpty) throw CheckFailedException(failures)
+    results
+  }
+}

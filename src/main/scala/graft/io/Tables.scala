@@ -1,0 +1,82 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer (reference SURVEY.md §2.1 S2-S11).
+  *
+  * The reference loads CSV with ISO-8859-1 encoding + schema autodetect into
+  * a truncate-and-replace warehouse table (dags/online_retail.py:36,83-93).
+  * Here: explicit-schema readers (inference is a full extra pass over the
+  * data — unacceptable at 100 TB; schemas are pinned, as the reference's
+  * Soda checks pin them post-hoc) plus the parquet star-schema reader the
+  * driver contract uses.
+  */
+object Tables {
+
+  /** Parquet table from the driver's testdata dir. Parquet scans get
+    * predicate pushdown + column pruning from Catalyst for free — every
+    * downstream filter/select should show up in the scan's PushedFilters /
+    * ReadSchema (verified in PlanSpec).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Sessions must set
+    * spark.sql.legacy.parquet.nanosAsLong=true (Verify/Bench do); the raw
+    * int64 nanos are then truncated to a microsecond TimestampType here.
+    * Truncation is monotone, so ordering/max/window semantics survive; all
+    * driver-visible output formats timestamps at second granularity anyway.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integral `div`, NOT `/1000` — long/long promotes to double, and
+        // epoch-nanos (~1.7e18) exceed double's 53-bit mantissa.
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** CSV read, reference-faithful options (dags/online_retail.py:36,92:
+    * header, ISO-8859-1). Explicit schema when given; inference only as the
+    * small-data fallback (S2).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read
+      .option("header", "true")
+      .option("encoding", "ISO-8859-1")
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None    => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** CSV write without index col (dags/online_retail.py:50 `index=False`
+    * — Spark has no index concept, so this is just header+overwrite). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Truncate-and-replace materialization — the reference's only write
+    * semantics (WRITE_TRUNCATE at dags/online_retail.py:90, dbt
+    * `materialized: table` at include/dbt/dbt_project.yml:5-7).
+    */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Partitioned overwrite for scale: at 100 TB a fact table must be
+    * partition-pruned on its dominant filter key (date). Dynamic partition
+    * overwrite keeps idempotent-rebuild semantics per partition instead of
+    * truncating the world.
+    */
+  def overwritePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}

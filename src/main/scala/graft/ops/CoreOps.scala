@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core reusable operators distilled from the reference pipeline
+  * (`adedamola26/data-pipeline-4-online-retail`).
+  *
+  * Every operator here is a pure `Column`/`DataFrame` combinator built from
+  * Spark built-ins, so Catalyst sees through it (predicate pushdown, column
+  * pruning, whole-stage codegen all apply). Nothing in this file forces a
+  * shuffle by itself; window operators shuffle on their partition keys only.
+  */
+object CoreOps {
+
+  /** dbt_utils.generate_surrogate_key analog
+    * (reference: include/dbt/models/transform/dim_customer.sql:3,
+    * dim_datetime.sql:3, dim_product.sql:2, dim_invoice.sql:4,7,
+    * fct_invoice_line_value.sql:3-5; macro semantics = md5 of
+    * '-'-joined coalesce(cast(col as string), sentinel)).
+    *
+    * Null-safe: `concat_ws` would silently drop nulls and collide
+    * ("a",null) with ("a"), so each column is coalesced to a sentinel first
+    * — same trick dbt_utils uses.
+    *
+    * Scale note: pure codegen'd expression (md5/concat_ws/coalesce are all
+    * Catalyst built-ins) — no UDF, no shuffle, vectorizes over 100 TB.
+    */
+  val NullSentinel = "_null_"
+
+  def surrogateKey(cols: Column*): Column =
+    md5(concat_ws("-", cols.map(c => coalesce(c.cast("string"), lit(NullSentinel))): _*))
+
+  /** Timestamp → canonical string form used inside surrogate keys and
+    * driver-visible output. Explicit pattern (never `cast(ts as string)`)
+    * so the rendering is engine-independent: Spark `date_format` and DuckDB
+    * `strftime(ts, '%Y-%m-%d %H:%M:%S')` agree digit-for-digit.
+    * (reference: dags/online_retail.py:48 pins a formatted string for the
+    * same reason — to make the downstream hash/string representation stable.)
+    */
+  def formatTimestampSeconds(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** pandas `pd.to_datetime(..., errors='coerce')` analog
+    * (reference: dags/online_retail.py:38). Spark's to_timestamp already
+    * yields null on unparseable input under CORRECTED parser policy.
+    */
+  def parseTimestamp(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+
+  /** Calendar-part extraction for the datetime dimension
+    * (reference: include/dbt/models/transform/dim_datetime.sql:13-18).
+    * Weekday keeps BigQuery's EXTRACT(DAYOFWEEK) convention:
+    * 1 = Sunday .. 7 = Saturday — identical to Spark's `dayofweek`.
+    * Do NOT normalize to 0..6 (see SURVEY.md §2.3 D5).
+    */
+  def calendarParts(ts: Column): Seq[(String, Column)] = Seq(
+    "year"    -> year(ts),
+    "month"   -> month(ts),
+    "day"     -> dayofmonth(ts),
+    "hour"    -> hour(ts),
+    "minute"  -> minute(ts),
+    "weekday" -> dayofweek(ts)
+  )
+
+  /** Grouped window-max normalization: assign each row its group's max value
+    * (reference: dags/online_retail.py:46 —
+    * `groupby('InvoiceNo')['InvoiceDate'].transform('max')`, the ±1-minute
+    * invoice-timestamp fix). Unbounded analytic window, no orderBy ⇒ single
+    * shuffle on the partition key, no sort needed beyond hashing.
+    */
+  def groupMax(df: DataFrame, partitionCol: String, valueCol: String, as: String): DataFrame =
+    df.withColumn(as, max(col(valueCol)).over(Window.partitionBy(partitionCol)))
+
+  /** Dedup-keep-latest via row_number
+    * (reference: README.md:368,378 — documented alternative dedup model).
+    * `orderCols` MUST form a total order within each partition or the result
+    * is nondeterministic — callers append a unique tiebreaker.
+    */
+  def dedupKeepLatest(df: DataFrame, partitionCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Top-K: ORDER BY ... LIMIT k
+    * (reference: report_customer_invoices.sql:10-11,
+    * report_product_invoices.sql:9-10). Spark plans this as
+    * TakeOrderedAndProject — per-partition heaps, no global sort
+    * materialization; the only data movement is K rows per partition to the
+    * driver-side final heap. This is the scale-safe form of "top 10 of 100 TB".
+    * `order` must be a total order (tie-broken) for deterministic results.
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Exact double aggregation via decimal: `sum(double)` is order-dependent
+    * in the last ulp (and Spark/DuckDB disagree on partial-agg order), so
+    * money-like sums route through DECIMAL(18,2) — exact, associative,
+    * engine-independent — then back to double for a stable schema.
+    * Mirrors the reference's FLOAT64 money columns (SURVEY.md §1.3) while
+    * staying hash-comparable against the DuckDB oracle.
+    */
+  def sumMoney(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+}

@@ -1,0 +1,128 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`), per the BASELINE.json north star.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     Queries × corpus cross product; only viable when |queries| is small
+  *     or the corpus is pre-filtered. The query side broadcasts.
+  *   - [[lshTopK]]: random-hyperplane LSH (sign sketch). Corpus is bucketed
+  *     by an nBits-bit signature; each query probes only its own bucket and
+  *     its single-bit-flip neighbors. Cost ≈ |corpus|/2^nBits per query —
+  *     the 100 TB scale path (an IVF analog with hyperplane cells).
+  *
+  * All vector math uses zip_with + aggregate (left-to-right fold, no UDF):
+  * codegen'd, deterministic order ⇒ reproducible across runs and engines.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns, strict left fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0, lit(0.0)).otherwise(d / n)
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** All-pairs cosine scores for a (small) query set against the corpus.
+    * Returns (query_id, vec_id, score). The queries side is broadcast —
+    * the corpus is scanned once, never shuffled.
+    */
+  def scoreAll(corpus: DataFrame, queries: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               scoreScale: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+              round(cosine(col("qv"), col("v")), scoreScale).as("score"))
+  }
+
+  /** Exact top-k: rank within each query with a deterministic tie-break on
+    * vec_id. Window over query_id — partitions = queries, each sortable
+    * in memory when k ≪ corpus (Spark's TopK-per-key via rank is fine here;
+    * for huge query sets switch to a bounded-heap Aggregator).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = scoreAll(corpus, queries, idCol, vecCol)
+    val w      = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component h[i][d] derived from
+    * md5(bit, dim) — no RNG state, same planes every run/engine.
+    * Values in [-0.5, 0.5).
+    */
+  private def hyperplane(bit: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$bit:$dim".getBytes("UTF-8")).take(7)
+    val v = hex.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    (v.toDouble / (1L << 56).toDouble) - 0.5
+  }
+
+  /** nBits-bit sign signature of a vector under the fixed hyperplanes. */
+  def lshSignature(vec: Column, dim: Int, nBits: Int): Column = {
+    val v = asDouble(vec)
+    val bits = (0 until nBits).map { b =>
+      val proj = (0 until dim).map(d => element_at(v, d + 1) * lit(hyperplane(b, d))).reduce(_ + _)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH ANN: probe the query's own cell plus all 1-bit-flip neighbor cells
+    * (multi-probe — recovers most of the recall the cell boundary loses).
+    * Join is an equi-join on the bucket id: shuffle ∝ |corpus| once to
+    * bucket, then per-query work is bucket-sized, not corpus-sized.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nBits: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshSignature(col("v"), dim, nBits))
+    val probes = (0 to nBits).map {
+      case 0 => col("qbucket")
+      case i => col("qbucket").bitwiseXOR(lit(1L << (i - 1)))
+    }
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qbucket", lshSignature(col("qv"), dim, nBits))
+      .withColumn("bucket", explode(array(probes: _*)))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("score"))
+      .groupBy("query_id", "vec_id").agg(max("score").as("score")) // dedup multi-probe hits
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup by embedding): bucket by
+    * LSH signature, score within buckets only, threshold. Same
+    * never-form-the-pair-space shape as Dedup.minhashCandidatePairs.
+    */
+  def embeddingNearDups(corpus: DataFrame, dim: Int, threshold: Double,
+                        nBits: Int = 8, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshSignature(col("v"), dim, nBits))
+    val l = c.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val r = c.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 4).as("score"))
+      .filter(col("score") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is pure batch (SURVEY.md §1:
+  * schedule=None, no watermarks/windows/state anywhere), so this module is
+  * the forward-looking extension: the same aggregations the batch reports
+  * compute, expressed over an unbounded events stream.
+  *
+  * Contract: transforms take/return streaming Datasets so they compose under
+  * `readStream → transform → writeStream`; tests drive them with a
+  * MemoryStream source and a memory sink.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double,
+                                  first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+  /** Windowed per-type rollup with a watermark: tumbling window on event
+    * time; late data beyond the watermark is dropped, which bounds state —
+    * the only viable contract for an unbounded 100 TB/day stream.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")
+      )
+      .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col("event_type"), col("n_events"), col("total_value"))
+
+  /** Per-user session aggregation via mapGroupsWithState: custom state
+    * keyed by user, closed after `gapSeconds` of processing-time inactivity.
+    * State is one small case class per live user — bounded by active users,
+    * not by stream length.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionSummary, SessionSummary](GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionSummary]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s
+          } else {
+            val evs  = batch.toSeq
+            val prev = state.getOption
+            val all  = SessionSummary(
+              userId,
+              prev.map(_.n_events).getOrElse(0L) + evs.size,
+              prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
+              (prev.map(_.first_ts) ++ evs.map(_.ts)).minBy(_.getTime),
+              (prev.map(_.last_ts) ++ evs.map(_.ts)).maxBy(_.getTime)
+            )
+            state.update(all)
+            state.setTimeoutDuration(gapSeconds * 1000)
+            all
+          }
+      }
+  }
+
+  /** readStream → transform → writeStream wiring used by tests: memory sink,
+    * Update mode (windowedCounts emits updated aggregates per trigger).
+    */
+  def runToMemory(df: DataFrame, queryName: String, mode: OutputMode = OutputMode.Update()) =
+    df.writeStream.format("memory").queryName(queryName).outputMode(mode).start()
+}

@@ -1,13 +1,66 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.{QueryCatalog => Q, OracleCatalog}
+import graft.model.Star
+import graft.report.Reports
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` covers SURVEY.md §2's operator inventory (scans, projections,
+  * filters, date/time, joins, aggregations, windows, top-K, checks) plus the
+  * LLM-pipeline extensions (dedup, minhash/LSH, simhash, text analysis,
+  * similarity search, multimodal plumbing). Entries with a DuckDB
+  * equivalent carry an oracle in [[graft.queries.OracleCatalog]]; the rest
+  * (bit-level simhash, hyperplane LSH, mapPartitions feature extraction)
+  * are rows-only by design.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full star-schema build + year/month report (reads lineitem+orders+
+    * part+customer+nation, exercises surrogate keys, joins, exact distinct
+    * count, money-exact sums).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Reports.yearInvoices(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // parity: reference operator inventory
+    "q01_scan_filter_project" -> (Q.scanFilterProject(_, _)),
+    "q02_dim_customer"        -> (Star.dimCustomer(_, _)),
+    "q03_dim_datetime"        -> (Star.dimDatetime(_, _)),
+    "q04_dim_product"         -> (Star.dimProduct(_, _)),
+    "q05_dim_invoice"         -> (Star.dimInvoice(_, _)),
+    "q06_fct_line_value"      -> (Star.fctLineValue(_, _)),
+    "q07_report_customer"     -> (Reports.customerInvoices(_, _)),
+    "q08_report_product"      -> (Reports.productInvoices(_, _)),
+    "q09_report_year"         -> (Reports.yearInvoices(_, _)),
+    "q10_events_group_max"    -> (Q.eventsGroupMax(_, _)),
+    "q11_events_dedup_latest" -> (Q.eventsDedupLatest(_, _)),
+    "q12_events_rollup"       -> (Q.eventsRollup(_, _)),
+    "q13_events_hourly"       -> (Q.eventsHourly(_, _)),
+    // extensions: text analysis + dedup
+    "q14_exact_dedup"         -> (Q.exactDedup(_, _)),
+    "q15_text_stats"          -> (Q.textStats(_, _)),
+    "q16_lang_id"             -> (Q.langId(_, _)),
+    "q17_fingerprint"         -> (Q.fingerprints(_, _)),
+    "q18_minhash_sig"         -> (Q.minhashSig(_, _)),
+    "q19_minhash_pairs"       -> (Q.minhashPairs(_, _)),
+    "q20_jaccard_neighbors"   -> (Q.jaccardNeighbors(_, _)),
+    // extensions: similarity search
+    "q21_cosine_scores"       -> (Q.cosineScores(_, _)),
+    "q22_ann_topk"            -> (Q.annTopK(_, _)),
+    // checks engine
+    "q23_checks_report"       -> (Q.checksReport(_, _)),
+    // rows-only (no SQL equivalent): simhash bits, hyperplane LSH, media
+    "q24_simhash"             -> (Q.simhash(_, _)),
+    "q25_lsh_ann_topk"        -> (Q.lshAnnTopK(_, _)),
+    "q26_embedding_neardups"  -> (Q.embeddingNearDups(_, _)),
+    "q27_media_features"      -> (Q.mediaFeatures(_, _)),
+    "q28_media_frames"        -> (Q.mediaFrames(_, _))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = OracleCatalog.sql
 }

@@ -95,11 +95,15 @@ object CoreOps {
 
   /** Exact double aggregation via decimal: `sum(double)` is order-dependent
     * in the last ulp (and Spark/DuckDB disagree on partial-agg order), so
-    * money-like sums route through DECIMAL(18,2) — exact, associative,
+    * money-like sums route through DECIMAL — exact, associative,
     * engine-independent — then back to double for a stable schema.
-    * Mirrors the reference's FLOAT64 money columns (SURVEY.md §1.3) while
-    * staying hash-comparable against the DuckDB oracle.
+    * Scale 4, not 2: line values are price×(1-discount) with 4 true decimal
+    * digits, so 2-decimal rounding lands on exact .xx5 ties where engines
+    * disagree on direction; at scale 4 the double is within ~1e-13 of the
+    * true value and ties are impossible. Mirrors the reference's FLOAT64
+    * money columns (SURVEY.md §1.3) while staying hash-comparable against
+    * the DuckDB oracle.
     */
   def sumMoney(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
+    sum(c.cast("decimal(18,4)")).cast("double")
 }

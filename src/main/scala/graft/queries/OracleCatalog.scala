@@ -1,0 +1,283 @@
+package graft.queries
+
+/** DuckDB oracle SQL, one entry per SQL-expressible query in
+  * [[QueryCatalog]]. Each statement mirrors the Spark expression tree
+  * exactly (same operation order, same literals-as-doubles, same explicit
+  * timestamp formatting, same tie-breaks) so value hashes match
+  * digit-for-digit — see the portability contract in QueryCatalog's doc.
+  *
+  * Tables (lineitem, orders, customer, nation, region, part, events,
+  * documents, embeddings) are registered by the driver over the same
+  * parquet files the Spark queries read.
+  */
+object OracleCatalog {
+
+  // ---- shared fragments ----------------------------------------------------
+
+  /** Spark surrogateKey analog: md5('-'-joined null-coalesced string casts). */
+  private def sk(cols: String*): String =
+    s"md5(concat_ws('-', ${cols.map(c => s"coalesce(CAST($c AS VARCHAR), '_null_')").mkString(", ")}))"
+
+  private def fmtTs(c: String): String = s"strftime($c, '%Y-%m-%d %H:%M:%S')"
+
+  /** Exact money sum: decimal in, double out (matches CoreOps.sumMoney —
+    * scale 4 so per-row rounding never hits a tie, see its doc). */
+  private def sumMoney(c: String): String =
+    s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+
+  private val dimc =
+    s"""SELECT DISTINCT ${sk("c_custkey", "n_name")} AS customer_key,
+       | c_custkey AS customer_id, c_name AS customer_name, n_name AS nation, r_name AS region
+       |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+       | LEFT JOIN region ON n_regionkey = r_regionkey
+       |WHERE c_custkey IS NOT NULL""".stripMargin
+
+  private val dimd =
+    s"""SELECT DISTINCT ${sk(fmtTs("o_orderdate"))} AS date_key,
+       | ${fmtTs("o_orderdate")} AS datetime_id,
+       | CAST(year(o_orderdate) AS INTEGER) AS year, CAST(month(o_orderdate) AS INTEGER) AS month,
+       | CAST(day(o_orderdate) AS INTEGER) AS day, CAST(hour(o_orderdate) AS INTEGER) AS hour,
+       | CAST(minute(o_orderdate) AS INTEGER) AS minute,
+       | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS weekday
+       |FROM orders WHERE o_orderdate IS NOT NULL""".stripMargin
+
+  private val dimp =
+    s"""SELECT DISTINCT ${sk("p_partkey", "p_name", "p_brand")} AS product_key,
+       | p_partkey AS stock_code, p_name AS description, p_brand AS brand, p_retailprice AS price
+       |FROM part WHERE p_partkey IS NOT NULL AND p_retailprice > 0""".stripMargin
+
+  private val dimi =
+    s"""SELECT ${sk("o_orderkey")} AS invoice_key, o_orderkey AS order_id,
+       | ${fmtTs("o_orderdate")} AS order_date, o_orderstatus AS order_status,
+       | ${sk("c_custkey", "n_name")} AS customer_key
+       |FROM (SELECT DISTINCT o_orderkey, o_custkey, o_orderdate, o_orderstatus FROM orders) o
+       |JOIN (SELECT c_custkey, n_name FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey) ck
+       |  ON o.o_custkey = ck.c_custkey""".stripMargin
+
+  private val fct =
+    s"""SELECT l.* FROM (
+       |  SELECT ${sk("l_orderkey")} AS invoice_key,
+       |         ${sk(fmtTs("o_orderdate"))} AS date_key,
+       |         ${sk("l_partkey", "p_name", "p_brand")} AS product_key,
+       |         l_orderkey AS order_id, l_linenumber AS line_number, l_quantity AS quantity,
+       |         l_extendedprice * (1 - l_discount) AS total_price
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN part ON l_partkey = p_partkey
+       |  WHERE l_quantity > 0
+       |) l
+       |JOIN (SELECT DISTINCT date_key FROM ($dimd)) dd USING (date_key)
+       |JOIN (SELECT DISTINCT product_key FROM ($dimp)) dp USING (product_key)
+       |JOIN (SELECT DISTINCT invoice_key FROM ($dimi)) di USING (invoice_key)""".stripMargin
+
+  // ---- document fragments --------------------------------------------------
+
+  private val toksLower = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+  private val toksRaw   = raw"regexp_split_to_array(trim(text), '\s+')"
+
+  /** Distinct 3-gram shingle list over column t (mirrors Dedup.shingleSet). */
+  private val shingle3 =
+    "list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+      "ELSE [concat_ws(' ', t[i], t[i+1], t[i+2]) for i in generate_series(1, len(t) - 2)] END)"
+
+  private val tkCte = s"tk AS (SELECT doc_id, source, text, $toksLower AS t FROM documents)"
+  private val shCte = s"sh AS (SELECT doc_id, source, text, t, $shingle3 AS sh FROM tk)"
+
+  private def minhash(i: Int): String =
+    s"list_min(list_transform(sh, x -> md5('$i|' || x)))"
+
+  private val sigCols = (0 until 16).map(i => s"${minhash(i)} AS m${i}").mkString(",\n ")
+
+  private def bandKey(b: Int): String =
+    s"md5(concat_ws('|', ${(0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")}))"
+
+  private val stopList = graft.text.TextOps.StopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  // ---- vector fragments ----------------------------------------------------
+
+  private val dotSelf  = "list_reduce([v[i] * v[i] for i in generate_series(1, len(v))], (acc, x) -> acc + x)"
+  private val embCte =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt($dotSelf) AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 10)""".stripMargin
+  private val dotQV = "list_reduce([qv[i] * v[i] for i in generate_series(1, len(qv))], (acc, x) -> acc + x)"
+  private val cosScores =
+    s"""SELECT query_id, vec_id,
+       | round(CASE WHEN (qnrm * nrm) = 0 THEN CAST(0.0 AS DOUBLE)
+       |   ELSE $dotQV / (qnrm * nrm) END, 4) AS score
+       |FROM en CROSS JOIN q WHERE query_id != vec_id""".stripMargin
+
+  // ---- the oracle map ------------------------------------------------------
+
+  val sql: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_number, l_quantity AS quantity,
+        | l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_quantity > 0 AND l_returnflag IS NOT NULL AND l_shipdate IS NOT NULL""".stripMargin,
+
+    "q02_dim_customer" -> dimc,
+    "q03_dim_datetime" -> dimd,
+    "q04_dim_product"  -> dimp,
+    "q05_dim_invoice"  -> dimi,
+    "q06_fct_line_value" -> fct,
+
+    "q07_report_customer" ->
+      s"""SELECT nation, region, count(invoice_key) AS total_invoices,
+         | ${sumMoney("total_price")} AS total_revenue
+         |FROM ($fct) f
+         |JOIN (SELECT invoice_key, customer_key FROM ($dimi)) i USING (invoice_key)
+         |JOIN (SELECT customer_key, nation, region FROM ($dimc)) c USING (customer_key)
+         |GROUP BY nation, region
+         |ORDER BY total_revenue DESC, nation ASC LIMIT 10""".stripMargin,
+
+    "q08_report_product" ->
+      s"""SELECT product_key, stock_code, description,
+         | ${sumMoney("quantity")} AS total_quantity_sold
+         |FROM ($fct) f
+         |JOIN (SELECT product_key, stock_code, description FROM ($dimp)) p USING (product_key)
+         |GROUP BY product_key, stock_code, description
+         |ORDER BY total_quantity_sold DESC, product_key ASC LIMIT 10""".stripMargin,
+
+    "q09_report_year" ->
+      s"""SELECT year, month, count(DISTINCT invoice_key) AS num_invoices,
+         | ${sumMoney("total_price")} AS total_revenue
+         |FROM ($fct) f
+         |JOIN (SELECT date_key, year, month FROM ($dimd)) d USING (date_key)
+         |GROUP BY year, month ORDER BY year ASC, month ASC""".stripMargin,
+
+    "q10_events_group_max" ->
+      s"""SELECT event_id, user_id, ${fmtTs("date_trunc('second', ts)")} AS ts_s,
+         | ${fmtTs("date_trunc('second', max(ts) OVER (PARTITION BY user_id))")} AS max_ts_s
+         |FROM events""".stripMargin,
+
+    "q11_events_dedup_latest" ->
+      s"""SELECT user_id, event_id, ${fmtTs("date_trunc('second', ts)")} AS ts_s
+         |FROM (SELECT user_id, event_id, ts,
+         |        row_number() OVER (PARTITION BY user_id
+         |          ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+         |      FROM events)
+         |WHERE rn = 1""".stripMargin,
+
+    "q12_events_rollup" ->
+      s"""SELECT event_type, count(event_id) AS n_events, count(DISTINCT user_id) AS n_users,
+         | ${sumMoney("value")} AS total_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q13_events_hourly" ->
+      s"""SELECT ${fmtTs("date_trunc('hour', ts)")} AS window_start,
+         | ${fmtTs("date_trunc('hour', ts) + INTERVAL 1 HOUR")} AS window_end,
+         | event_type, count(*) AS n_events, ${sumMoney("value")} AS total_value
+         |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "q14_exact_dedup" ->
+      s"""SELECT md5(array_to_string($toksLower, ' ')) AS content_hash,
+         | min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q15_text_stats" ->
+      s"""WITH b AS (
+         | SELECT doc_id, text,
+         |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE CAST(len($toksRaw) AS INTEGER) END AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpeish,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:''"()[\\]{}-]')) AS INTEGER) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digits,
+         |  CAST(len(list_filter($toksLower, x -> x IN ($stopList))) AS INTEGER) AS n_stop
+         | FROM documents)
+         |SELECT doc_id, n_tokens, n_bpeish, n_punct, n_digits, n_stop,
+         | round(greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |   CAST(0.4 AS DOUBLE) * (CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |   + CAST(0.4 AS DOUBLE) * least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |   - CAST(0.1 AS DOUBLE) * (CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))
+         |   - CAST(0.1 AS DOUBLE) * (CAST(n_digits AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))
+         |   + CAST(0.3 AS DOUBLE))), 6) AS quality
+         |FROM b""".stripMargin,
+
+    "q16_lang_id" -> {
+      val m = graft.text.TextOps.LangMarkers.map { case (code, ws) =>
+        s"len(list_filter(tk2, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$code"
+      }.mkString(",\n  ")
+      val best = "greatest(s_de, s_en, s_es, s_fr)"
+      s"""WITH s AS (SELECT doc_id, $toksLower AS tk2 FROM documents),
+         |sc AS (SELECT doc_id,
+         |  $m
+         | FROM s)
+         |SELECT doc_id, CASE WHEN $best = 0 THEN 'und'
+         |  WHEN s_de = $best THEN 'de' WHEN s_en = $best THEN 'en'
+         |  WHEN s_es = $best THEN 'es' ELSE 'fr' END AS lang_pred
+         |FROM sc""".stripMargin
+    },
+
+    "q17_fingerprint" ->
+      s"""WITH $tkCte, $shCte
+         |SELECT doc_id, md5(array_to_string(t, ' ')) AS fp_exact,
+         | list_min(list_transform(sh, x -> md5(x))) AS fp_minshingle
+         |FROM sh""".stripMargin,
+
+    "q18_minhash_sig" ->
+      s"""WITH $tkCte, $shCte
+         |SELECT doc_id, concat_ws('|', ${(0 until 16).map(minhash).mkString(",\n ")}) AS sig
+         |FROM sh""".stripMargin,
+
+    "q19_minhash_pairs" ->
+      s"""WITH $tkCte, $shCte,
+         |sig AS (SELECT doc_id, $sigCols FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, ${bandKey(b)} AS band_key FROM sig")
+              .mkString("\n UNION ALL ")})
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id""".stripMargin,
+
+    "q20_jaccard_neighbors" ->
+      s"""WITH $tkCte, $shCte,
+         |p AS (SELECT source, doc_id AS doc_a,
+         |        lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS doc_b, sh AS sh_a
+         |      FROM sh)
+         |SELECT doc_a, doc_b,
+         | round(CASE WHEN (len(sh_a) + len(b.sh) - len(list_intersect(sh_a, b.sh))) = 0 THEN CAST(0.0 AS DOUBLE)
+         |   ELSE CAST(len(list_intersect(sh_a, b.sh)) AS DOUBLE)
+         |        / CAST(len(sh_a) + len(b.sh) - len(list_intersect(sh_a, b.sh)) AS DOUBLE) END, 6) AS jaccard
+         |FROM p JOIN sh b ON p.doc_b = b.doc_id
+         |WHERE doc_b IS NOT NULL""".stripMargin,
+
+    "q21_cosine_scores" ->
+      s"""WITH $embCte
+         |$cosScores""".stripMargin,
+
+    "q22_ann_topk" ->
+      s"""WITH $embCte,
+         |s AS ($cosScores)
+         |SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    "q23_checks_report" -> {
+      def dup(table: String, key: String, name: String) =
+        s"""SELECT '$name' AS check_name,
+           | CAST(count($key) - count(DISTINCT $key) AS DOUBLE) AS metric,
+           | (count($key) - count(DISTINCT $key)) = 0 AS passed FROM $table"""
+      def missing(table: String, key: String, name: String) =
+        s"""SELECT '$name' AS check_name,
+           | CAST(coalesce(sum(CASE WHEN $key IS NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) AS metric,
+           | CAST(coalesce(sum(CASE WHEN $key IS NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) = 0 AS passed FROM $table"""
+      s"""WITH dimc AS ($dimc), dimd AS ($dimd), dimp AS ($dimp), dimi AS ($dimi), f AS ($fct),
+         |ry AS (SELECT year, month, count(DISTINCT invoice_key) AS num_invoices,
+         |        ${sumMoney("total_price")} AS total_revenue
+         |       FROM f JOIN (SELECT date_key, year, month FROM dimd) d USING (date_key)
+         |       GROUP BY year, month)
+         |${dup("dimc", "customer_key", "dup_customer_key")}
+         |UNION ALL ${missing("dimc", "customer_key", "missing_customer_key")}
+         |UNION ALL ${dup("dimd", "date_key", "dup_date_key")}
+         |UNION ALL SELECT 'invalid_weekday' AS check_name,
+         |  CAST(coalesce(sum(CASE WHEN weekday < 1 OR weekday > 7 THEN 1 ELSE 0 END), 0) AS DOUBLE) AS metric,
+         |  CAST(coalesce(sum(CASE WHEN weekday < 1 OR weekday > 7 THEN 1 ELSE 0 END), 0) AS DOUBLE) = 0 AS passed FROM dimd
+         |UNION ALL ${dup("dimp", "product_key", "dup_product_key")}
+         |UNION ALL SELECT 'min_price' AS check_name, CAST(min(price) AS DOUBLE) AS metric, min(price) > 0 AS passed FROM dimp
+         |UNION ALL ${dup("dimi", "invoice_key", "dup_invoice_key")}
+         |UNION ALL ${missing("dimi", "invoice_key", "missing_invoice_key")}
+         |UNION ALL SELECT 'fct_negative_total_price' AS check_name,
+         |  CAST(coalesce(sum(CASE WHEN total_price < 0 THEN 1 ELSE 0 END), 0) AS DOUBLE) AS metric,
+         |  CAST(coalesce(sum(CASE WHEN total_price < 0 THEN 1 ELSE 0 END), 0) AS DOUBLE) = 0 AS passed FROM f
+         |UNION ALL SELECT 'report_year_min_revenue' AS check_name,
+         |  CAST(min(total_revenue) AS DOUBLE) AS metric, min(total_revenue) >= 0 AS passed FROM ry""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.CoreOps._
+import graft.io.Tables
+import graft.model.Star
+import graft.report.Reports
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+
+/** The driver-facing query inventory: every operator family from SURVEY.md §2
+  * plus the LLM-pipeline extensions, each as a (SparkSession, sfDir) =>
+  * DataFrame paired (where SQL-expressible) with a DuckDB oracle in
+  * [[OracleCatalog]].
+  *
+  * Engine-portability contract shared with the oracle (see SURVEY.md §7
+  * risk list):
+  *  - timestamps cross the boundary only as `strftime`-style seconds strings
+  *  - money/quantity sums go through DECIMAL(18,2) then back to double
+  *  - per-row double arithmetic mirrors the exact expression tree
+  *  - every ranking has a deterministic tie-break
+  *  - hashes are md5 hex strings; minima over them are lexicographic
+  */
+object QueryCatalog {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.table(s, dir, name)
+
+  // ---- parity: scans / projections / filters ------------------------------
+
+  /** P1-P6: projection + rename + conjunctive filters + arithmetic. */
+  def scanFilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 0 && col("l_returnflag").isNotNull && col("l_shipdate").isNotNull)
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_number"),
+        col("l_quantity").as("quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+
+  // ---- parity: star schema (Star.*) + reports (Reports.*) are reused ------
+
+  // ---- parity: window operators on events ---------------------------------
+
+  /** A9: per-group max assigned back to every row (timestamp normalization,
+    * reference dags/online_retail.py:46). Seconds-granularity strings out.
+    */
+  def eventsGroupMax(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.select(
+      col("event_id"), col("user_id"),
+      formatTimestampSeconds(col("ts")).as("ts_s"),
+      formatTimestampSeconds(max(col("ts")).over(Window.partitionBy("user_id"))).as("max_ts_s"))
+  }
+
+  /** A10: dedup-keep-latest (row_number desc, deterministic tie-break).
+    * Ordering key is second-truncated ts so Spark (µs) and DuckDB (ns)
+    * order identically; event_id breaks intra-second ties.
+    */
+  def eventsDedupLatest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    dedupKeepLatest(ev, Seq("user_id"), Seq(desc("ts_sec"), desc("event_id")))
+      .select(col("user_id"), col("event_id"), formatTimestampSeconds(col("ts_sec")).as("ts_s"))
+  }
+
+  /** A2/A3/A5 on the events schema. */
+  def eventsRollup(s: SparkSession, dir: String): DataFrame =
+    Reports.eventsByType(s, dir)
+
+  /** Streaming-shaped tumbling-window aggregation, run in batch mode (the
+    * same code runs under readStream; EliminateEventTimeWatermark drops the
+    * watermark node in batch).
+    */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    EventStreams.windowedCounts(Tables.events(s, dir))
+      .select(
+        formatTimestampSeconds(col("window_start")).as("window_start"),
+        formatTimestampSeconds(col("window_end")).as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  // ---- extensions: dedup --------------------------------------------------
+
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.bpeishCount(col("text")).as("n_bpeish"),
+      TextOps.punctCount(col("text")).as("n_punct"),
+      TextOps.digitCount(col("text")).as("n_digits"),
+      TextOps.stopwordCount(col("text")).as("n_stop"),
+      TextOps.qualityScore(col("text")).as("quality"))
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp_exact"),
+      array_min(transform(Dedup.shingleSet(col("text"), 3), sh => md5(sh))).as("fp_minshingle"))
+  }
+
+  def minhashSig(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      concat_ws("|", Dedup.minhashSignature(col("text"), 3, 16)).as("sig"))
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
+
+  /** n-gram Jaccard between consecutive docs (by id) within each source —
+    * a linear, oracle-checkable slice of the pairwise similarity operator.
+    */
+  def jaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val sets = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sh"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val withNext = sets
+      .withColumn("doc_b", lead("doc_id", 1).over(w))
+      .filter(col("doc_b").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("sh").as("sh_a"))
+    val right = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    withNext.join(right, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+  }
+
+  // ---- extensions: similarity search --------------------------------------
+
+  def cosineScores(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.scoreAll(e, e.filter(col("vec_id") < 10))
+  }
+
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+  }
+
+  def lshAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), 5, dim = 64)
+  }
+
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(t(s, dir, "embeddings"), dim = 64, threshold = 0.95)
+
+  // ---- extensions: simhash (rows-only: bit math not mirrored in SQL) ------
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+
+  // ---- extensions: multimodal plumbing (rows-only: mapPartitions) ---------
+
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("modality"), col("n_bytes"),
+              round(col("byte_mean"), 4).as("byte_mean"),
+              round(col("byte_entropy"), 4).as("byte_entropy"))
+  }
+
+  def mediaFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
+      .select(col("media_id"), col("modality"), col("frame_idx"),
+              length(col("frame")).as("frame_bytes"))
+
+  // ---- checks engine as a query ------------------------------------------
+
+  /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate
+    * analog over the star schema, SQL-mirrored in the oracle.
+    */
+  def checksReport(s: SparkSession, dir: String): DataFrame = {
+    val dimc = Star.dimCustomer(s, dir)
+    val dimd = Star.dimDatetime(s, dir)
+    val dimp = Star.dimProduct(s, dir)
+    val dimi = Star.dimInvoice(s, dir)
+    val fct  = Star.fctLineValue(s, dir)
+    val ry   = Reports.yearInvoices(s, dir)
+
+    def dupCheck(df: DataFrame, keyCol: String, name: String): DataFrame =
+      df.agg((count(col(keyCol)) - count_distinct(col(keyCol))).cast("double").as("metric"))
+        .select(lit(name).as("check_name"), col("metric"), (col("metric") === 0.0).as("passed"))
+
+    def missingCheck(df: DataFrame, keyCol: String, name: String): DataFrame =
+      df.agg(coalesce(sum(when(col(keyCol).isNull, 1L).otherwise(0L)), lit(0L)).cast("double").as("metric"))
+        .select(lit(name).as("check_name"), col("metric"), (col("metric") === 0.0).as("passed"))
+
+    val weekdayRange = dimd
+      .agg(coalesce(sum(when(col("weekday") < 1 || col("weekday") > 7, 1L).otherwise(0L)), lit(0L))
+        .cast("double").as("metric"))
+      .select(lit("invalid_weekday").as("check_name"), col("metric"), (col("metric") === 0.0).as("passed"))
+
+    val minPrice = dimp
+      .agg(min(col("price")).cast("double").as("metric"))
+      .select(lit("min_price").as("check_name"), col("metric"), (col("metric") > 0.0).as("passed"))
+
+    val negTotal = fct
+      .agg(coalesce(sum(when(col("total_price") < 0, 1L).otherwise(0L)), lit(0L)).cast("double").as("metric"))
+      .select(lit("fct_negative_total_price").as("check_name"), col("metric"), (col("metric") === 0.0).as("passed"))
+
+    val minRevenue = ry
+      .agg(min(col("total_revenue")).cast("double").as("metric"))
+      .select(lit("report_year_min_revenue").as("check_name"), col("metric"), (col("metric") >= 0.0).as("passed"))
+
+    Seq(
+      dupCheck(dimc, "customer_key", "dup_customer_key"),
+      missingCheck(dimc, "customer_key", "missing_customer_key"),
+      dupCheck(dimd, "date_key", "dup_date_key"),
+      weekdayRange,
+      dupCheck(dimp, "product_key", "dup_product_key"),
+      minPrice,
+      dupCheck(dimi, "invoice_key", "dup_invoice_key"),
+      missingCheck(dimi, "invoice_key", "missing_invoice_key"),
+      negTotal,
+      minRevenue
+    ).reduce(_.unionAll(_))
+  }
+}

@@ -31,7 +31,7 @@ object EventStreams {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")
+        graft.ops.CoreOps.sumMoney(col("value")).as("total_value")
       )
       .select(col("window.start").as("window_start"),
               col("window.end").as("window_end"),

@@ -8,12 +8,9 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
-    ev.printSchema()
-    ev.show(3, false)
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    import org.apache.spark.sql.functions._
-    docs.select(md5(col("text")).as("h"), length(col("text"))).show(2, false)
+    val e = graft.SparkEntry.entry(spark)
+    println(s"[probe] entry rows=${e.count()}")
+    e.show(5, false)
     spark.stop()
   }
 }

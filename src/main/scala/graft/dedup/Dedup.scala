@@ -20,16 +20,23 @@ import graft.text.TextOps
 object Dedup {
 
   /** Word n-gram shingles of the canonical (lowercased, whitespace-split)
-    * token stream. element_at is 1-indexed, matching DuckDB list indexing.
+    * token stream.
+    *
+    * Built with slice + zip_with, NOT `transform(sequence(...), i =>
+    * element_at(toks, i+k))`: a higher-order-function lambda re-evaluates
+    * outer expression references PER ELEMENT, so indexing into the (regex
+    * split) token expression from a lambda body is O(tokens²) per document
+    * — a thread dump showed the whole 150s of the original LSH query inside
+    * StringSplit under ConcatWs. Slices reference the token expression a
+    * constant number of times per row instead.
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextOps.tokens(lower(text))
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)
-        ))
+    def windowLen = size(toks) - (n - 1)
+    val shifted   = (0 until n).map(k => slice(toks, lit(k + 1), windowLen))
+    val joined = shifted.reduce((acc, s) =>
+      zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(joined)
   }
 
   /** Distinct shingle set (for Jaccard). */
@@ -52,47 +59,79 @@ object Dedup {
     * lexicographic MIN hex digest over the doc's shingles. String minima
     * make the oracle trivial and are exactly as collision-resistant as the
     * underlying digest. Returns array<string> of length k.
+    *
+    * Implemented as the native [[graft.functions.MinHashSig]] expression
+    * (one pass over the shingles, ~6× faster than composing k
+    * array_min/transform/md5 built-ins — see its Scaladoc); equivalent
+    * built-in composition:
+    * `array((0 until k).map(i => array_min(transform(sh, s => md5(...)))))`.
     */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    val sh = shingleSet(text, shingleN)
-    array((0 until k).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(i.toString), lit("|"), s))))
-    }: _*)
-  }
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
+    graft.functions.MinHashSig.minhash_sig(shingleSet(text, shingleN), k)
 
   /** LSH banding: split the k-row signature into bands of `rowsPerBand`,
     * hash each band to one bucket key. Docs sharing any (band, key) bucket
     * are near-dup candidates. Returns (band, band_key) pairs exploded —
     * |docs| × bands rows, the only thing that ever shuffles.
+    *
+    * Every minhash expression appears exactly ONCE in the band-key tree
+    * (no element_at into a shared signature array): Catalyst inlines a
+    * projected expression into each use site, so 16 element_at references
+    * into the signature would re-evaluate all 16 hashes 16× per row.
     */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands evenly")
     val bands = k / rowsPerBand
-    val sig   = minhashSignature(col(textCol), shingleN, k)
-    val withSig = docs.select(col(idCol).as("doc_id"), sig.as("sig"))
+    // Compute the k-hash signature in ONE codegen'd projection (identical
+    // plan shape to the signature query), then materialize it behind
+    // persist(): InMemoryRelation is a barrier Catalyst won't collapse
+    // projections through, so past it `sig` is a bound attribute and the
+    // 16 element_at band references cost pointer reads. Without a barrier,
+    // Catalyst inlines the whole signature expression into every reference
+    // (measured 16× work); an RDD-conversion barrier instead drops the
+    // projection out of whole-stage codegen (measured 3× slower); fusing
+    // banding into one giant projection costs ~15s of Janino compile. The
+    // cached slice is only (id, k×32-byte sig) — what a multi-stage
+    // pipeline would persist between stages at warehouse scale.
+    // One pipe-joined string, not array<string>: columnar cache encoding of
+    // a string array measured ~4× slower than a single string, and md5 hex
+    // is fixed-width so bands are constant substring slices.
+    val sigDf = docs.select(col(idCol).as("doc_id"),
+      concat_ws("|", minhashSignature(col(textCol), shingleN, k)).as("sigs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { b =>
+      // hashes are 32 hex chars + 1 separator; band b = "m(4b)|...|m(4b+3)"
       struct(
         lit(b).as("band"),
-        md5(concat_ws("|", (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("band_key")
+        md5(substring(col("sigs"), b * rowsPerBand * 33 + 1, rowsPerBand * 33 - 1)).as("band_key")
       )
     }
-    withSig
+    sigDf
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  /** Candidate near-dup pairs from LSH buckets: self-join within buckets,
-    * a < b, distinct across bands. Bucket sizes bound the join fan-out.
+  /** Candidate near-dup pairs from LSH buckets. NOT a bucket self-join —
+    * that would evaluate the (expensive, interpreted-HOF) signature
+    * expression once per join side. Instead: one signature pass, one
+    * shuffle on (band, band_key), then in-bucket pair expansion with array
+    * ops. Cost ≈ |docs|·bands + Σ bucket², never |docs|².
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val b  = lshBands(docs, idCol, textCol, shingleN, k, rowsPerBand)
-    val l  = b.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-    val r  = b.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    val b = lshBands(docs, idCol, textCol, shingleN, k, rowsPerBand)
+    val buckets = b
+      .groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // ordered pairs (ids[i], ids[j]) for i < j; ids sorted ⇒ doc_a < doc_b
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 

@@ -43,10 +43,11 @@ object CoreOps {
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   /** pandas `pd.to_datetime(..., errors='coerce')` analog
-    * (reference: dags/online_retail.py:38). Spark's to_timestamp already
-    * yields null on unparseable input under CORRECTED parser policy.
+    * (reference: dags/online_retail.py:38). Spark 4 runs ANSI mode by
+    * default, where to_timestamp THROWS on unparseable input —
+    * try_to_timestamp restores the coerce-to-null contract.
     */
-  def parseTimestamp(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+  def parseTimestamp(c: Column, fmt: String): Column = try_to_timestamp(c, lit(fmt))
 
   /** Calendar-part extraction for the datetime dimension
     * (reference: include/dbt/models/transform/dim_datetime.sql:13-18).

@@ -38,15 +38,23 @@ object EventStreams {
               col("event_type"), col("n_events"), col("total_value"))
 
   /** Per-user session aggregation via mapGroupsWithState: custom state
-    * keyed by user, closed after `gapSeconds` of processing-time inactivity.
-    * State is one small case class per live user — bounded by active users,
-    * not by stream length.
+    * keyed by user; state is one small case class per live user — bounded
+    * by active users, not by stream length.
+    *
+    * `gapSeconds = Some(g)` closes sessions after g seconds of
+    * processing-time inactivity (ProcessingTimeTimeout). Caveat: with a
+    * processing-time timeout registered, the microbatch engine runs
+    * continuous empty batches to fire timers — correct for a production
+    * stream, but `processAllAvailable()` never settles; tests use the
+    * default None (NoTimeout ⇒ running session summaries, Update mode).
     */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionSummary] = {
+  def sessionize(events: Dataset[Event], gapSeconds: Option[Long] = None): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (gapSeconds.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionSummary, SessionSummary](GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionSummary, SessionSummary](timeoutConf) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionSummary]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -63,7 +71,7 @@ object EventStreams {
               (prev.map(_.last_ts) ++ evs.map(_.ts)).maxBy(_.getTime)
             )
             state.update(all)
-            state.setTimeoutDuration(gapSeconds * 1000)
+            gapSeconds.foreach(g => state.setTimeoutDuration(g * 1000))
             all
           }
       }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.ops.CoreOps._
+
+class CoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("surrogateKey is deterministic and null-safe (dbt_utils semantics)") {
+    val df = Seq(
+      (Some(1L), Some("GERMANY")),
+      (Some(1L), Some("GERMANY")),
+      (None: Option[Long], Some("GERMANY")),
+      (Some(1L), None: Option[String])
+    ).toDF("id", "name")
+      .select(surrogateKey(col("id"), col("name")).as("k"))
+    val keys = df.collect().map(_.getString(0))
+    assert(keys(0) == keys(1), "same inputs → same key")
+    assert(keys(0) != keys(2) && keys(0) != keys(3) && keys(2) != keys(3),
+      "null in different positions → distinct keys (no concat_ws null-dropping collision)")
+    assert(keys.forall(_.matches("[0-9a-f]{32}")), "md5 hex")
+  }
+
+  test("surrogateKey matches manual md5 of the dbt concat form") {
+    val k = Seq(("a")).toDF("c").select(surrogateKey(col("c"), lit(7)).as("k")).head().getString(0)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("a-7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(k == expected)
+  }
+
+  test("groupMax assigns per-group maximum to every row (A9)") {
+    val df = Seq(("i1", 1), ("i1", 5), ("i1", 3), ("i2", 2)).toDF("inv", "v")
+    val out = groupMax(df, "inv", "v", "vmax").collect()
+    assert(out.filter(_.getString(0) == "i1").forall(_.getInt(2) == 5))
+    assert(out.filter(_.getString(0) == "i2").forall(_.getInt(2) == 2))
+  }
+
+  test("dedupKeepLatest keeps exactly one row per key, by order with tie-break (A10)") {
+    val df = Seq(("u1", 10, 1), ("u1", 10, 2), ("u1", 5, 9), ("u2", 1, 1)).toDF("u", "ts", "id")
+    val out = dedupKeepLatest(df, Seq("u"), Seq(desc("ts"), desc("id")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(out.toSeq == Seq(("u1", 10, 2), ("u2", 1, 1)))
+  }
+
+  test("topK returns exactly k rows in total order") {
+    val df = (1 to 100).map(i => (i, s"r$i")).toDF("n", "s")
+    val out = topK(df, 5, desc("n")).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(100, 99, 98, 97, 96))
+  }
+
+  test("topK plans as TakeOrderedAndProject (no global sort materialization)") {
+    val df = (1 to 100).map(i => (i, s"r$i")).toDF("n", "s")
+    val plan = topK(df, 5, desc("n")).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-K physical operator, got:\n$plan")
+  }
+
+  test("sumMoney is exact and order-independent") {
+    val df = (1 to 10000).map(i => i / 100.0).toDF("v")
+    val a = df.agg(sumMoney(col("v"))).head().getDouble(0)
+    val b = df.repartition(13).agg(sumMoney(col("v"))).head().getDouble(0)
+    assert(a == b, "decimal path must not depend on partitioning")
+    assert(a == 500050.0)
+  }
+
+  test("calendarParts uses 1=Sunday..7=Saturday weekday convention (D5)") {
+    val df = Seq("2026-08-09 10:30:00").toDF("s") // a Sunday
+      .select(to_timestamp(col("s")).as("ts"))
+    val parts = calendarParts(col("ts")).toMap
+    val row = df.select(parts("year"), parts("weekday"), parts("hour"), parts("minute")).head()
+    assert(row.getInt(0) == 2026 && row.getInt(1) == 1 && row.getInt(2) == 10 && row.getInt(3) == 30)
+  }
+
+  test("parseTimestamp coerces unparseable input to null (D1, errors='coerce')") {
+    val df = Seq("08/09/2026 10:30 AM", "garbage").toDF("s")
+      .select(parseTimestamp(col("s"), "MM/dd/yyyy hh:mm a").as("ts"))
+    val vals = df.collect()
+    assert(vals(0).getTimestamp(0) != null && vals(1).isNullAt(0))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.Tables
+
+/** Load-path fidelity (SURVEY.md §2.1 S2-S11). */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("graft_io").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("S2/S3: CSV round-trip with ISO-8859-1 encoding preserves non-ASCII text") {
+    val dir = tmpDir() + "/csv"
+    val df = Seq((1L, "café"), (2L, "plaît")).toDF("id", "name")
+    Tables.writeCsv(df.repartition(1), dir)
+    // writeCsv emits UTF-8 by default; re-write with the reference encoding
+    df.write.mode("overwrite").option("header", "true").option("encoding", "ISO-8859-1").csv(dir)
+    val back = Tables.readCsv(spark, dir)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("café", "plaît"))
+  }
+
+  test("S2: explicit schema beats inference (no extra pass, exact types)") {
+    val dir = tmpDir() + "/csv2"
+    Seq((1L, 2.5, "x")).toDF("a", "b", "c")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", DoubleType), StructField("c", StringType)))
+    val back = Tables.readCsv(spark, dir, Some(schema))
+    assert(back.schema == schema)
+  }
+
+  test("S5/S11: overwrite materialization is idempotent truncate-and-replace") {
+    val dir = tmpDir() + "/pq"
+    Tables.overwriteParquet(Seq(1, 2, 3).toDF("v"), dir)
+    Tables.overwriteParquet(Seq(4, 5).toDF("v"), dir)
+    assert(spark.read.parquet(dir).count() == 2, "second write replaces, not appends")
+  }
+
+  test("S11 at scale: partitioned overwrite prunes on the partition key") {
+    val dir = tmpDir() + "/pqp"
+    val df = Seq((2023, 1L), (2024, 2L), (2024, 3L)).toDF("year", "v")
+    Tables.overwritePartitioned(df, dir, Seq("year"))
+    val pruned = spark.read.parquet(dir).filter(col("year") === 2024)
+    assert(pruned.count() == 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || !scan.contains("year=2023"),
+      "partition filter must prune year=2023")
+  }
+
+  test("S6-S10: DDL analogs — database, seed table, drop, rename") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS retail") // S6
+    // S7/S8: static seed built from a Seq with explicit schema
+    val country = Seq(("DE", "Germany", Some("DEU"), 276), ("AX", "Åland", None: Option[String], 248))
+      .toDF("iso", "nicename", "iso3", "numcode")
+      .withColumn("id", monotonically_increasing_id())
+    // S9: drop; S10: rename (country.sql:252-259 post-ALTER shape)
+    val shaped = country.drop("id").withColumnRenamed("nicename", "name")
+    assert(shaped.columns.toSeq == Seq("iso", "name", "iso3", "numcode"))
+    assert(shaped.filter(col("iso3").isNull).count() == 1)
+    spark.sql("DROP DATABASE IF EXISTS retail")
+  }
+}

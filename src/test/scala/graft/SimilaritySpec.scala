@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+import graft.io.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/norm/cosine basic identities") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+    val out = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 0.0 && out(0).getDouble(1) == 0.0)
+    assert(out(1).getDouble(0) == 2.0 && math.abs(out(1).getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0, not NaN") {
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
+  }
+
+  test("bruteForceTopK matches a driver-side exact computation") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val topk = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+    // exact reference computed in plain Scala
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d  = a.zip(b).map { case (x, y) => x * y }.sum
+      val n  = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (n == 0) 0.0 else d / n
+    }
+    for (q <- 0L until 3L) {
+      val expect = vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, BigDecimal(cos(vecs(q), vecs(v))).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (v, s) => (-s, v) }.take(5).map(_._1)
+      val got = topk.filter(_._1 == q).sortBy(_._4).map(_._2).toSeq
+      assert(got == expect, s"query $q: got $got expected $expect")
+    }
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(e, q, 5, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.4, s"multi-probe LSH recall too low: $recall")
+  }
+
+  test("lshSignature is deterministic across evaluations") {
+    val e = Tables.table(spark, sf, "embeddings").limit(20)
+    val s1 = e.select(col("vec_id"), Similarity.lshSignature(transform(col("embedding"), x => x.cast("double")), 64, 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = e.select(col("vec_id"), Similarity.lshSignature(transform(col("embedding"), x => x.cast("double")), 64, 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+  }
+
+  test("embeddingNearDups: planted duplicate found, ordered pair, thresholded") {
+    val e = Tables.table(spark, sf, "embeddings")
+      .union(Tables.table(spark, sf, "embeddings").filter(col("vec_id") === 7)
+        .withColumn("vec_id", lit(99999L)))
+    val dups = Similarity.embeddingNearDups(e, dim = 64, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.contains((7L, 99999L)), s"planted dup not found in ${dups.take(20).toSeq}")
+    assert(dups.forall(p => p._1 < p._2))
+  }
+}

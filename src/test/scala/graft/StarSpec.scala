@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Star
+import graft.report.Reports
+
+class StarSpec extends SparkSpec {
+
+  test("dims have unique, non-null surrogate keys") {
+    for ((df, key) <- Seq(
+      (Star.dimCustomer(spark, sf), "customer_key"),
+      (Star.dimDatetime(spark, sf), "date_key"),
+      (Star.dimProduct(spark, sf), "product_key"),
+      (Star.dimInvoice(spark, sf), "invoice_key"))) {
+      val total    = df.count()
+      val distinct = df.select(key).distinct().count()
+      val nulls    = df.filter(col(key).isNull).count()
+      assert(total == distinct && nulls == 0, s"$key: total=$total distinct=$distinct nulls=$nulls")
+    }
+  }
+
+  test("fct referential integrity: every fact key exists in its dim (J3 construction)") {
+    val fct = Star.fctLineValue(spark, sf)
+    for ((dim, key) <- Seq(
+      (Star.dimDatetime(spark, sf), "date_key"),
+      (Star.dimProduct(spark, sf), "product_key"),
+      (Star.dimInvoice(spark, sf), "invoice_key"))) {
+      val orphans = fct.join(dim.select(key), Seq(key), "left_anti").count()
+      assert(orphans == 0, s"fct has $orphans orphan $key rows")
+    }
+  }
+
+  test("fct excludes non-positive quantities and carries line value (P4+P6)") {
+    val fct = Star.fctLineValue(spark, sf)
+    assert(fct.filter(col("quantity") <= 0).count() == 0)
+    assert(fct.filter(col("total_price") < 0).count() == 0)
+  }
+
+  test("fct→dim joins use broadcast or AQE-selected strategy; calendar dim is broadcast") {
+    val plan = Star.fctLineValue(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in fact build:\n${plan.take(2000)}")
+  }
+
+  test("parquet scans prune columns (ReadSchema shows only needed cols)") {
+    val report = Reports.yearInvoices(spark, sf)
+    val scans = report.queryExecution.executedPlan.toString
+    // the lineitem scan must not read all 11 columns for a 4-column need
+    val lineitemScan = scans.linesIterator.find(l => l.contains("lineitem") && l.contains("ReadSchema"))
+    lineitemScan.foreach { l =>
+      assert(!l.contains("l_returnflag") && !l.contains("l_tax"),
+        s"lineitem scan reads unneeded columns: $l")
+    }
+  }
+
+  test("report_year: exact distinct invoice counts (A5, count vs countDistinct trap)") {
+    val out  = Reports.yearInvoices(spark, sf)
+    val row  = out.head()
+    // num_invoices must be <= total line count for the month and >= 1
+    assert(row.getLong(2) >= 1)
+    // and revenue is a finite double
+    assert(!row.getDouble(3).isNaN && !row.getDouble(3).isInfinite)
+  }
+
+  test("top-K reports return exactly 10 rows, deterministically ordered") {
+    val c = Reports.customerInvoices(spark, sf).collect()
+    val p = Reports.productInvoices(spark, sf).collect()
+    assert(c.length == 10 && p.length == 10)
+    val revs = c.map(_.getDouble(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "descending revenue")
+  }
+}

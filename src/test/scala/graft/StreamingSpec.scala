@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts over a MemoryStream: tumbling windows + watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    source.addData(
+      Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:40:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 01:10:00"), 1, "view", 4.0))
+    val q = EventStreams.runToMemory(
+      EventStreams.windowedCounts(source.toDF()), "wc_test")
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM wc_test ORDER BY window_start, event_type").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Timestamp]("window_start") == ts("2024-01-01 00:00:00"))
+      assert(rows(0).getAs[Long]("n_events") == 2 && rows(0).getAs[Double]("total_value") == 3.0)
+      assert(rows(1).getAs[String]("event_type") == "view")
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped in Append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams.runToMemory(
+      EventStreams.windowedCounts(source.toDF(), window_ = "1 hour", watermark = "1 hour"),
+      "late_test", OutputMode.Append())
+    try {
+      source.addData(Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      source.addData(Event(2, ts("2024-01-01 06:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // this event is 5+ hours late — must be dropped
+      source.addData(Event(3, ts("2024-01-01 00:20:00"), 1, "click", 100.0))
+      q.processAllAvailable()
+      val first = spark.sql(
+        "SELECT total_value FROM late_test WHERE window_start = timestamp'2024-01-01 00:00:00'").collect()
+      assert(first.forall(_.getDouble(0) == 1.0), "late row leaked into closed window")
+    } finally q.stop()
+  }
+
+  test("sessionize maintains per-user state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(source.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      source.addData(Event(1, ts("2024-01-01 00:00:01"), 7, "click", 2.0))
+      q.processAllAvailable()
+      source.addData(Event(2, ts("2024-01-01 00:00:05"), 7, "click", 3.0))
+      q.processAllAvailable()
+      val latest = spark.sql(
+        "SELECT n_events, total_value FROM sess_test WHERE user_id = 7 ORDER BY n_events DESC").head()
+      assert(latest.getLong(0) == 2 && latest.getDouble(1) == 5.0)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.dedup.Dedup
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).head().get(0)
+
+  test("tokenCount: whitespace runs, empty and padded strings") {
+    assert(one("a b  c", TextOps.tokenCount(col("text"))) == 3)
+    assert(one("", TextOps.tokenCount(col("text"))) == 0)
+    assert(one("   ", TextOps.tokenCount(col("text"))) == 0)
+    assert(one("  x  ", TextOps.tokenCount(col("text"))) == 1)
+  }
+
+  test("bpeishCount: letter runs, digit runs, single symbols") {
+    assert(one("hello world42!", TextOps.bpeishCount(col("text"))) == 4) // hello, world, 42, !
+  }
+
+  test("qualityScore in [0,1]; stopword-rich beats symbol soup") {
+    val good = one("the cat sat on the mat and it is nice to see", TextOps.qualityScore(col("text"))).asInstanceOf[Double]
+    val bad  = one("@#$% ^&*( !!! ??? 123 456", TextOps.qualityScore(col("text"))).asInstanceOf[Double]
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("langId picks marker-matching language, 'und' when none") {
+    assert(one("der hund und die katze ist nicht da", TextOps.langId(col("text"))) == "de")
+    assert(one("the cat and the dog is here", TextOps.langId(col("text"))) == "en")
+    assert(one("el perro y la casa es que por", TextOps.langId(col("text"))) == "es")
+    assert(one("le chien et la maison est pour dans", TextOps.langId(col("text"))) == "fr")
+    assert(one("zzz qqq www", TextOps.langId(col("text"))) == "und")
+  }
+
+  test("fingerprint is whitespace/case-invariant (canonical token stream)") {
+    val a = one("Hello   World", TextOps.fingerprint(col("text")))
+    val b = one("  hello world ", TextOps.fingerprint(col("text")))
+    val c = one("hello worlds", TextOps.fingerprint(col("text")))
+    assert(a == b && a != c)
+  }
+
+  test("shingles: n-gram window and short-text fallback") {
+    def shinglesOf(t: String): Seq[String] =
+      Seq(t).toDF("text").select(Dedup.shingles(col("text"), 3).as("sh"))
+        .head().getSeq[String](0).toList
+    assert(shinglesOf("a b c d") == Seq("a b c", "b c d"))
+    assert(shinglesOf("a b") == Seq("a b"))
+  }
+
+  test("exactDedup groups identical canonical text, keeps min id") {
+    val docs = Seq((1L, "Hello  world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L))) // (keep_id, dup_count)
+  }
+
+  test("minhash: identical docs identical sigs; near-dups mostly agree; disjoint don't") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val far  = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val agreeNear = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
+    val agreeFar  = sigs(1L).zip(sigs(4L)).count { case (x, y) => x == y }
+    assert(agreeNear >= 12, s"near-dup should agree on most minhash rows, got $agreeNear/16")
+    assert(agreeFar == 0, "disjoint shingle sets should share no minima")
+  }
+
+  test("minhashCandidatePairs surfaces exact and near duplicates") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, "totally different text here")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("nearDupPairs verifies candidates with true Jaccard threshold") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("jaccard: identity, disjoint, empty") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")), (Seq[String](), Seq[String]()))
+      .toDF("a", "b")
+    val vals = df.select(Dedup.jaccard(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(vals.toSeq == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("simhash: identical → distance 0; near → small; different → large") {
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 100).map(i => if (i % 50 == 0) s"CHANGED$i" else s"tok$i").mkString(" ")
+    val far  = (500 to 600).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "text")
+      .select(col("id"), Dedup.simhash64(col("text")).as("h"))
+    val h = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) == 0)
+    assert(ham(h(1L), h(3L)) < 16, s"near docs hamming=${ham(h(1L), h(3L))}")
+    assert(ham(h(1L), h(4L)) > 16, s"far docs hamming=${ham(h(1L), h(4L))}")
+  }
+
+  test("hamming64 column matches JVM bitCount") {
+    val df = Seq((0x0fL, 0xf0L)).toDF("a", "b")
+    assert(df.select(Dedup.hamming64(col("a"), col("b"))).head().getInt(0) == 8)
+  }
+}

@@ -11,8 +11,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet has TIMESTAMP(NANOS); read as long, converted in io.Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local[32] with 128 GiB: 10MB default starves obvious broadcasts
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the JVM/codegen/parquet-footer paths so the first timed
+    // query doesn't absorb session startup (~5-7s otherwise)
+    spark.range(100000).selectExpr("md5(cast(id as string)) h").groupBy("h").count().count()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet has TIMESTAMP(NANOS); read as long, converted in io.Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local[32] with 128 GiB: 10MB default starves obvious broadcasts
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -124,29 +124,34 @@ object Star {
     */
   def fctLineValue(spark: SparkSession, sfDir: String): DataFrame = {
     val lineitem = table(spark, sfDir, "lineitem")
-    val orders   = table(spark, sfDir, "orders")
-    val dimDt    = dimDatetime(spark, sfDir).select("date_key")
-    val dimP     = dimProduct(spark, sfDir).select("product_key")
-    val dimI     = dimInvoice(spark, sfDir).select("invoice_key")
+    // Surrogate keys are computed at DIM cardinality and acquired by the
+    // fact via joins — never recomputed per fact row (md5×3 over the full
+    // fact measured ~2× the whole build; at 100 TB it's the difference
+    // between hashing 150k orders and hashing 600M lines). The dim joins
+    // double as the reference's J2/J3 membership filters:
+    //   dim_invoice join  ⇒ drops lines of invoices without a customer
+    //   dim_product join  ⇒ drops lines of products with price ≤ 0
+    //   dim_datetime join ⇒ date-key membership (keys derive from the same
+    //                       orders, so it's a cheap broadcast no-op filter)
+    val invKeyed = dimInvoice(spark, sfDir)
+      .select(col("order_id"), col("invoice_key"),
+              surrogateKey(col("order_date")).as("date_key")) // same md5(formatted ts) as dim_datetime
+    val prodKeyed = dimProduct(spark, sfDir).select("product_key", "stock_code")
+    val dimDtKeys = dimDatetime(spark, sfDir).select("date_key")
 
-    val lines = lineitem
+    lineitem
       .filter(col("l_quantity") > 0) // P4 (fct_invoice_line_value.sql:9)
-      .join(orders.select("o_orderkey", "o_orderdate"),
-            col("l_orderkey") === col("o_orderkey"), "inner")
-      .join(broadcast(table(spark, sfDir, "part").select("p_partkey", "p_name", "p_brand")),
-            col("l_partkey") === col("p_partkey"), "inner")
+      .join(invKeyed, col("l_orderkey") === col("order_id"), "inner")   // J2+J3 (fct.sql:19-22)
+      .join(prodKeyed, col("l_partkey") === col("stock_code"), "inner") // J3
+      .join(broadcast(dimDtKeys), Seq("date_key"), "inner")             // J3
       .select(
-        surrogateKey(col("l_orderkey")).as("invoice_key"),   // P7 (fct.sql:3)
-        surrogateKey(formatTimestampSeconds(col("o_orderdate"))).as("date_key"), // P7 (fct.sql:4)
-        surrogateKey(col("l_partkey"), col("p_name"), col("p_brand")).as("product_key"), // P7 (fct.sql:5)
+        col("invoice_key"), // P7 keys inherited from dims (fct.sql:3-5)
+        col("date_key"),
+        col("product_key"),
         col("l_orderkey").as("order_id"),
         col("l_linenumber").as("line_number"),
         col("l_quantity").as("quantity"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_price") // P6 (fct.sql:7)
       )
-    lines
-      .join(broadcast(dimDt), Seq("date_key"), "inner")       // J3 (fct.sql:19-22)
-      .join(dimP, Seq("product_key"), "inner")
-      .join(dimI, Seq("invoice_key"), "inner")
   }
 }

@@ -183,49 +183,57 @@ object QueryCatalog {
     * analog over the star schema, SQL-mirrored in the oracle.
     */
   def checksReport(s: SparkSession, dir: String): DataFrame = {
-    val dimc = Star.dimCustomer(s, dir)
-    val dimd = Star.dimDatetime(s, dir)
-    val dimp = Star.dimProduct(s, dir)
-    val dimi = Star.dimInvoice(s, dir)
-    val fct  = Star.fctLineValue(s, dir)
-    val ry   = Reports.yearInvoices(s, dir)
+    // One aggregation pass per gated table (the CheckSuite design, §2.6):
+    // each table's checks compute in a single agg row, exploded into
+    // (check_name, metric, passed) rows. Both fact-level checks derive
+    // from ONE pass over the fact (per-group negative counts + revenue
+    // sums, then re-aggregated) — 5 scans total for 10 checks, vs 10
+    // scans in the one-query-per-check (Soda) shape.
+    def dup(keyCol: String): Column =
+      (count(col(keyCol)) - count_distinct(col(keyCol))).cast("double")
+    def missing(keyCol: String): Column =
+      coalesce(sum(when(col(keyCol).isNull, 1L).otherwise(0L)), lit(0L)).cast("double")
+    def checkRow(name: String, metric: Column, passed: Column): Column =
+      struct(lit(name).as("check_name"), metric.as("metric"), passed.as("passed"))
+    def explodeChecks(agg: DataFrame, rows: Column*): DataFrame =
+      agg.select(explode(array(rows: _*)).as("c")).select(col("c.*"))
 
-    def dupCheck(df: DataFrame, keyCol: String, name: String): DataFrame =
-      df.agg((count(col(keyCol)) - count_distinct(col(keyCol))).cast("double").as("metric"))
-        .select(lit(name).as("check_name"), col("metric"), (col("metric") === 0.0).as("passed"))
+    val dimcChecks = explodeChecks(
+      Star.dimCustomer(s, dir).agg(dup("customer_key").as("m_dup"), missing("customer_key").as("m_miss")),
+      checkRow("dup_customer_key", col("m_dup"), col("m_dup") === 0.0),
+      checkRow("missing_customer_key", col("m_miss"), col("m_miss") === 0.0))
 
-    def missingCheck(df: DataFrame, keyCol: String, name: String): DataFrame =
-      df.agg(coalesce(sum(when(col(keyCol).isNull, 1L).otherwise(0L)), lit(0L)).cast("double").as("metric"))
-        .select(lit(name).as("check_name"), col("metric"), (col("metric") === 0.0).as("passed"))
+    val dimdChecks = explodeChecks(
+      Star.dimDatetime(s, dir).agg(
+        dup("date_key").as("m_dup"),
+        coalesce(sum(when(col("weekday") < 1 || col("weekday") > 7, 1L).otherwise(0L)), lit(0L))
+          .cast("double").as("m_inv")),
+      checkRow("dup_date_key", col("m_dup"), col("m_dup") === 0.0),
+      checkRow("invalid_weekday", col("m_inv"), col("m_inv") === 0.0))
 
-    val weekdayRange = dimd
-      .agg(coalesce(sum(when(col("weekday") < 1 || col("weekday") > 7, 1L).otherwise(0L)), lit(0L))
-        .cast("double").as("metric"))
-      .select(lit("invalid_weekday").as("check_name"), col("metric"), (col("metric") === 0.0).as("passed"))
+    val dimpChecks = explodeChecks(
+      Star.dimProduct(s, dir).agg(dup("product_key").as("m_dup"), min(col("price")).cast("double").as("m_min")),
+      checkRow("dup_product_key", col("m_dup"), col("m_dup") === 0.0),
+      checkRow("min_price", col("m_min"), col("m_min") > 0.0))
 
-    val minPrice = dimp
-      .agg(min(col("price")).cast("double").as("metric"))
-      .select(lit("min_price").as("check_name"), col("metric"), (col("metric") > 0.0).as("passed"))
+    val dimiChecks = explodeChecks(
+      Star.dimInvoice(s, dir).agg(dup("invoice_key").as("m_dup"), missing("invoice_key").as("m_miss")),
+      checkRow("dup_invoice_key", col("m_dup"), col("m_dup") === 0.0),
+      checkRow("missing_invoice_key", col("m_miss"), col("m_miss") === 0.0))
 
-    val negTotal = fct
-      .agg(coalesce(sum(when(col("total_price") < 0, 1L).otherwise(0L)), lit(0L)).cast("double").as("metric"))
-      .select(lit("fct_negative_total_price").as("check_name"), col("metric"), (col("metric") === 0.0).as("passed"))
+    // single fact pass: per-(year,month) revenue sums + negative-row counts,
+    // re-aggregated to the two fact-level metrics
+    val grouped = Star.fctLineValue(s, dir)
+      .join(broadcast(Star.dimDatetime(s, dir).select("date_key", "year", "month")), Seq("date_key"))
+      .groupBy("year", "month")
+      .agg(graft.ops.CoreOps.sumMoney(col("total_price")).as("total_revenue"),
+           coalesce(sum(when(col("total_price") < 0, 1L).otherwise(0L)), lit(0L)).as("neg_count"))
+    val fctChecks = explodeChecks(
+      grouped.agg(sum(col("neg_count")).cast("double").as("m_neg"),
+                  min(col("total_revenue")).cast("double").as("m_minrev")),
+      checkRow("fct_negative_total_price", col("m_neg"), col("m_neg") === 0.0),
+      checkRow("report_year_min_revenue", col("m_minrev"), col("m_minrev") >= 0.0))
 
-    val minRevenue = ry
-      .agg(min(col("total_revenue")).cast("double").as("metric"))
-      .select(lit("report_year_min_revenue").as("check_name"), col("metric"), (col("metric") >= 0.0).as("passed"))
-
-    Seq(
-      dupCheck(dimc, "customer_key", "dup_customer_key"),
-      missingCheck(dimc, "customer_key", "missing_customer_key"),
-      dupCheck(dimd, "date_key", "dup_date_key"),
-      weekdayRange,
-      dupCheck(dimp, "product_key", "dup_product_key"),
-      minPrice,
-      dupCheck(dimi, "invoice_key", "dup_invoice_key"),
-      missingCheck(dimi, "invoice_key", "missing_invoice_key"),
-      negTotal,
-      minRevenue
-    ).reduce(_.unionAll(_))
+    Seq(dimcChecks, dimdChecks, dimpChecks, dimiChecks, fctChecks).reduce(_.unionAll(_))
   }
 }

@@ -60,9 +60,14 @@ object Reports {
     * two-phase expand/agg. Ordered by year, month (A8 — presentation sort,
     * no limit).
     */
-  def yearInvoices(spark: SparkSession, sfDir: String): DataFrame = {
-    val fct   = Star.fctLineValue(spark, sfDir)
-    val dimDt = Star.dimDatetime(spark, sfDir).select("date_key", "year", "month")
+  def yearInvoices(spark: SparkSession, sfDir: String): DataFrame =
+    yearInvoicesFrom(Star.fctLineValue(spark, sfDir), Star.dimDatetime(spark, sfDir))
+
+  /** Same report over a prebuilt (possibly cached) fact — lets callers that
+    * also consume the fact elsewhere (e.g. the checks suite) share one
+    * materialization instead of rebuilding the star per consumer. */
+  def yearInvoicesFrom(fct: DataFrame, dimDatetime: DataFrame): DataFrame = {
+    val dimDt = dimDatetime.select("date_key", "year", "month")
     fct
       .join(broadcast(dimDt), Seq("date_key"), "inner") // J6 (sql:6-7)
       .groupBy("year", "month")

@@ -1,7 +1,5 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.dedup.Dedup
 /** Scratch probe main for environment checks (not part of the library). */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -9,29 +7,18 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local[32] with 128 GiB: 10MB default starves obvious broadcasts
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir  = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    def time(name: String)(f: => Long): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // warmup
+    spark.range(100000).selectExpr("md5(cast(id as string)) h").groupBy("h").count().count()
+    for (q <- Seq("q23_checks_report", "q07_report_customer", "q09_report_year")) {
       val t0 = System.nanoTime()
-      val n  = f
-      println(f"[probe] $name rows=$n%d time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val n  = graft.SparkEntry.queries(q)(spark, dir).count()
+      println(f"[probe] $q rows=$n%d time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    time("sig_only") {
-      docs.select(col("doc_id"), concat_ws("|", Dedup.minhashSignature(col("text"), 3, 16)).as("s")).count()
-    }
-    val bands = Dedup.lshBands(docs, "doc_id", "text")
-    time("lsh_bands")(bands.count())
-    val buckets = bands.groupBy("band", "band_key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    time("buckets")(buckets.count())
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    time("buckets_nocodegen")(buckets.count())
-    spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    time("buckets_interp")(buckets.count())
     spark.stop()
   }
 }

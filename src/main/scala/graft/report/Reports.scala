@@ -26,9 +26,13 @@ object Reports {
     val fct  = Star.fctLineValue(spark, sfDir)
     val dimI = Star.dimInvoice(spark, sfDir).select("invoice_key", "customer_key")
     val dimC = Star.dimCustomer(spark, sfDir).select("customer_key", "nation", "region")
+    // Pre-join the two dim-sized sides first (J4): the fact then takes ONE
+    // join against the combined invoice→country map instead of two
+    // fact-sized shuffles; AQE broadcasts the map when it's small.
+    val invCountry = dimI.join(dimC, Seq("customer_key"), "inner")
+      .select("invoice_key", "nation", "region")
     val joined = fct
-      .join(dimI, Seq("invoice_key"), "inner") // J4 (report_customer_invoices.sql:6-8)
-      .join(dimC, Seq("customer_key"), "inner")
+      .join(invCountry, Seq("invoice_key"), "inner") // J4 (report_customer_invoices.sql:6-8)
     val agg = joined
       .groupBy("nation", "region") // A2
       .agg(

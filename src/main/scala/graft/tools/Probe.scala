@@ -7,17 +7,18 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // local[32] with 128 GiB: 10MB default starves obvious broadcasts
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    // warmup
-    spark.range(100000).selectExpr("md5(cast(id as string)) h").groupBy("h").count().count()
-    for (q <- Seq("q23_checks_report", "q07_report_customer", "q09_report_year")) {
-      val t0 = System.nanoTime()
-      val n  = graft.SparkEntry.queries(q)(spark, dir).count()
-      println(f"[probe] $q rows=$n%d time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    for (q <- Seq("q01_scan_filter_project", "q06_fct_line_value", "q07_report_customer", "q09_report_year")) {
+      println(s"===== $q =====")
+      println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).linesIterator
+        .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters") || l.contains("ReadSchema") ||
+                     l.contains("Join") || l.contains("Exchange") || l.contains("TakeOrdered") ||
+                     l.contains("HashAggregate") || l.contains("(") && l.length < 80)
+        .take(40).mkString("\n"))
     }
     spark.stop()
   }

@@ -57,7 +57,10 @@ object SparkEntry {
     "q25_lsh_ann_topk"        -> (Q.lshAnnTopK(_, _)),
     "q26_embedding_neardups"  -> (Q.embeddingNearDups(_, _)),
     "q27_media_features"      -> (Q.mediaFeatures(_, _)),
-    "q28_media_frames"        -> (Q.mediaFrames(_, _))
+    "q28_media_frames"        -> (Q.mediaFrames(_, _)),
+    // rolling-hash fingerprints (oracle-checked) + IVF ANN (rows-only)
+    "q29_rolling_hash"        -> (Q.rollingHashes(_, _)),
+    "q30_ivf_ann_topk"        -> (Q.ivfAnnTopK(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -107,4 +107,22 @@ object CoreOps {
     */
   def sumMoney(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Skew-resistant equi-join: the big (skewed) side gets a deterministic
+    * salt derived from a high-cardinality discriminator column; the small
+    * side is replicated once per salt. A hot key's rows then spread over
+    * `salts` reducers instead of one. AQE's skew-join handles most cases at
+    * runtime — this is the explicit tool for keys so hot that even split
+    * shuffle blocks overload a task (the 100 TB "null key / boilerplate
+    * doc" case).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 discriminator: Column, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(hash(discriminator), lit(salts)))
+    val saltedSmall = small
+      .withColumn("__salt", explode(array((0 until salts).map(lit(_)): _*)))
+    saltedBig
+      .join(saltedSmall, Seq(key, "__salt"), "inner")
+      .drop("__salt")
+  }
 }

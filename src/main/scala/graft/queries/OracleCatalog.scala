@@ -249,6 +249,18 @@ object OracleCatalog {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s)
          |WHERE rank <= 5""".stripMargin,
 
+    "q29_rolling_hash" ->
+      """SELECT doc_id,
+        | CASE WHEN len(text) = 0 THEN 0 ELSE
+        |   list_reduce([CAST(ascii(substr(text, i, 1)) AS BIGINT) for i in generate_series(1, len(text))],
+        |               (a, c) -> (a * 31 + c) % 1000000007) END AS rh,
+        | CASE WHEN len(text) = 0 THEN 0 ELSE
+        |   list_min([
+        |     list_reduce([CAST(ascii(substr(text, j, 1)) AS BIGINT) for j in generate_series(i, least(i + 15, len(text)))],
+        |                 (a, c) -> (a * 31 + c) % 1000000007)
+        |     for i in generate_series(1, greatest(len(text) - 15, 1))]) END AS rh_min_window
+        |FROM documents""".stripMargin,
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

@@ -154,8 +154,22 @@ object QueryCatalog {
     Similarity.lshTopK(e, e.filter(col("vec_id") < 10), 5, dim = 64)
   }
 
+  def ivfAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5)
+  }
+
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(t(s, dir, "embeddings"), dim = 64, threshold = 0.95)
+
+  /** Rolling-hash fingerprints: whole-doc polynomial hash + winnowing-style
+    * min-window hash (16-char windows).
+    */
+  def rollingHashes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.rollingHash(col("text")).as("rh"),
+      TextOps.minWindowHash(col("text"), 16).as("rh_min_window"))
 
   // ---- extensions: simhash (rows-only: bit math not mirrored in SQL) ------
 

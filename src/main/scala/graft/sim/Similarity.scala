@@ -118,6 +118,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the clustered-data scale path beside
+    * hyperplane LSH. Centroids are a deterministic corpus sample (every
+    * `centroidStride`-th vector — a production build would k-means them);
+    * each corpus vector is assigned to its nearest centroid (broadcast
+    * centroid table, one corpus pass), queries probe the `nProbe` nearest
+    * cells. Cost per query ≈ |corpus|·nProbe/|centroids|; the dial
+    * is |centroids| (∝ √|corpus| classically).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidStride: Int = 50, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val centroids = c.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val corpusCells = c
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("sim"))
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val queryCells = q
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("score"))
+      .groupBy("query_id", "vec_id").agg(max("score").as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): bucket by
     * LSH signature, score within buckets only, threshold. Same
     * never-form-the-pair-space shape as Dedup.minhashCandidatePairs.

@@ -100,4 +100,35 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(lower(text))))
+
+  /** Polynomial rolling hash of the whole document:
+    * h = fold(chars, 0, (h,c) => (h·31 + codepoint) mod 1e9+7).
+    * One left-to-right pass; the fold body references only lambda vars, so
+    * no HOF re-evaluation blowup. Engine-portable (same fold in DuckDB).
+    */
+  val HashMod = 1000000007L
+
+  /** Characters of a string as a codepoint array; the filter drops the
+    * trailing "" that Spark's limit=-1 split keeps for zero-width matches
+    * (DuckDB's enumeration has no such element). */
+  private def codepoints(text: Column): Column =
+    transform(filter(split(text, ""), c => length(c) > 0), c => ascii(c).cast("long"))
+
+  def rollingHash(text: Column): Column =
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(codepoints(text), lit(0L), (acc, c) => (acc * 31L + c) % HashMod))
+
+  /** Winnowing-style document fingerprint: minimum polynomial hash over all
+    * `window`-char windows. O(chars × window) per doc — each window hashes
+    * its own substring (an attribute reference, so no quadratic re-eval of
+    * upstream expressions).
+    */
+  def minWindowHash(text: Column, window: Int = 16): Column =
+    when(length(text) === 0, lit(0L)).otherwise(
+      array_min(transform(
+        sequence(lit(1), greatest(length(text) - (window - 1), lit(1))),
+        i => aggregate(
+          codepoints(text.substr(i, lit(window))),
+          lit(0L),
+          (acc, c) => (acc * 31L + c) % HashMod))))
 }

@@ -71,6 +71,16 @@ class CoreOpsSpec extends SparkSpec {
     assert(row.getInt(0) == 2026 && row.getInt(1) == 1 && row.getInt(2) == 10 && row.getInt(3) == 30)
   }
 
+  test("saltedJoin matches plain join results while spreading hot keys") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i)).toDF("k", "v")
+    val small = Seq(("HOT", "h"), ("cold10", "c")).toDF("k", "name")
+    val plain  = big.join(small, Seq("k")).collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val salted = saltedJoin(big, small, "k", col("v"), 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(plain.count(_._1 == "HOT") == 900)
+  }
+
   test("parseTimestamp coerces unparseable input to null (D1, errors='coerce')") {
     val df = Seq("08/09/2026 10:30 AM", "garbage").toDF("s")
       .select(parseTimestamp(col("s"), "MM/dd/yyyy hh:mm a").as("ts"))

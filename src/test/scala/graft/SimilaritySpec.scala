@@ -55,6 +55,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"multi-probe LSH recall too low: $recall")
   }
 
+  test("ivfTopK achieves reasonable recall vs brute force") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
   test("lshSignature is deterministic across evaluations") {
     val e = Tables.table(spark, sf, "embeddings").limit(20)
     val s1 = e.select(col("vec_id"), Similarity.lshSignature(transform(col("embedding"), x => x.cast("double")), 64, 8).as("sig"))

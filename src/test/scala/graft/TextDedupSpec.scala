@@ -110,6 +110,24 @@ class TextDedupSpec extends SparkSpec {
     assert(ham(h(1L), h(4L)) > 16, s"far docs hamming=${ham(h(1L), h(4L))}")
   }
 
+  test("rollingHash matches a JVM-computed polynomial hash; empty text → 0") {
+    def jvmHash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    val s = "the quick brown fox"
+    assert(one(s, TextOps.rollingHash(col("text"))) == jvmHash(s))
+    assert(one("", TextOps.rollingHash(col("text"))) == 0L)
+  }
+
+  test("minWindowHash is the min polynomial hash over 16-char windows") {
+    def jvmHash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    val s = "the quick brown fox jumps over the lazy dog"
+    val expect = (0 to s.length - 16).map(i => jvmHash(s.substring(i, i + 16))).min
+    assert(one(s, TextOps.minWindowHash(col("text"), 16)) == expect)
+    // shorter than one window: hash of the whole (truncated) text
+    assert(one("short", TextOps.minWindowHash(col("text"), 16)) == jvmHash("short"))
+  }
+
   test("hamming64 column matches JVM bitCount") {
     val df = Seq((0x0fL, 0xf0L)).toDF("a", "b")
     assert(df.select(Dedup.hamming64(col("a"), col("b"))).head().getInt(0) == 8)

@@ -39,6 +39,7 @@ object SparkEntry {
     "q11_events_dedup_latest" -> (Q.eventsDedupLatest(_, _)),
     "q12_events_rollup"       -> (Q.eventsRollup(_, _)),
     "q13_events_hourly"       -> (Q.eventsHourly(_, _)),
+    "q31_events_sessions"     -> (Q.eventsSessions(_, _)),
     // extensions: text analysis + dedup
     "q14_exact_dedup"         -> (Q.exactDedup(_, _)),
     "q15_text_stats"          -> (Q.textStats(_, _)),

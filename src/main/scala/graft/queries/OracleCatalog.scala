@@ -168,6 +168,23 @@ object OracleCatalog {
          | event_type, count(*) AS n_events, ${sumMoney("value")} AS total_value
          |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
 
+    "q31_events_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, date_trunc('second', ts) AS ts_sec FROM events),
+         |f AS (SELECT user_id, event_id, value, ts_sec,
+         |        CASE WHEN lag(ts_sec) OVER w IS NULL
+         |               OR (epoch(ts_sec) - epoch(lag(ts_sec) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
+         |g AS (SELECT user_id, event_id, value, ts_sec,
+         |        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |      FROM f)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  ${fmtTs("min(ts_sec)")} AS session_start,
+         |  ${fmtTs("max(ts_sec)")} AS session_end,
+         |  ${sumMoney("value")} AS session_value
+         |FROM g GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin,
+
     "q14_exact_dedup" ->
       s"""SELECT md5(array_to_string($toksLower, ' ')) AS content_hash,
          | min(doc_id) AS keep_id, count(*) AS dup_count

@@ -84,6 +84,33 @@ object QueryCatalog {
         col("event_type"), col("n_events"), col("total_value"))
       .orderBy("window_start", "event_type")
 
+  /** Gap-based batch sessionization (the batch analog of
+    * EventStreams.sessionize): a session break is >30 min of user
+    * inactivity; session index = running count of breaks. Two analytic
+    * windows + one group-agg, all shuffled once on user_id.
+    */
+  def eventsSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    val w = Window.partitionBy("user_id").orderBy(asc("ts_sec"), asc("event_id"))
+    val flagged = ev
+      .withColumn("prev_ts", lag(col("ts_sec"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+             (unix_timestamp(col("ts_sec")) - unix_timestamp(col("prev_ts"))) > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        formatTimestampSeconds(min(col("ts_sec"))).as("session_start"),
+        formatTimestampSeconds(max(col("ts_sec"))).as("session_end"),
+        sumMoney(col("value")).as("session_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
   // ---- extensions: dedup --------------------------------------------------
 
   def exactDedup(s: SparkSession, dir: String): DataFrame =

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
@@ -118,10 +119,27 @@ object Dedup {
     * shuffle on (band, band_key), then in-bucket pair expansion with array
     * ops. Cost ≈ |docs|·bands + Σ bucket², never |docs|².
     */
+  /** @param maxBucket poison-bucket guard for huge corpora: buckets larger
+    *   than this (boilerplate-heavy shingle profiles) are SKIPPED rather
+    *   than expanded into O(bucket²) pairs. Default unlimited — exact LSH
+    *   semantics, which is what the oracle checks; at 100 TB set it to a
+    *   few hundred (such buckets are near-certain template families better
+    *   handled by exact dedup on the band key). */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                            shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                            shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+                            maxBucket: Int = Int.MaxValue): DataFrame = {
     val b = lshBands(docs, idCol, textCol, shingleN, k, rowsPerBand)
-    val buckets = b
+    // bucket size is checked BEFORE collect_list (count window over the
+    // same partitioning, exchange reused) so a poison bucket never
+    // materializes as one giant array row
+    val sized =
+      if (maxBucket == Int.MaxValue) b
+      else b
+        .withColumn("__bsize",
+          count(lit(1)).over(Window.partitionBy("band", "band_key")))
+        .filter(col("__bsize") <= maxBucket)
+        .drop("__bsize")
+    val buckets = sized
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -165,21 +183,8 @@ object Dedup {
     * into a codegen'd expression tree (64 aggregates over the token array —
     * all inside one projection, no shuffle).
     */
-  def simhash64(text: Column): Column = {
-    // Two 32-bit halves (8 hex chars each) so every value fits a signed
-    // long and bit extraction is exact shift+mask — no decimal rounding.
-    val toks  = TextOps.tokens(lower(text))
-    val tokHi = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    val tokLo = transform(toks, t => conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
-    def votesBit(arr: Column, j: Int): Column =
-      aggregate(arr, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-    val bits = (0 until 64).map { j =>
-      val votes = if (j < 32) votesBit(tokLo, j) else votesBit(tokHi, j - 32)
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def simhash64(text: Column): Column =
+    graft.functions.SimHash64.simhash64(TextOps.tokens(lower(text)))
 
   /** Hamming distance between two simhash-64 values. */
   def hamming64(a: Column, b: Column): Column =

@@ -128,6 +128,30 @@ class TextDedupSpec extends SparkSpec {
     assert(one("short", TextOps.minWindowHash(col("text"), 16)) == jvmHash("short"))
   }
 
+  test("minhashCandidatePairs maxBucket cap drops poison buckets, keeps the rest") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    // 5 identical docs → a 5-doc bucket in every band; plus a distinct pair
+    val hot  = (1L to 5L).map(i => (i, base))
+    val pair = Seq((10L, "x y z w v u t s"), (11L, "x y z w v u t s"))
+    val df = (hot ++ pair).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidatePairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 10 + 1) // C(5,2) hot pairs + the planted pair
+    val capped = Dedup.minhashCandidatePairs(df, "doc_id", "text", maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)), s"cap should keep only the small bucket, got $capped")
+  }
+
+  test("minhash_sig is SQL-callable after GraftFunctions.register") {
+    graft.functions.GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT minhash_sig(array('a b c', 'b c d'), 4) AS sig").head()
+    val viaColumn = Seq(Seq("a b c", "b c d")).toDF("sh")
+      .select(graft.functions.MinHashSig.minhash_sig(col("sh"), 4).as("sig")).head()
+    assert(row.getSeq[String](0) == viaColumn.getSeq[String](0))
+    assert(row.getSeq[String](0).forall(_.matches("[0-9a-f]{32}")))
+  }
+
   test("hamming64 column matches JVM bitCount") {
     val df = Seq((0x0fL, 0xf0L)).toDF("a", "b")
     assert(df.select(Dedup.hamming64(col("a"), col("b"))).head().getInt(0) == 8)

@@ -61,7 +61,9 @@ object SparkEntry {
     "q28_media_frames"        -> (Q.mediaFrames(_, _)),
     // rolling-hash fingerprints (oracle-checked) + IVF ANN (rows-only)
     "q29_rolling_hash"        -> (Q.rollingHashes(_, _)),
-    "q30_ivf_ann_topk"        -> (Q.ivfAnnTopK(_, _))
+    "q30_ivf_ann_topk"        -> (Q.ivfAnnTopK(_, _)),
+    // flagship LLM-pipeline composition (oracle-checked)
+    "q32_clean_corpus"        -> (Q.cleanCorpus(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -78,8 +78,37 @@ object OracleCatalog {
     "list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
       "ELSE [concat_ws(' ', t[i], t[i+1], t[i+2]) for i in generate_series(1, len(t) - 2)] END)"
 
-  private val tkCte = s"tk AS (SELECT doc_id, source, text, $toksLower AS t FROM documents)"
+  private def tkCteFrom(src: String) =
+    s"tk AS (SELECT doc_id, source, text, $toksLower AS t FROM $src)"
+  private val tkCte = tkCteFrom("documents")
   private val shCte = s"sh AS (SELECT doc_id, source, text, t, $shingle3 AS sh FROM tk)"
+
+  /** Raw (unrounded) Jaccard between two distinct shingle lists a/b. */
+  private def jaccardSql(a: String, b: String): String =
+    s"""CASE WHEN (len($a) + len($b) - len(list_intersect($a, $b))) = 0 THEN CAST(0.0 AS DOUBLE)
+       | ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE)
+       |      / CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE) END""".stripMargin
+
+  /** Token/punct/digit/stopword counts CTE (mirrors TextOps counters). */
+  private def statsCte(src: String): String =
+    s"""b AS (
+       | SELECT doc_id, text,
+       |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE CAST(len($toksRaw) AS INTEGER) END AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpeish,
+       |  CAST(len(regexp_extract_all(text, '[.,!?;:''"()[\\]{}-]')) AS INTEGER) AS n_punct,
+       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digits,
+       |  CAST(len(list_filter($toksLower, x -> x IN ($stopList))) AS INTEGER) AS n_stop
+       | FROM $src)""".stripMargin
+
+  /** Composite quality score over statsCte columns (mirrors
+    * TextOps.qualityScore's exact expression tree). */
+  private val qualityExpr: String =
+    """round(greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+      |   CAST(0.4 AS DOUBLE) * (CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      |   + CAST(0.4 AS DOUBLE) * least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+      |   - CAST(0.1 AS DOUBLE) * (CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))
+      |   - CAST(0.1 AS DOUBLE) * (CAST(n_digits AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))
+      |   + CAST(0.3 AS DOUBLE))), 6)""".stripMargin
 
   private def minhash(i: Int): String =
     s"list_min(list_transform(sh, x -> md5('$i|' || x)))"
@@ -191,21 +220,9 @@ object OracleCatalog {
          |FROM documents GROUP BY 1""".stripMargin,
 
     "q15_text_stats" ->
-      s"""WITH b AS (
-         | SELECT doc_id, text,
-         |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE CAST(len($toksRaw) AS INTEGER) END AS n_tokens,
-         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpeish,
-         |  CAST(len(regexp_extract_all(text, '[.,!?;:''"()[\\]{}-]')) AS INTEGER) AS n_punct,
-         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digits,
-         |  CAST(len(list_filter($toksLower, x -> x IN ($stopList))) AS INTEGER) AS n_stop
-         | FROM documents)
+      s"""WITH ${statsCte("documents")}
          |SELECT doc_id, n_tokens, n_bpeish, n_punct, n_digits, n_stop,
-         | round(greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
-         |   CAST(0.4 AS DOUBLE) * (CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
-         |   + CAST(0.4 AS DOUBLE) * least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-         |   - CAST(0.1 AS DOUBLE) * (CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))
-         |   - CAST(0.1 AS DOUBLE) * (CAST(n_digits AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))
-         |   + CAST(0.3 AS DOUBLE))), 6) AS quality
+         | $qualityExpr AS quality
          |FROM b""".stripMargin,
 
     "q16_lang_id" -> {
@@ -277,6 +294,29 @@ object OracleCatalog {
         |                 (a, c) -> (a * 31 + c) % 1000000007)
         |     for i in generate_series(1, greatest(len(text) - 15, 1))]) END AS rh_min_window
         |FROM documents""".stripMargin,
+
+    "q32_clean_corpus" ->
+      s"""WITH ${statsCte("documents")},
+         |q AS (SELECT doc_id, text, n_tokens, $qualityExpr AS quality FROM b),
+         |qf AS (SELECT * FROM q WHERE quality >= 0.5),
+         |e AS (SELECT doc_id, text, n_tokens, quality FROM (
+         |   SELECT qf.*, min(doc_id) OVER (
+         |     PARTITION BY md5(array_to_string($toksLower, ' '))) AS keep FROM qf)
+         | WHERE doc_id = keep),
+         |tk2 AS (SELECT doc_id, $toksLower AS t FROM e),
+         |sh AS (SELECT doc_id, $shingle3 AS sh FROM tk2),
+         |sig AS (SELECT doc_id, $sigCols FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, ${bandKey(b)} AS band_key FROM sig")
+              .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |         FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |pv AS (SELECT DISTINCT cand.doc_b FROM cand
+         |       JOIN sh a ON cand.doc_a = a.doc_id
+         |       JOIN sh bb ON cand.doc_b = bb.doc_id
+         |       WHERE ${jaccardSql("a.sh", "bb.sh")} >= 0.8)
+         |SELECT doc_id, n_tokens, quality FROM e
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pv)""".stripMargin,
 
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =

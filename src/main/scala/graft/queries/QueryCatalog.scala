@@ -164,6 +164,29 @@ object QueryCatalog {
               round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
   }
 
+  /** Flagship LLM-data-pipeline composition: quality filter → exact dedup
+    * (keep lowest id per canonical fingerprint) → verified near-dup removal
+    * (LSH candidates re-scored with true Jaccard, drop the higher id of
+    * each pair ≥ 0.8). Returns the clean corpus with its stats.
+    */
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = docs.select(
+      col("doc_id"), col("text"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    val q = scored.filter(col("quality") >= 0.5)
+    val e = q
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep"))
+      .drop("fp", "keep")
+    val nearDups = Dedup.nearDupPairs(e, "doc_id", "text", shingleN = 3, threshold = 0.8)
+      .select(col("doc_b"))
+    e.join(nearDups, e("doc_id") === nearDups("doc_b"), "left_anti")
+      .select("doc_id", "n_tokens", "quality")
+  }
+
   // ---- extensions: similarity search --------------------------------------
 
   def cosineScores(s: SparkSession, dir: String): DataFrame = {

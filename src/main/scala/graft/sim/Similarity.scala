@@ -74,11 +74,17 @@ object Similarity {
     (v.toDouble / (1L << 56).toDouble) - 0.5
   }
 
-  /** nBits-bit sign signature of a vector under the fixed hyperplanes. */
+  /** nBits-bit sign signature of a vector under the fixed hyperplanes.
+    * IMPORTANT: pass a plain column attribute, not a derived expression —
+    * the signature references `vec` dim×nBits times, and Catalyst inlines
+    * a derived expression into every reference (the element cast happens
+    * here, per reference, precisely to keep those references cheap).
+    */
   def lshSignature(vec: Column, dim: Int, nBits: Int): Column = {
-    val v = asDouble(vec)
     val bits = (0 until nBits).map { b =>
-      val proj = (0 until dim).map(d => element_at(v, d + 1) * lit(hyperplane(b, d))).reduce(_ + _)
+      val proj = (0 until dim)
+        .map(d => element_at(vec, d + 1).cast("double") * lit(hyperplane(b, d)))
+        .reduce(_ + _)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
@@ -96,8 +102,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nBits: Int = 6, probeFlips: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", lshSignature(col("v"), dim, nBits))
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"),
+      lshSignature(col(vecCol), dim, nBits).as("bucket"))
     val masks: Seq[Long] = Seq(0L) ++
       (if (probeFlips >= 1) (0 until nBits).map(i => 1L << i) else Seq.empty) ++
       (if (probeFlips >= 2)
@@ -107,8 +113,8 @@ object Similarity {
       case 0L => col("qbucket")
       case m  => col("qbucket").bitwiseXOR(lit(m))
     }
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qbucket", lshSignature(col("qv"), dim, nBits))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+        lshSignature(col(vecCol), dim, nBits).as("qbucket"))
       .withColumn("bucket", explode(array(probes: _*)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -160,8 +166,8 @@ object Similarity {
   def embeddingNearDups(corpus: DataFrame, dim: Int, threshold: Double,
                         nBits: Int = 8, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", lshSignature(col("v"), dim, nBits))
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      lshSignature(col(vecCol), dim, nBits).as("bucket"))
     val l = c.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val r = c.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
     l.join(r, Seq("bucket"))

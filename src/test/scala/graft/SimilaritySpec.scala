@@ -68,9 +68,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("lshSignature is deterministic across evaluations") {
     val e = Tables.table(spark, sf, "embeddings").limit(20)
-    val s1 = e.select(col("vec_id"), Similarity.lshSignature(transform(col("embedding"), x => x.cast("double")), 64, 8).as("sig"))
+    val s1 = e.select(col("vec_id"), Similarity.lshSignature(col("embedding"), 64, 8).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val s2 = e.select(col("vec_id"), Similarity.lshSignature(transform(col("embedding"), x => x.cast("double")), 64, 8).as("sig"))
+    val s2 = e.select(col("vec_id"), Similarity.lshSignature(col("embedding"), 64, 8).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(s1 == s2)
   }

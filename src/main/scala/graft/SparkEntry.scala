@@ -63,7 +63,10 @@ object SparkEntry {
     "q29_rolling_hash"        -> (Q.rollingHashes(_, _)),
     "q30_ivf_ann_topk"        -> (Q.ivfAnnTopK(_, _)),
     // flagship LLM-pipeline composition (oracle-checked)
-    "q32_clean_corpus"        -> (Q.cleanCorpus(_, _))
+    "q32_clean_corpus"        -> (Q.cleanCorpus(_, _)),
+    // beyond-reference relational breadth (oracle-checked)
+    "q33_rollup"              -> (Q.rollupReport(_, _)),
+    "q34_setops_having"       -> (Q.setOpsHaving(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -318,6 +318,21 @@ object OracleCatalog {
          |SELECT doc_id, n_tokens, quality FROM e
          |WHERE doc_id NOT IN (SELECT doc_b FROM pv)""".stripMargin,
 
+    "q33_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         | ${sumMoney("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q34_setops_having" ->
+      """WITH building AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |open_o AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+        |high_value AS (SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey
+        |               HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) > 100000.0)
+        |SELECT custkey, 'building_no_open' AS op_tag FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM open_o)
+        |UNION ALL
+        |SELECT custkey, 'building_high_value' AS op_tag FROM (SELECT custkey FROM building INTERSECT SELECT custkey FROM high_value)
+        |ORDER BY op_tag, custkey""".stripMargin,
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

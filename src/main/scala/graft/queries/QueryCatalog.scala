@@ -241,6 +241,38 @@ object QueryCatalog {
       .select(col("media_id"), col("modality"), col("frame_idx"),
               length(col("frame")).as("frame_bytes"))
 
+  // ---- beyond-reference relational breadth --------------------------------
+
+  /** ROLLUP aggregation (subtotals + grand total) — not in the reference
+    * (SURVEY.md §2.5 "not present" list) but table stakes for an analytics
+    * engine. Nulls mark rolled-up levels in both engines.
+    */
+  def rollupReport(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sumMoney(col("l_quantity")).as("sum_qty"))
+
+  /** Set operations + HAVING: customers with BUILDING segment, minus those
+    * with an open ('O') order, intersected with high-value customers
+    * (HAVING sum(o_totalprice) above threshold). Exercises
+    * EXCEPT/INTERSECT/UNION distinct semantics end-to-end.
+    */
+  def setOpsHaving(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val orders   = t(s, dir, "orders")
+    val building = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val open = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    val highValue = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(sumMoney(col("o_totalprice")).as("total"))
+      .filter(col("total") > 100000.0) // HAVING
+      .select("custkey")
+    building.except(open).withColumn("op_tag", lit("building_no_open"))
+      .unionAll(building.intersect(highValue).withColumn("op_tag", lit("building_high_value")))
+      .orderBy("op_tag", "custkey")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

@@ -66,7 +66,8 @@ object SparkEntry {
     "q32_clean_corpus"        -> (Q.cleanCorpus(_, _)),
     // beyond-reference relational breadth (oracle-checked)
     "q33_rollup"              -> (Q.rollupReport(_, _)),
-    "q34_setops_having"       -> (Q.setOpsHaving(_, _))
+    "q34_setops_having"       -> (Q.setOpsHaving(_, _)),
+    "q35_semi_anti"           -> (Q.semiAntiJoins(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

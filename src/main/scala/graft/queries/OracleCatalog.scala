@@ -333,6 +333,14 @@ object OracleCatalog {
         |SELECT custkey, 'building_high_value' AS op_tag FROM (SELECT custkey FROM building INTERSECT SELECT custkey FROM high_value)
         |ORDER BY op_tag, custkey""".stripMargin,
 
+    "q35_semi_anti" ->
+      """SELECT o_orderkey, 'has_big_line' AS op_tag FROM orders
+        | WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |UNION ALL
+        |SELECT o_orderkey, 'no_big_line' AS op_tag FROM orders
+        | WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY op_tag, o_orderkey""".stripMargin,
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

@@ -273,6 +273,19 @@ object QueryCatalog {
       .orderBy("op_tag", "custkey")
   }
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS): orders partitioned by whether
+    * any of their lines is high-quantity. left_semi/left_anti never
+    * duplicate or widen the left side — the scale-safe EXISTS shape.
+    */
+  def semiAntiJoins(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select(col("o_orderkey"))
+    val big    = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      .select(col("l_orderkey").as("o_orderkey"))
+    orders.join(big, Seq("o_orderkey"), "left_semi").withColumn("op_tag", lit("has_big_line"))
+      .unionAll(orders.join(big, Seq("o_orderkey"), "left_anti").withColumn("op_tag", lit("no_big_line")))
+      .orderBy("op_tag", "o_orderkey")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

@@ -82,4 +82,17 @@ object EventStreams {
     */
   def runToMemory(df: DataFrame, queryName: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(queryName).outputMode(mode).start()
+
+  /** Streaming quality gate — the Soda-gate analog for streams
+    * (check_function.py:22-23 semantics per micro-batch): each batch is
+    * evaluated against the checks; a failing batch throws, failing the
+    * query, BEFORE the sink sees it. `sink` receives only clean batches.
+    */
+  def checkGate(df: DataFrame, checks: Seq[graft.checks.Check])
+               (sink: (DataFrame, Long) => Unit) =
+    df.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val b = batch.toDF()
+      graft.checks.CheckSuite.run(b, checks)
+      sink(b, id)
+    }
 }

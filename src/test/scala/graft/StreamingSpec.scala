@@ -51,6 +51,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkGate: clean batches flow to the sink, a dirty batch fails the query") {
+    import graft.checks._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    val q = EventStreams.checkGate(source.toDF(),
+        Seq(NoMissing("event_id"), NoFailedRows("neg_value", org.apache.spark.sql.functions.col("value") < 0))) {
+        (batch, _) => seen.addAndGet(batch.count())
+      }.start()
+    try {
+      source.addData(Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(seen.get() == 1, "clean batch reaches the sink")
+      source.addData(Event(2, ts("2024-01-01 00:00:02"), 1, "click", -5.0))
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      assert(failed.getMessage.contains("checks failed") ||
+             Option(failed.getCause).exists(_.getMessage.contains("checks failed")))
+      assert(seen.get() == 1, "dirty batch must not reach the sink")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("sessionize maintains per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]

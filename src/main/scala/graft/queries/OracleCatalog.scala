@@ -134,6 +134,20 @@ object OracleCatalog {
        |   ELSE $dotQV / (qnrm * nrm) END, 4) AS score
        |FROM en CROSS JOIN q WHERE query_id != vec_id""".stripMargin
 
+  /** Hyperplane LSH bucket expression with the SAME deterministic
+    * constants the Scala side uses, serialized via Double.toString
+    * (shortest-roundtrip repr ⇒ DuckDB parses back the identical double).
+    * Mirrors Similarity.lshSignature: left-assoc dot with per-element
+    * float→double cast, sign bit per plane, OR of power-of-two bits.
+    */
+  private def lshBucketSql(vecCol: String, dim: Int, nBits: Int): String =
+    (0 until nBits).map { b =>
+      val proj = (0 until dim)
+        .map(d => s"CAST($vecCol[${d + 1}] AS DOUBLE) * ${java.lang.Double.toString(graft.sim.Similarity.hyperplane(b, d))}")
+        .mkString(" + ")
+      s"(CASE WHEN ($proj) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
   // ---- the oracle map ------------------------------------------------------
 
   val sql: Map[String, String] = Map(
@@ -317,6 +331,19 @@ object OracleCatalog {
          |       WHERE ${jaccardSql("a.sh", "bb.sh")} >= 0.8)
          |SELECT doc_id, n_tokens, quality FROM e
          |WHERE doc_id NOT IN (SELECT doc_b FROM pv)""".stripMargin,
+
+    "q26_embedding_neardups" -> {
+      val dotAB = "list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))], (acc, x) -> acc + x)"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  ${lshBucketSql("embedding", 64, 4)} AS bucket FROM embeddings),
+         |en AS (SELECT vec_id, v, bucket, sqrt($dotSelf) AS nrm FROM e)
+         |SELECT DISTINCT id_a, id_b, score FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(CASE WHEN (a.nrm * b.nrm) = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE $dotAB / (a.nrm * b.nrm) END, 4) AS score
+         |  FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE score >= 0.35""".stripMargin
+    },
 
     "q33_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

@@ -209,8 +209,10 @@ object QueryCatalog {
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5)
   }
 
+  /** Threshold/bits tuned to the synthetic corpus (max pairwise cosine
+    * ≈ 0.46): 0.35 with 4-bit cells yields a non-trivial pair set. */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDups(t(s, dir, "embeddings"), dim = 64, threshold = 0.95)
+    Similarity.embeddingNearDups(t(s, dir, "embeddings"), dim = 64, threshold = 0.35, nBits = 4)
 
   /** Rolling-hash fingerprints: whole-doc polynomial hash + winnowing-style
     * min-window hash (16-char windows).

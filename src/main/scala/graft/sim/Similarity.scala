@@ -67,7 +67,7 @@ object Similarity {
     * md5(bit, dim) — no RNG state, same planes every run/engine.
     * Values in [-0.5, 0.5).
     */
-  private def hyperplane(bit: Int, dim: Int): Double = {
+  private[graft] def hyperplane(bit: Int, dim: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$bit:$dim".getBytes("UTF-8")).take(7)
     val v = hex.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))

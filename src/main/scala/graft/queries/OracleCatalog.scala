@@ -332,6 +332,50 @@ object OracleCatalog {
          |SELECT doc_id, n_tokens, quality FROM e
          |WHERE doc_id NOT IN (SELECT doc_b FROM pv)""".stripMargin,
 
+    "q24_simhash" -> {
+      // per token: hi = md5 hex chars 1-8 (simhash bits 32-63), lo = 9-16
+      // (bits 0-31), folded nibble-by-nibble; each bit votes ±1; bit 63
+      // materializes as BIGINT min to dodge signed overflow.
+      def hexFold(start: Int) =
+        s"list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT) " +
+          s"for i in generate_series($start, ${start + 7})], (a, x) -> a * 16 + x)"
+      val votes = (0 until 64).map { b =>
+        val half = if (b < 32) s"lo >> $b" else s"hi >> ${b - 32}"
+        s"sum(CASE WHEN (($half) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+      }.mkString(",\n  ")
+      val assemble = (0 until 63).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ") + " + (CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
+      s"""WITH tok AS (SELECT doc_id, unnest($toksLower) AS t FROM documents),
+         |h AS (SELECT doc_id, ${hexFold(1)} AS hi, ${hexFold(9)} AS lo FROM tok),
+         |v AS (SELECT doc_id,
+         |  $votes
+         | FROM h GROUP BY doc_id)
+         |SELECT doc_id, $assemble AS simhash FROM v""".stripMargin
+    },
+
+    "q25_lsh_ann_topk" -> {
+      // same probe-mask set Similarity.lshTopK builds for nBits=6, probeFlips=2
+      val n = 6
+      val masks: Seq[Long] = Seq(0L) ++ (0 until n).map(i => 1L << i) ++
+        (for { i <- 0 until n; j <- (i + 1) until n } yield (1L << i) | (1L << j))
+      val dotPV = "list_reduce([p.qv[i] * en.v[i] for i in generate_series(1, len(p.qv))], (acc, x) -> acc + x)"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  ${lshBucketSql("embedding", 64, n)} AS bucket FROM embeddings),
+         |en AS (SELECT vec_id, v, bucket, sqrt($dotSelf) AS nrm FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket AS qbucket FROM en WHERE vec_id < 10),
+         |p AS (SELECT query_id, qv, qnrm, xor(qbucket, m) AS bucket
+         |      FROM q CROSS JOIN unnest([${masks.mkString(", ")}]) AS u(m)),
+         |scored AS (SELECT query_id, vec_id,
+         |    max(round(CASE WHEN (p.qnrm * en.nrm) = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE $dotPV / (p.qnrm * en.nrm) END, 4)) AS score
+         |  FROM p JOIN en USING (bucket)
+         |  WHERE p.query_id != en.vec_id
+         |  GROUP BY query_id, vec_id)
+         |SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    },
+
     "q26_embedding_neardups" -> {
       val dotAB = "list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))], (acc, x) -> acc + x)"
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -343,6 +387,30 @@ object OracleCatalog {
          |      ELSE $dotAB / (a.nrm * b.nrm) END, 4) AS score
          |  FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE score >= 0.35""".stripMargin
+    },
+
+    "q30_ivf_ann_topk" -> {
+      def dotOf(a: String, b: String) =
+        s"list_reduce([$a[i] * $b[i] for i in generate_series(1, len($a))], (acc, x) -> acc + x)"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, sqrt($dotSelf) AS nrm FROM e),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id % 50 = 0),
+         |sims AS (SELECT en.vec_id, en.v, en.nrm, cent.cid,
+         |    CASE WHEN (en.nrm * cent.cnrm) = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE ${dotOf("en.v", "cent.cv")} / (en.nrm * cent.cnrm) END AS sim
+         |  FROM en CROSS JOIN cent),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk FROM sims),
+         |corp AS (SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rk = 1),
+         |qc AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid AS cell FROM ranked WHERE vec_id < 10 AND rk <= 4),
+         |scored AS (SELECT query_id, corp.vec_id,
+         |    max(round(CASE WHEN (qc.qnrm * corp.nrm) = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE ${dotOf("qc.qv", "corp.v")} / (qc.qnrm * corp.nrm) END, 4)) AS score
+         |  FROM corp JOIN qc USING (cell)
+         |  WHERE qc.query_id != corp.vec_id
+         |  GROUP BY query_id, corp.vec_id)
+         |SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
     },
 
     "q33_rollup" ->

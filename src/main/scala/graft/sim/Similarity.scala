@@ -124,6 +124,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Distributed Lloyd k-means over embedding vectors (cosine geometry on
+    * the unit sphere ⇒ assign by max cosine; centroid = element-wise mean).
+    * Deterministic: stride-sampled init, iteration count fixed, ties broken
+    * by centroid id. Each iteration = one broadcast-assign pass + one
+    * (cell, dim)-grouped mean — shuffle carries k×dim cells, not the
+    * corpus. persist() per iteration cuts the growing lineage.
+    *
+    * Returns (cid, cv: array<double>) for use as [[ivfTopK]] centroids.
+    */
+  def kmeansCentroids(corpus: DataFrame, dim: Int, k: Int, iters: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c.count()
+    val stride = math.max(1L, n / k)
+    var centroids = c.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 0 until iters) {
+      val assigned = c.join(broadcast(centroids))
+        .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
+        .filter(col("rk") === 1)
+      val next = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("cv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before unpersisting the previous generation
+      centroids.unpersist()
+      centroids = next
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN — the clustered-data scale path beside
     * hyperplane LSH. Centroids are a deterministic corpus sample (every
     * `centroidStride`-th vector — a production build would k-means them);
@@ -134,10 +172,12 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidStride: Int = 50, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroidsOverride: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    val centroids = c.filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val centroids = centroidsOverride.getOrElse(
+      c.filter(col("vec_id") % centroidStride === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
     val corpusCells = c
       .join(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("sim"))

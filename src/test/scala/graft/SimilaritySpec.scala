@@ -66,6 +66,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("kmeansCentroids: iterations improve (or hold) mean assignment similarity") {
+    val e = Tables.table(spark, sf, "embeddings")
+    def meanSim(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val c = e.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      c.join(broadcast(centroids))
+        .select(col("vec_id"), Similarity.cosine(col("v"), col("cv")).as("sim"))
+        .groupBy("vec_id").agg(max("sim").as("best"))
+        .agg(avg("best")).head().getDouble(0)
+    }
+    val init    = Similarity.kmeansCentroids(e, 64, k = 10, iters = 0)
+    val trained = Similarity.kmeansCentroids(e, 64, k = 10, iters = 3)
+    val (s0, s3) = (meanSim(init), meanSim(trained))
+    assert(s3 >= s0 - 1e-9, s"k-means must not degrade assignment similarity: $s0 -> $s3")
+    assert(trained.count() <= 10 && trained.count() > 0)
+  }
+
+  test("ivfTopK with k-means centroids returns k ranked neighbors per query") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val cents = Similarity.kmeansCentroids(e, 64, k = 10, iters = 2)
+    val out = Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), 5,
+      centroidsOverride = Some(cents)).collect()
+    assert(out.length == 15)
+    assert(out.map(r => (r.getLong(0), r.getInt(3))).toSet.size == 15, "distinct (query, rank)")
+  }
+
   test("lshSignature is deterministic across evaluations") {
     val e = Tables.table(spark, sf, "embeddings").limit(20)
     val s1 = e.select(col("vec_id"), Similarity.lshSignature(col("embedding"), 64, 8).as("sig"))

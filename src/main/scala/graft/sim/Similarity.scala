@@ -7,17 +7,21 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`), per the BASELINE.json north star.
   *
-  * Two paths:
+  * Three paths:
   *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
   *     Queries × corpus cross product; only viable when |queries| is small
   *     or the corpus is pre-filtered. The query side broadcasts.
   *   - [[lshTopK]]: random-hyperplane LSH (sign sketch). Corpus is bucketed
-  *     by an nBits-bit signature; each query probes only its own bucket and
-  *     its single-bit-flip neighbors. Cost ≈ |corpus|/2^nBits per query —
-  *     the 100 TB scale path (an IVF analog with hyperplane cells).
+  *     by an nBits-bit signature; each query probes its own cell plus all
+  *     cells within `probeFlips` bit flips. Cost ≈ |corpus|·probes/2^nBits
+  *     per query.
+  *   - [[ivfTopK]]: inverted-file cells around centroids (stride-sampled,
+  *     or trained with [[kmeansCentroids]]); queries probe the nProbe
+  *     nearest cells. The clustered-data 100 TB scale path.
   *
   * All vector math uses zip_with + aggregate (left-to-right fold, no UDF):
-  * codegen'd, deterministic order ⇒ reproducible across runs and engines.
+  * deterministic order ⇒ reproducible across runs and engines (the DuckDB
+  * oracle mirrors these folds digit-for-digit).
   */
 object Similarity {
 

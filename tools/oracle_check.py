@@ -63,7 +63,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {err}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(ours)} rows)")
+            a, b = canon(ours), canon(theirs)
+            dt = [f"{c}:{a[c].dtype}/{b[c].dtype}" for c in a.columns
+                  if str(a[c].dtype) != str(b[c].dtype)]
+            note = f"  [dtype diff: {', '.join(dt)}]" if dt else ""
+            print(f"PASS {name} ({len(ours)} rows){note}")
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail; rows-only (no oracle): "
           f"{sorted(set(d.split('/')[-1] for d in glob.glob(out_dir + '/q*')) - set(oracle))}")

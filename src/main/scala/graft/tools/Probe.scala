@@ -11,15 +11,13 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    for (q <- Seq("q01_scan_filter_project", "q06_fct_line_value", "q07_report_customer", "q09_report_year")) {
-      println(s"===== $q =====")
-      println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).linesIterator
-        .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters") || l.contains("ReadSchema") ||
-                     l.contains("Join") || l.contains("Exchange") || l.contains("TakeOrdered") ||
-                     l.contains("HashAggregate") || l.contains("(") && l.length < 80)
-        .take(40).mkString("\n"))
+    spark.range(100000).selectExpr("md5(cast(id as string)) h").groupBy("h").count().count()
+    for (q <- Seq("q09_report_year", "q07_report_customer"); run <- 1 to 3) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, dir).count()
+      println(f"[probe] $q run$run time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    println(s"[probe] entry rows=${graft.SparkEntry.entry(spark).count()}")
     spark.stop()
   }
 }

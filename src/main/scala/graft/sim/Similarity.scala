@@ -39,6 +39,15 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Cosine from a precomputed pair dot + per-vector norms. Inside pairwise
+    * joins ALWAYS use this with norms computed once per vector — `cosine()`
+    * re-derives both norms per pair, an O(|bucket|) blowup per row. Value
+    * is bit-identical (same folds over the same arrays), so the DuckDB
+    * oracle (which also precomputes norms) still matches.
+    */
+  def cosineFromNorms(d: Column, na: Column, nb: Column): Column =
+    when((na * nb) === 0, lit(0.0)).otherwise(d / (na * nb))
+
   /** All-pairs cosine scores for a (small) query set against the corpus.
     * Returns (query_id, vec_id, score). The queries side is broadcast —
     * the corpus is scanned once, never shuffled.
@@ -107,7 +116,8 @@ object Similarity {
               nBits: Int = 6, probeFlips: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"),
-      lshSignature(col(vecCol), dim, nBits).as("bucket"))
+        lshSignature(col(vecCol), dim, nBits).as("bucket"))
+      .withColumn("nrm", norm(col("v")))
     val masks: Seq[Long] = Seq(0L) ++
       (if (probeFlips >= 1) (0 until nBits).map(i => 1L << i) else Seq.empty) ++
       (if (probeFlips >= 2)
@@ -119,10 +129,12 @@ object Similarity {
     }
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
         lshSignature(col(vecCol), dim, nBits).as("qbucket"))
+      .withColumn("qnrm", norm(col("qv")))
       .withColumn("bucket", explode(array(probes: _*)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("score"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4).as("score"))
       .groupBy("query_id", "vec_id").agg(max("score").as("score")) // dedup multi-probe hits
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -147,8 +159,11 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 0 until iters) {
-      val assigned = c.join(broadcast(centroids))
-        .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("sim"))
+      val cents = centroids.withColumn("cnrm", norm(col("cv")))
+      val assigned = c.withColumn("nrm", norm(col("v")))
+        .join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          cosineFromNorms(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("sim"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
         .filter(col("rk") === 1)
@@ -179,25 +194,31 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               centroidsOverride: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
     val centroids = centroidsOverride.getOrElse(
-      c.filter(col("vec_id") % centroidStride === 0)
-        .select(col("vec_id").as("cid"), col("v").as("cv")))
+        c.filter(col("vec_id") % centroidStride === 0)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
+      .withColumn("cnrm", norm(col("cv")))
     val corpusCells = c
       .join(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("sim"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        cosineFromNorms(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("sim"))
       .withColumn("rk", row_number().over(Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
     val queryCells = q
       .join(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cid"),
+        cosineFromNorms(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")).as("sim"))
       .withColumn("rk", row_number().over(Window.partitionBy("query_id").orderBy(desc("sim"), asc("cid"))))
       .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cid").as("cell"))
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("score"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4).as("score"))
       .groupBy("query_id", "vec_id").agg(max("score").as("score"))
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -211,12 +232,14 @@ object Similarity {
                         nBits: Int = 8, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
-      lshSignature(col(vecCol), dim, nBits).as("bucket"))
-    val l = c.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val r = c.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+        lshSignature(col(vecCol), dim, nBits).as("bucket"))
+      .withColumn("nrm", norm(col("v")))
+    val l = c.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val r = c.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 4).as("score"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("score"))
       .filter(col("score") >= threshold)
       .distinct()
   }

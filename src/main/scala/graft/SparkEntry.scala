@@ -67,7 +67,9 @@ object SparkEntry {
     // beyond-reference relational breadth (oracle-checked)
     "q33_rollup"              -> (Q.rollupReport(_, _)),
     "q34_setops_having"       -> (Q.setOpsHaving(_, _)),
-    "q35_semi_anti"           -> (Q.semiAntiJoins(_, _))
+    "q35_semi_anti"           -> (Q.semiAntiJoins(_, _)),
+    "q36_percentiles"         -> (Q.percentiles(_, _)),
+    "q37_events_pivot"        -> (Q.eventsPivot(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

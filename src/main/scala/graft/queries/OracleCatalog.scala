@@ -436,6 +436,24 @@ object OracleCatalog {
         | WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |ORDER BY op_tag, o_orderkey""".stripMargin,
 
+    "q36_percentiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        | round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q37_events_pivot" -> {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val cols = types.flatMap { t =>
+        Seq(
+          s"count(CASE WHEN event_type = '$t' THEN 1 END) AS ${t}_n",
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS ${t}_val")
+      }.mkString(",\n ")
+      s"""SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+         | $cols
+         |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
+    },
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

@@ -288,6 +288,36 @@ object QueryCatalog {
       .orderBy("op_tag", "o_orderkey")
   }
 
+  /** Exact interpolated percentiles per group (median + p90). Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the linear-interpolation
+    * definition; rounded to 4 to absorb last-ulp interpolation order.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99"))
+      .orderBy("l_returnflag")
+
+  /** Static pivot: per event_type counts + value sums as columns, one row
+    * per user cohort. groupBy().pivot(values) plans as conditional
+    * aggregates — map-side partial, shuffle carries |cohorts| rows.
+    */
+  def eventsPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(s, dir)
+      .withColumn("cohort", (col("user_id") % 10).cast("long"))
+      .groupBy("cohort")
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("val"))
+      // pivot yields NULL (not 0) counts for absent (cohort, type) combos;
+      // align with the oracle's CASE-count semantics
+      .na.fill(0L, types.map(_ + "_n"))
+      .orderBy("cohort")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

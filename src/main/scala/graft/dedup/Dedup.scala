@@ -74,11 +74,6 @@ object Dedup {
     * hash each band to one bucket key. Docs sharing any (band, key) bucket
     * are near-dup candidates. Returns (band, band_key) pairs exploded —
     * |docs| × bands rows, the only thing that ever shuffles.
-    *
-    * Every minhash expression appears exactly ONCE in the band-key tree
-    * (no element_at into a shared signature array): Catalyst inlines a
-    * projected expression into each use site, so 16 element_at references
-    * into the signature would re-evaluate all 16 hashes 16× per row.
     */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
@@ -113,13 +108,13 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  /** Candidate near-dup pairs from LSH buckets. NOT a bucket self-join —
-    * that would evaluate the (expensive, interpreted-HOF) signature
-    * expression once per join side. Instead: one signature pass, one
-    * shuffle on (band, band_key), then in-bucket pair expansion with array
-    * ops. Cost ≈ |docs|·bands + Σ bucket², never |docs|².
-    */
-  /** @param maxBucket poison-bucket guard for huge corpora: buckets larger
+  /** Candidate near-dup pairs from LSH buckets. NOT a bucket self-join
+    * (which would evaluate the signature pipeline once per join side):
+    * one signature pass, one shuffle on (band, band_key), then in-bucket
+    * pair expansion with array ops. Cost ≈ |docs|·bands + Σ bucket²,
+    * never |docs|².
+    *
+    * @param maxBucket poison-bucket guard for huge corpora: buckets larger
     *   than this (boilerplate-heavy shingle profiles) are SKIPPED rather
     *   than expanded into O(bucket²) pairs. Default unlimited — exact LSH
     *   semantics, which is what the oracle checks; at 100 TB set it to a
@@ -177,11 +172,11 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union.cast("double"))
   }
 
-  /** SimHash-64: per token, md5 → first 16 hex chars → 64-bit int; each bit
-    * votes ±1; sign of the vote sum sets the output bit. Near-dup docs land
-    * within small Hamming distance. conv() parses hex; the bit loop unrolls
-    * into a codegen'd expression tree (64 aggregates over the token array —
-    * all inside one projection, no shuffle).
+  /** SimHash-64: per token, md5 → first 8 digest bytes → 64-bit int; each
+    * bit votes ±1; sign of the vote sum sets the output bit. Near-dup docs
+    * land within small Hamming distance. Implemented as the native
+    * [[graft.functions.SimHash64]] expression — one md5 pass per token with
+    * in-loop bit votes, a pure projection (no shuffle).
     */
   def simhash64(text: Column): Column =
     graft.functions.SimHash64.simhash64(TextOps.tokens(lower(text)))

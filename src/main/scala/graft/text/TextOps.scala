@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines (BASELINE.json
   * north star — beyond the reference's own surface). All pure Catalyst
-  * built-in compositions (split / transform / filter / aggregate higher-order
-  * functions) — no UDFs, so everything stays inside whole-stage codegen and
-  * scales linearly with no shuffle: each operator is a per-row projection.
+  * built-in compositions (split / transform / filter / aggregate) — no
+  * UDFs, no shuffle: each operator is a per-row projection that scales
+  * linearly. (Higher-order functions evaluate interpreted inside the
+  * surrounding codegen'd projection; where that became a measured
+  * bottleneck — MinHash, SimHash — a native expression replaces the
+  * composition, see graft.functions.)
   *
   * Engine-portability rule (for the DuckDB oracle): only constructs with an
   * exact DuckDB equivalent — md5 hex strings, regexp with explicit character

@@ -176,11 +176,15 @@ object QueryCatalog {
       TextOps.tokenCount(col("text")).as("n_tokens"),
       TextOps.qualityScore(col("text")).as("quality"))
     val q = scored.filter(col("quality") >= 0.5)
+    // e feeds three consumers (LSH banding, Jaccard-verification sets, the
+    // final anti-join) — persist so quality scoring + the dedup window run
+    // once, not three times
     val e = q
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .withColumn("keep", min(col("doc_id")).over(Window.partitionBy("fp")))
       .filter(col("doc_id") === col("keep"))
       .drop("fp", "keep")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearDups = Dedup.nearDupPairs(e, "doc_id", "text", shingleN = 3, threshold = 0.8)
       .select(col("doc_b"))
     e.join(nearDups, e("doc_id") === nearDups("doc_b"), "left_anti")

@@ -1,6 +1,15 @@
 package graft.tools
+
 import org.apache.spark.sql.SparkSession
-/** Scratch probe main for environment checks (not part of the library). */
+
+/** Diagnostic main (not part of the library surface).
+  *
+  *   runMain graft.tools.Probe                 — entry smoke + per-query timings (sf0.1)
+  *   runMain graft.tools.Probe <sfDir>         — same on another SF
+  *   runMain graft.tools.Probe <sfDir> <query> — time one query 3× (first-run
+  *                                               vs steady-state split) and
+  *                                               print its formatted plan skeleton
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -10,14 +19,29 @@ object Probe {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // warmup so first measurement isn't session startup
     spark.range(100000).selectExpr("md5(cast(id as string)) h").groupBy("h").count().count()
-    for (q <- Seq("q09_report_year", "q07_report_customer"); run <- 1 to 3) {
+
+    def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, dir).count()
-      println(f"[probe] $q run$run time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val n  = f
+      println(f"[probe] $label rows=$n%d time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    println(s"[probe] entry rows=${graft.SparkEntry.entry(spark).count()}")
+
+    args.drop(1).headOption match {
+      case Some(q) =>
+        val fn = graft.SparkEntry.queries(q)
+        for (run <- 1 to 3) time(s"$q run$run")(fn(spark, dir).count())
+        println(fn(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode).linesIterator
+          .takeWhile(_.nonEmpty).mkString("\n"))
+      case None =>
+        println(s"[probe] entry rows=${graft.SparkEntry.entry(spark).count()}")
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          time(name)(fn(spark, dir).count())
+        }
+    }
     spark.stop()
   }
 }

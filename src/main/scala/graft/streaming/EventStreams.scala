@@ -83,6 +83,18 @@ object EventStreams {
   def runToMemory(df: DataFrame, queryName: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(queryName).outputMode(mode).start()
 
+  /** Streaming exact dedup: drop repeated keys while their event time is
+    * within the watermark — the unbounded-stream analog of
+    * Dedup.exactDedup. State holds only keys newer than the watermark, so
+    * it is bounded by the churn inside the lateness window, not by stream
+    * length (the property that makes dedup viable on an endless stream).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Streaming quality gate — the Soda-gate analog for streams
     * (check_function.py:22-23 semantics per micro-batch): each batch is
     * evaluated against the checks; a failing batch throws, failing the

@@ -75,6 +75,25 @@ class StreamingSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("dedupStream drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams.dedupStream(source.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(
+        Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0), // same batch dup
+        Event(2, ts("2024-01-01 00:00:02"), 1, "view", 2.0))
+      q.processAllAvailable()
+      source.addData(Event(1, ts("2024-01-01 00:00:03"), 1, "click", 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_test").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L), s"expected deduped ids, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize maintains per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]

@@ -19,9 +19,14 @@ object Bench {
     // query doesn't absorb session startup (~5-7s otherwise)
     spark.range(100000).selectExpr("md5(cast(id as string)) h").groupBy("h").count().count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+    // Time a materializing action: the noop sink consumes every output row
+    // in full, so projection work is NOT column-pruned away the way it is
+    // under count() (Catalyst prunes all columns for a bare count, turning
+    // projection-heavy queries into near-empty scans — the r1 bench lie).
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

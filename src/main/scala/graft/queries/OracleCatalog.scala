@@ -123,6 +123,12 @@ object OracleCatalog {
   // ---- vector fragments ----------------------------------------------------
 
   private val dotSelf  = "list_reduce([v[i] * v[i] for i in generate_series(1, len(v))], (acc, x) -> acc + x)"
+
+  /** Portable 4-digit score rounding — mirrors Similarity.roundScore
+    * (`floor(x*1e4+0.5)/1e4`): the same IEEE ops in both engines, so the
+    * rounded doubles are bit-identical. Plain round() is engine-divergent
+    * on shortest-repr ties (the q21 r1 mismatch). */
+  private def round4(x: String): String = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
   private val embCte =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |en AS (SELECT vec_id, v, sqrt($dotSelf) AS nrm FROM e),
@@ -130,8 +136,7 @@ object OracleCatalog {
   private val dotQV = "list_reduce([qv[i] * v[i] for i in generate_series(1, len(qv))], (acc, x) -> acc + x)"
   private val cosScores =
     s"""SELECT query_id, vec_id,
-       | round(CASE WHEN (qnrm * nrm) = 0 THEN CAST(0.0 AS DOUBLE)
-       |   ELSE $dotQV / (qnrm * nrm) END, 4) AS score
+       | ${round4(s"CASE WHEN (qnrm * nrm) = 0 THEN CAST(0.0 AS DOUBLE) ELSE $dotQV / (qnrm * nrm) END")} AS score
        |FROM en CROSS JOIN q WHERE query_id != vec_id""".stripMargin
 
   /** Hyperplane LSH bucket expression with the SAME deterministic
@@ -366,8 +371,7 @@ object OracleCatalog {
          |p AS (SELECT query_id, qv, qnrm, xor(qbucket, m) AS bucket
          |      FROM q CROSS JOIN unnest([${masks.mkString(", ")}]) AS u(m)),
          |scored AS (SELECT query_id, vec_id,
-         |    max(round(CASE WHEN (p.qnrm * en.nrm) = 0 THEN CAST(0.0 AS DOUBLE)
-         |      ELSE $dotPV / (p.qnrm * en.nrm) END, 4)) AS score
+         |    max(${round4(s"CASE WHEN (p.qnrm * en.nrm) = 0 THEN CAST(0.0 AS DOUBLE) ELSE $dotPV / (p.qnrm * en.nrm) END")}) AS score
          |  FROM p JOIN en USING (bucket)
          |  WHERE p.query_id != en.vec_id
          |  GROUP BY query_id, vec_id)
@@ -383,8 +387,7 @@ object OracleCatalog {
          |en AS (SELECT vec_id, v, bucket, sqrt($dotSelf) AS nrm FROM e)
          |SELECT DISTINCT id_a, id_b, score FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    round(CASE WHEN (a.nrm * b.nrm) = 0 THEN CAST(0.0 AS DOUBLE)
-         |      ELSE $dotAB / (a.nrm * b.nrm) END, 4) AS score
+         |    ${round4(s"CASE WHEN (a.nrm * b.nrm) = 0 THEN CAST(0.0 AS DOUBLE) ELSE $dotAB / (a.nrm * b.nrm) END")} AS score
          |  FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE score >= 0.35""".stripMargin
     },
@@ -403,8 +406,7 @@ object OracleCatalog {
          |corp AS (SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rk = 1),
          |qc AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid AS cell FROM ranked WHERE vec_id < 10 AND rk <= 4),
          |scored AS (SELECT query_id, corp.vec_id,
-         |    max(round(CASE WHEN (qc.qnrm * corp.nrm) = 0 THEN CAST(0.0 AS DOUBLE)
-         |      ELSE ${dotOf("qc.qv", "corp.v")} / (qc.qnrm * corp.nrm) END, 4)) AS score
+         |    max(${round4(s"CASE WHEN (qc.qnrm * corp.nrm) = 0 THEN CAST(0.0 AS DOUBLE) ELSE ${dotOf("qc.qv", "corp.v")} / (qc.qnrm * corp.nrm) END")}) AS score
          |  FROM corp JOIN qc USING (cell)
          |  WHERE qc.query_id != corp.vec_id
          |  GROUP BY query_id, corp.vec_id)

@@ -48,18 +48,30 @@ object Similarity {
   def cosineFromNorms(d: Column, na: Column, nb: Column): Column =
     when((na * nb) === 0, lit(0.0)).otherwise(d / (na * nb))
 
+  /** Portable 4-digit score rounding: `floor(x*1e4 + 0.5) / 1e4` — the same
+    * three IEEE-double ops in Spark and DuckDB, so rounded scores are
+    * bit-identical across engines. Spark's `round(double, 4)` is NOT
+    * portable: it rounds the shortest decimal repr (BigDecimal.valueOf)
+    * HALF_UP, while DuckDB scales-then-rounds in FP — they disagree
+    * whenever a score's shortest repr ends in '5' at the 5th digit
+    * (the q21 r1 hash mismatch).
+    */
+  def roundScore(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+
   /** All-pairs cosine scores for a (small) query set against the corpus.
     * Returns (query_id, vec_id, score). The queries side is broadcast —
-    * the corpus is scanned once, never shuffled.
+    * the corpus is scanned once, never shuffled. Norms are precomputed
+    * below the join (once per vector, not once per pair).
     */
   def scoreAll(corpus: DataFrame, queries: DataFrame,
-               idCol: String = "vec_id", vecCol: String = "embedding",
-               scoreScale: Int = 4): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
     c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-              round(cosine(col("qv"), col("v")), scoreScale).as("score"))
+              roundScore(cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm"))).as("score"))
   }
 
   /** Exact top-k: rank within each query with a deterministic tie-break on
@@ -134,7 +146,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4).as("score"))
+        roundScore(cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm"))).as("score"))
       .groupBy("query_id", "vec_id").agg(max("score").as("score")) // dedup multi-probe hits
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -218,7 +230,7 @@ object Similarity {
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4).as("score"))
+        roundScore(cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm"))).as("score"))
       .groupBy("query_id", "vec_id").agg(max("score").as("score"))
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -239,7 +251,7 @@ object Similarity {
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("score"))
+        roundScore(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb"))).as("score"))
       .filter(col("score") >= threshold)
       .distinct()
   }

@@ -415,6 +415,40 @@ object OracleCatalog {
          |WHERE rank <= 5""".stripMargin
     },
 
+    // media payload is encode(text) of documents (Multimodal.mediaFromDocuments)
+    // — byte math is mirrorable: n_bytes via octet_length, byte_mean via a
+    // hex-fold over the blob (integer byte sum is FP-exact, so the single
+    // division matches Spark bit-for-bit; no rounding needed). entropy and
+    // the feature vector (log/float math, no cross-engine bit contract)
+    // stay out of the query — ScalaTest-covered.
+    "q27_media_features" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |   encode(text) AS content FROM documents),
+        |h AS (SELECT media_id, modality, octet_length(content) AS n_bytes, hex(content) AS hx FROM m)
+        |SELECT media_id, modality, n_bytes,
+        |  CASE WHEN n_bytes = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+        |    list_reduce([CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1 AS DOUBLE) * 16
+        |                 + CAST(strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS DOUBLE)
+        |                 for i in generate_series(1, CAST(n_bytes AS INT))], (a, x) -> a + x) / n_bytes END AS byte_mean
+        |FROM h""".stripMargin,
+
+    // frame geometry mirrors Multimodal.sampleFrames (frameBytes=1024,
+    // stride=4): n_frames = max(1, trunc(n_bytes/4096)), frame k covers
+    // bytes [k*4096+1, k*4096+1024] ⇒ frame_bytes = clamp(n_bytes - k*4096)
+    // — same value substr-then-length produces, without blob slicing.
+    "q28_media_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |   octet_length(encode(text)) AS n_bytes FROM documents),
+        |f AS (SELECT media_id, modality, n_bytes,
+        |   greatest(1, CAST(floor(n_bytes / 4096.0) AS INT)) AS n_frames FROM m),
+        |x AS (SELECT media_id, modality, n_bytes,
+        |   CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx FROM f)
+        |SELECT media_id, modality, frame_idx,
+        |  CAST(greatest(0, least(1024, n_bytes - frame_idx * 4096)) AS INT) AS frame_bytes
+        |FROM x""".stripMargin,
+
     "q33_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          | ${sumMoney("l_quantity")} AS sum_qty

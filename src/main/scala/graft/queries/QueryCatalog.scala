@@ -234,12 +234,16 @@ object QueryCatalog {
 
   // ---- extensions: multimodal plumbing (rows-only: mapPartitions) ---------
 
+  /** Oracle-mirrorable slice of the media-feature extraction: n_bytes and
+    * byte_mean are exact (integer byte sum / count — one FP division, bit-
+    * identical across engines, no rounding needed). byte_entropy and the
+    * feature vector involve log/float math with no cross-engine bit
+    * contract — they stay ScalaTest-covered (MultimodalSpec).
+    */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
     Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("modality"), col("n_bytes"),
-              round(col("byte_mean"), 4).as("byte_mean"),
-              round(col("byte_entropy"), 4).as("byte_entropy"))
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("byte_mean"))
   }
 
   def mediaFrames(s: SparkSession, dir: String): DataFrame =

@@ -23,7 +23,11 @@ object Bench {
     // in full, so projection work is NOT column-pruned away the way it is
     // under count() (Catalyst prunes all columns for a bare count, turning
     // projection-heavy queries into near-empty scans — the r1 bench lie).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted (q01..q37) so shared-materialization cost lands on the query
+    // that owns it: q02-q05 fill their dim caches, q06 fills the fact, the
+    // report queries then read the cache — not on whichever star consumer
+    // HashMap iteration happens to put first.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
@@ -31,7 +35,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

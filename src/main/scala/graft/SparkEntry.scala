@@ -27,11 +27,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // parity: reference operator inventory
     "q01_scan_filter_project" -> (Q.scanFilterProject(_, _)),
-    "q02_dim_customer"        -> (Star.dimCustomer(_, _)),
-    "q03_dim_datetime"        -> (Star.dimDatetime(_, _)),
-    "q04_dim_product"         -> (Star.dimProduct(_, _)),
-    "q05_dim_invoice"         -> (Star.dimInvoice(_, _)),
-    "q06_fct_line_value"      -> (Star.fctLineValue(_, _)),
+    // dims/fact read the session-cached materialization (Star.build) —
+    // the dbt `materialized: table` analog all star consumers share
+    "q02_dim_customer"        -> ((s, d) => Star.build(s, d).dimCustomer),
+    "q03_dim_datetime"        -> ((s, d) => Star.build(s, d).dimDatetime),
+    "q04_dim_product"         -> ((s, d) => Star.build(s, d).dimProduct),
+    "q05_dim_invoice"         -> ((s, d) => Star.build(s, d).dimInvoice),
+    "q06_fct_line_value"      -> ((s, d) => Star.build(s, d).fct),
     "q07_report_customer"     -> (Reports.customerInvoices(_, _)),
     "q08_report_product"      -> (Reports.productInvoices(_, _)),
     "q09_report_year"         -> (Reports.yearInvoices(_, _)),

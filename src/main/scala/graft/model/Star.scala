@@ -21,6 +21,47 @@ import graft.io.Tables.table
   */
 object Star {
 
+  /** The materialized star: all four dims + the fact, persisted. The Spark
+    * analog of the reference's dbt `materialized: table` layer (include/dbt/
+    * dbt_project.yml:5-7) — downstream reports read the materialization, not
+    * the raw-table lineage. One session-level build replaces the per-query
+    * rebuild (+ Catalyst/Janino recompile) of near-identical subtrees that
+    * dominated the r1 driver bench (q08 21.9s first-run).
+    */
+  final case class StarSchema(dimCustomer: DataFrame, dimDatetime: DataFrame,
+                              dimProduct: DataFrame, dimInvoice: DataFrame,
+                              fct: DataFrame)
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), StarSchema]
+
+  /** Build-or-reuse the persisted star for (session, dir). persist() is
+    * lazy: each frame materializes on its first consuming action, so a
+    * caller touching only one dim never pays for the others, and each
+    * frame's one-time fill cost lands on the query that owns it (the dims
+    * on q02-q05, the fact on q06; the reports then read the cache).
+    * MEMORY_AND_DISK because the fact can exceed executor memory at scale —
+    * at 100 TB the equivalent step writes the fact to bucketed parquet
+    * (Tables.overwritePartitioned) instead of caching it.
+    */
+  def build(spark: SparkSession, sfDir: String): StarSchema =
+    cache.getOrElseUpdate((spark, sfDir), {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val dc = dimCustomer(spark, sfDir).persist(lvl)
+      val dd = dimDatetime(spark, sfDir).persist(lvl)
+      val dp = dimProduct(spark, sfDir).persist(lvl)
+      val di = dimInvoice(spark, sfDir).persist(lvl)
+      val f  = fctFromDims(spark, sfDir, di, dp, dd).persist(lvl)
+      StarSchema(dc, dd, dp, di, f)
+    })
+
+  /** Drop the cached star for (session, dir) and unpersist its frames. */
+  def invalidate(spark: SparkSession, sfDir: String): Unit =
+    cache.remove((spark, sfDir)).foreach { s =>
+      Seq(s.dimCustomer, s.dimDatetime, s.dimProduct, s.dimInvoice, s.fct)
+        .foreach(_.unpersist())
+    }
+
   /** dim_customer (reference: include/dbt/models/transform/dim_customer.sql:1-13):
     * DISTINCT + not-null key filter + surrogate key + LEFT JOIN to the
     * country lookup. Here: customer ⟕ nation ⟕ region (J1 analog — the
@@ -122,7 +163,13 @@ object Star {
     * warehouse scale both sides would be bucketed on that key to kill the
     * shuffle entirely (see Tables.overwritePartitioned).
     */
-  def fctLineValue(spark: SparkSession, sfDir: String): DataFrame = {
+  def fctLineValue(spark: SparkSession, sfDir: String): DataFrame =
+    fctFromDims(spark, sfDir,
+      dimInvoice(spark, sfDir), dimProduct(spark, sfDir), dimDatetime(spark, sfDir))
+
+  /** Fact build over prebuilt (possibly persisted — see [[build]]) dims. */
+  private def fctFromDims(spark: SparkSession, sfDir: String,
+                          dimI: DataFrame, dimP: DataFrame, dimD: DataFrame): DataFrame = {
     val lineitem = table(spark, sfDir, "lineitem")
     // Surrogate keys are computed at DIM cardinality and acquired by the
     // fact via joins — never recomputed per fact row (md5×3 over the full
@@ -133,11 +180,11 @@ object Star {
     //   dim_product join  ⇒ drops lines of products with price ≤ 0
     //   dim_datetime join ⇒ date-key membership (keys derive from the same
     //                       orders, so it's a cheap broadcast no-op filter)
-    val invKeyed = dimInvoice(spark, sfDir)
+    val invKeyed = dimI
       .select(col("order_id"), col("invoice_key"),
               surrogateKey(col("order_date")).as("date_key")) // same md5(formatted ts) as dim_datetime
-    val prodKeyed = dimProduct(spark, sfDir).select("product_key", "stock_code")
-    val dimDtKeys = dimDatetime(spark, sfDir).select("date_key")
+    val prodKeyed = dimP.select("product_key", "stock_code")
+    val dimDtKeys = dimD.select("date_key")
 
     lineitem
       .filter(col("l_quantity") > 0) // P4 (fct_invoice_line_value.sql:9)

@@ -382,8 +382,17 @@ object OracleCatalog {
 
     "q26_embedding_neardups" -> {
       val dotAB = "list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))], (acc, x) -> acc + x)"
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |  ${lshBucketSql("embedding", 64, 4)} AS bucket FROM embeddings),
+      // Similarity.deriveNBits as an integer CASE chain: nBits is the
+      // smallest b in [4,16] with count <= 32·2^b; the 16-plane signature
+      // masked to the low nBits equals the nBits-plane signature (planes
+      // are index-stable), so one serialized plane set covers every width.
+      val maskCase = (4 until 16)
+        .map(b => s"WHEN n <= ${32L << b} THEN ${(1L << b) - 1}")
+        .mkString("CASE ", " ", s" ELSE ${(1L << 16) - 1} END")
+      s"""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+         |nb AS (SELECT $maskCase AS mask FROM cnt),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  (${lshBucketSql("embedding", 64, 16)}) & (SELECT mask FROM nb) AS bucket FROM embeddings),
          |en AS (SELECT vec_id, v, bucket, sqrt($dotSelf) AS nrm FROM e)
          |SELECT DISTINCT id_a, id_b, score FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

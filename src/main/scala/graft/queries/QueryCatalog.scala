@@ -213,10 +213,12 @@ object QueryCatalog {
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5)
   }
 
-  /** Threshold/bits tuned to the synthetic corpus (max pairwise cosine
-    * ≈ 0.46): 0.35 with 4-bit cells yields a non-trivial pair set. */
+  /** Threshold tuned to the synthetic corpus (max pairwise cosine ≈ 0.46:
+    * 0.35 yields a non-trivial pair set); bucket width derived from corpus
+    * size (Similarity.deriveNBits — sf0.01→4 bits, sf0.1→8 bits), mirrored
+    * by the oracle's CASE chain over the same count. */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDups(t(s, dir, "embeddings"), dim = 64, threshold = 0.35, nBits = 4)
+    Similarity.embeddingNearDups(t(s, dir, "embeddings"), dim = 64, threshold = 0.35)
 
   /** Rolling-hash fingerprints: whole-doc polynomial hash + winnowing-style
     * min-window hash (16-char windows).
@@ -332,6 +334,7 @@ object QueryCatalog {
     * analog over the star schema, SQL-mirrored in the oracle.
     */
   def checksReport(s: SparkSession, dir: String): DataFrame = {
+    val star = Star.build(s, dir)
     // One aggregation pass per gated table (the CheckSuite design, §2.6):
     // each table's checks compute in a single agg row, exploded into
     // (check_name, metric, passed) rows. Both fact-level checks derive
@@ -348,12 +351,12 @@ object QueryCatalog {
       agg.select(explode(array(rows: _*)).as("c")).select(col("c.*"))
 
     val dimcChecks = explodeChecks(
-      Star.dimCustomer(s, dir).agg(dup("customer_key").as("m_dup"), missing("customer_key").as("m_miss")),
+      star.dimCustomer.agg(dup("customer_key").as("m_dup"), missing("customer_key").as("m_miss")),
       checkRow("dup_customer_key", col("m_dup"), col("m_dup") === 0.0),
       checkRow("missing_customer_key", col("m_miss"), col("m_miss") === 0.0))
 
     val dimdChecks = explodeChecks(
-      Star.dimDatetime(s, dir).agg(
+      star.dimDatetime.agg(
         dup("date_key").as("m_dup"),
         coalesce(sum(when(col("weekday") < 1 || col("weekday") > 7, 1L).otherwise(0L)), lit(0L))
           .cast("double").as("m_inv")),
@@ -361,19 +364,19 @@ object QueryCatalog {
       checkRow("invalid_weekday", col("m_inv"), col("m_inv") === 0.0))
 
     val dimpChecks = explodeChecks(
-      Star.dimProduct(s, dir).agg(dup("product_key").as("m_dup"), min(col("price")).cast("double").as("m_min")),
+      star.dimProduct.agg(dup("product_key").as("m_dup"), min(col("price")).cast("double").as("m_min")),
       checkRow("dup_product_key", col("m_dup"), col("m_dup") === 0.0),
       checkRow("min_price", col("m_min"), col("m_min") > 0.0))
 
     val dimiChecks = explodeChecks(
-      Star.dimInvoice(s, dir).agg(dup("invoice_key").as("m_dup"), missing("invoice_key").as("m_miss")),
+      star.dimInvoice.agg(dup("invoice_key").as("m_dup"), missing("invoice_key").as("m_miss")),
       checkRow("dup_invoice_key", col("m_dup"), col("m_dup") === 0.0),
       checkRow("missing_invoice_key", col("m_miss"), col("m_miss") === 0.0))
 
     // single fact pass: per-(year,month) revenue sums + negative-row counts,
     // re-aggregated to the two fact-level metrics
-    val grouped = Star.fctLineValue(s, dir)
-      .join(broadcast(Star.dimDatetime(s, dir).select("date_key", "year", "month")), Seq("date_key"))
+    val grouped = star.fct
+      .join(broadcast(star.dimDatetime.select("date_key", "year", "month")), Seq("date_key"))
       .groupBy("year", "month")
       .agg(graft.ops.CoreOps.sumMoney(col("total_price")).as("total_revenue"),
            coalesce(sum(when(col("total_price") < 0, 1L).otherwise(0L)), lit(0L)).as("neg_count"))

@@ -23,9 +23,10 @@ object Reports {
     * "count vs countDistinct trap"). Tie-broken by nation for determinism.
     */
   def customerInvoices(spark: SparkSession, sfDir: String): DataFrame = {
-    val fct  = Star.fctLineValue(spark, sfDir)
-    val dimI = Star.dimInvoice(spark, sfDir).select("invoice_key", "customer_key")
-    val dimC = Star.dimCustomer(spark, sfDir).select("customer_key", "nation", "region")
+    val star = Star.build(spark, sfDir)
+    val fct  = star.fct
+    val dimI = star.dimInvoice.select("invoice_key", "customer_key")
+    val dimC = star.dimCustomer.select("customer_key", "nation", "region")
     // Pre-join the two dim-sized sides first (J4): the fact then takes ONE
     // join against the combined invoice→country map instead of two
     // fact-sized shuffles; AQE broadcasts the map when it's small.
@@ -48,8 +49,9 @@ object Reports {
     * top-K (A7) tie-broken by product_key.
     */
   def productInvoices(spark: SparkSession, sfDir: String): DataFrame = {
-    val fct  = Star.fctLineValue(spark, sfDir)
-    val dimP = Star.dimProduct(spark, sfDir).select("product_key", "stock_code", "description")
+    val star = Star.build(spark, sfDir)
+    val fct  = star.fct
+    val dimP = star.dimProduct.select("product_key", "stock_code", "description")
     val agg = fct
       .join(dimP, Seq("product_key"), "inner") // J5 (sql:6-7)
       .groupBy("product_key", "stock_code", "description") // A6 (sql:8)
@@ -64,8 +66,10 @@ object Reports {
     * two-phase expand/agg. Ordered by year, month (A8 — presentation sort,
     * no limit).
     */
-  def yearInvoices(spark: SparkSession, sfDir: String): DataFrame =
-    yearInvoicesFrom(Star.fctLineValue(spark, sfDir), Star.dimDatetime(spark, sfDir))
+  def yearInvoices(spark: SparkSession, sfDir: String): DataFrame = {
+    val star = Star.build(spark, sfDir)
+    yearInvoicesFrom(star.fct, star.dimDatetime)
+  }
 
   /** Same report over a prebuilt (possibly cached) fact — lets callers that
     * also consume the fact elsewhere (e.g. the checks suite) share one

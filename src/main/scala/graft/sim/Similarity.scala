@@ -236,15 +236,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Bucket-width dial for LSH bucketing: smallest nBits in
+    * [minBits, maxBits] with n / 2^nBits <= targetBucket, i.e. expected
+    * bucket size stays bounded as the corpus grows (in-bucket pair work is
+    * O(n·targetBucket), never O(n²)). Integer-only comparisons on purpose:
+    * a float log2 can land epsilon-above/below an integer differently per
+    * engine, so the DuckDB oracle derives the identical value from a CASE
+    * chain over the same thresholds.
+    */
+  def deriveNBits(n: Long, targetBucket: Long = 32,
+                  minBits: Int = 4, maxBits: Int = 16): Int = {
+    var b = minBits
+    while (b < maxBits && n > (targetBucket << b)) b += 1
+    b
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): bucket by
     * LSH signature, score within buckets only, threshold. Same
     * never-form-the-pair-space shape as Dedup.minhashCandidatePairs.
+    * When `nBits` is None the width comes from [[deriveNBits]] on the
+    * corpus count (a parquet metadata-only job), so the bucket count grows
+    * with the corpus instead of degenerating toward all-pairs.
     */
   def embeddingNearDups(corpus: DataFrame, dim: Int, threshold: Double,
-                        nBits: Int = 8, idCol: String = "vec_id",
+                        nBits: Option[Int] = None, targetBucket: Long = 32,
+                        idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
+    val bits = nBits.getOrElse(deriveNBits(corpus.count(), targetBucket))
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
-        lshSignature(col(vecCol), dim, nBits).as("bucket"))
+        lshSignature(col(vecCol), dim, bits).as("bucket"))
       .withColumn("nrm", norm(col("v")))
     val l = c.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val r = c.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))

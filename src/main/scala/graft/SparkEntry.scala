@@ -71,7 +71,10 @@ object SparkEntry {
     "q34_setops_having"       -> (Q.setOpsHaving(_, _)),
     "q35_semi_anti"           -> (Q.semiAntiJoins(_, _)),
     "q36_percentiles"         -> (Q.percentiles(_, _)),
-    "q37_events_pivot"        -> (Q.eventsPivot(_, _))
+    "q37_events_pivot"        -> (Q.eventsPivot(_, _)),
+    // S2→S5 CSV ingest end-to-end + scale-safe approx percentiles
+    "q38_csv_ingest"          -> (Q.csvIngest(_, _)),
+    "q39_approx_percentiles"  -> (Q.approxPercentiles(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

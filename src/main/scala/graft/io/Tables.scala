@@ -57,9 +57,12 @@ object Tables {
   }
 
   /** CSV write without index col (dags/online_retail.py:50 `index=False`
-    * — Spark has no index concept, so this is just header+overwrite). */
-  def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    * — Spark has no index concept, so this is just header+overwrite).
+    * Encoding parameterized so a writer can match the reader's ISO-8859-1
+    * for byte-exact round-trips. */
+  def writeCsv(df: DataFrame, path: String, encoding: String = "UTF-8"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("encoding", encoding).csv(path)
 
   /** Truncate-and-replace materialization — the reference's only write
     * semantics (WRITE_TRUNCATE at dags/online_retail.py:90, dbt

@@ -499,6 +499,22 @@ object OracleCatalog {
          |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
     },
 
+    // round-trip oracle: the landed CSV→parquet table must equal the source
+    // byte-for-byte, and the inference path must agree (literal true)
+    "q38_csv_ingest" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        | true AS inferred_ok
+        |FROM customer""".stripMargin,
+
+    // property-based oracle: the GK accuracy contract holds — the Spark side
+    // outputs VERIFIED booleans (rank interval vs target ± n/accuracy), the
+    // oracle the contract itself. Approx VALUES are engine-specific by
+    // design and never cross the boundary.
+    "q39_approx_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | true AS p50_ok, true AS p90_ok, true AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

@@ -328,6 +328,66 @@ object QueryCatalog {
       .orderBy("cohort")
   }
 
+  /** S2→S5→S11 end-to-end as a driver-checked query (the reference's
+    * primary entry path, dags/online_retail.py:36,83-93): customer →
+    * CSV (header, ISO-8859-1) → read back with the explicit schema AND
+    * with inference → truncate-and-replace parquet landing → read the
+    * landed table. `inferred_ok` certifies per row that the inference
+    * path (cast-aligned to the explicit schema) produced the identical
+    * row. Oracle: the original table + literal true — any CSV quoting/
+    * encoding/type drift breaks the hash.
+    */
+  def csvIngest(s: SparkSession, dir: String): DataFrame = {
+    val src  = t(s, dir, "customer")
+    val cols = src.schema.fieldNames.toSeq
+    val tmp  = s"${sys.props("user.dir")}/target/csv_ingest/${new java.io.File(dir).getName}"
+    Tables.writeCsv(src, s"$tmp/csv", encoding = "ISO-8859-1")
+    val explicit = Tables.readCsv(s, s"$tmp/csv", Some(src.schema))
+    Tables.overwriteParquet(explicit, s"$tmp/parquet")
+    val landed = s.read.parquet(s"$tmp/parquet")
+    val inferredAligned = Tables.readCsv(s, s"$tmp/csv", None)
+      .select(src.schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      .withColumn("inf_hit", lit(true))
+    landed.join(inferredAligned, cols, "left")
+      .select(cols.map(col) :+ coalesce(col("inf_hit"), lit(false)).as("inferred_ok"): _*)
+  }
+
+  /** Scale-safe percentiles: `approx_percentile` (Greenwald-Khanna summary,
+    * O(accuracy·log n) state per group) next to exact q36 (`percentile`
+    * buffers EVERY value per group — unbounded agg state, the 100 TB
+    * killer). Approx values differ engine-to-engine by design, so the
+    * driver-checked output is the verified accuracy CONTRACT, which is
+    * engine-exact: for each approx value, its true rank interval
+    * [count(<v)+1, count(<=v)] must intersect the target rank ±n/accuracy
+    * (±1 slop for the rank-definition boundary). The oracle asserts the
+    * same contract as literal `true` — a Spark-side violation flips a
+    * boolean and breaks the hash.
+    */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+    val acc = 100 // rank error <= n/100
+    val ap = li.groupBy("l_returnflag").agg(
+      expr(s"approx_percentile(l_quantity, 0.5, $acc)").as("a50"),
+      expr(s"approx_percentile(l_quantity, 0.9, $acc)").as("a90"),
+      expr(s"approx_percentile(l_extendedprice, 0.99, $acc)").as("a99"))
+    def okExpr(value: Column, approx: Column, p: Double): Column = {
+      val n   = count(lit(1))
+      val lo  = sum(when(value < approx, 1L).otherwise(0L))
+      val hi  = sum(when(value <= approx, 1L).otherwise(0L))
+      val eps = n.cast("double") / acc
+      val tgt = n.cast("double") * p
+      (lo.cast("double") + 1 <= tgt + eps + 1) && (hi.cast("double") >= tgt - eps - 1)
+    }
+    li.join(broadcast(ap), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        okExpr(col("l_quantity"), col("a50"), 0.5).as("p50_ok"),
+        okExpr(col("l_quantity"), col("a90"), 0.9).as("p90_ok"),
+        okExpr(col("l_extendedprice"), col("a99"), 0.99).as("p99_ok"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

@@ -115,27 +115,42 @@ object Dedup {
     * never |docs|².
     *
     * @param maxBucket poison-bucket guard for huge corpora: buckets larger
-    *   than this (boilerplate-heavy shingle profiles) are SKIPPED rather
-    *   than expanded into O(bucket²) pairs. Default unlimited — exact LSH
-    *   semantics, which is what the oracle checks; at 100 TB set it to a
-    *   few hundred (such buckets are near-certain template families better
-    *   handled by exact dedup on the band key). */
+    *   than this (boilerplate-heavy shingle profiles) are SALTED — split
+    *   into triangle blocks of bounded size (see below) so every pair is
+    *   still produced but no single task materializes an O(bucket²)
+    *   expansion or an O(bucket) array row. Default unlimited — one block
+    *   per bucket, which the oracle checks; at 100 TB set it to a few
+    *   hundred. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
                             maxBucket: Int = Int.MaxValue): DataFrame = {
     val b = lshBands(docs, idCol, textCol, shingleN, k, rowsPerBand)
-    // bucket size is checked BEFORE collect_list (count window over the
-    // same partitioning, exchange reused) so a poison bucket never
-    // materializes as one giant array row
-    val sized =
-      if (maxBucket == Int.MaxValue) b
-      else b
-        .withColumn("__bsize",
-          count(lit(1)).over(Window.partitionBy("band", "band_key")))
-        .filter(col("__bsize") <= maxBucket)
-        .drop("__bsize")
-    val buckets = sized
-      .groupBy("band", "band_key")
+    val blocked =
+      if (maxBucket == Int.MaxValue)
+        b.withColumn("__blk", lit(0L))
+      else {
+        // Triangle-block salting: docs in a bucket of size s get one of
+        // g = ceil(s / maxBucket) salts; a doc with salt x replicates into
+        // the g blocks {(min(x,t), max(x,t)) : t < g} — exactly the blocks
+        // covering pairs that involve salt x. Every pair (salts x, y) lands
+        // in block (min,max) together, so recall is preserved (capped ==
+        // uncapped after distinct); block population is ≤ 2·maxBucket docs.
+        // Replication is g rows per doc ≈ bucket/maxBucket — proportional
+        // to the inherent pair work, never the corpus. Bucket size comes
+        // from a count window over the SAME (band, band_key) partitioning
+        // (exchange reused), before any array materializes.
+        val g = ceil(
+          count(lit(1)).over(Window.partitionBy("band", "band_key"))
+            .cast("double") / maxBucket).cast("int")
+        b.withColumn("__g", g)
+          .withColumn("__salt", pmod(crc32(col("doc_id").cast("string")), col("__g")).cast("int"))
+          .withColumn("__blk", explode(transform(
+            sequence(lit(0), col("__g") - 1),
+            t => least(col("__salt"), t).cast("long") * 1000000 + greatest(col("__salt"), t))))
+          .drop("__g", "__salt")
+      }
+    val buckets = blocked
+      .groupBy("band", "band_key", "__blk")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     // ordered pairs (ids[i], ids[j]) for i < j; ids sorted ⇒ doc_a < doc_b

@@ -128,18 +128,21 @@ class TextDedupSpec extends SparkSpec {
     assert(one("short", TextOps.minWindowHash(col("text"), 16)) == jvmHash("short"))
   }
 
-  test("minhashCandidatePairs maxBucket cap drops poison buckets, keeps the rest") {
+  test("minhashCandidatePairs maxBucket salting preserves full recall on poison buckets") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
-    // 5 identical docs → a 5-doc bucket in every band; plus a distinct pair
-    val hot  = (1L to 5L).map(i => (i, base))
-    val pair = Seq((10L, "x y z w v u t s"), (11L, "x y z w v u t s"))
+    // 20 identical docs → a poison 20-doc bucket in every band; plus a pair
+    val hot  = (1L to 20L).map(i => (i, base))
+    val pair = Seq((100L, "x y z w v u t s"), (101L, "x y z w v u t s"))
     val df = (hot ++ pair).toDF("doc_id", "text")
     val uncapped = Dedup.minhashCandidatePairs(df, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(uncapped.size == 10 + 1) // C(5,2) hot pairs + the planted pair
-    val capped = Dedup.minhashCandidatePairs(df, "doc_id", "text", maxBucket = 3)
+    assert(uncapped.size == 190 + 1) // C(20,2) hot pairs + the planted pair
+    // triangle-block salting: capped result is IDENTICAL to uncapped —
+    // every pair of the poison bucket survives, no task sees >2·maxBucket
+    // docs (the old skip-based cap returned only the small bucket's pair)
+    val capped = Dedup.minhashCandidatePairs(df, "doc_id", "text", maxBucket = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(capped == Set((10L, 11L)), s"cap should keep only the small bucket, got $capped")
+    assert(capped == uncapped, s"salting must preserve recall: ${capped.size} vs ${uncapped.size}")
   }
 
   test("minhash_sig is SQL-callable after GraftFunctions.register") {

@@ -155,13 +155,16 @@ object Star {
     * Quantity×UnitPrice), surrogate keys, then INNER joins to all three
     * dims (J3) which transitively re-apply the dims' filters.
     *
-    * Scale: the fact is the big side and stays put. dim_datetime is bounded
-    * by distinct timestamps (calendar-sized ⇒ broadcast hint). dim_product /
-    * dim_invoice grow with the data (dim_invoice ≈ |orders|!) so they get NO
-    * hint — AQE broadcasts them at small SF and falls back to shuffle joins
-    * at 100 TB, where lineitem⋈orders co-partitions on the order key. At
-    * warehouse scale both sides would be bucketed on that key to kill the
-    * shuffle entirely (see Tables.overwritePartitioned).
+    * Scale: the fact is the big side and stays put. NO forced broadcast
+    * hints on any dim here — dim_product / dim_invoice grow with the data
+    * (dim_invoice ≈ |orders|!), and even dim_datetime is only
+    * calendar-bounded at day granularity: at second-granularity event
+    * scale it grows with distinct timestamps and a forced broadcast would
+    * OOM the driver. AQE broadcasts whichever sides are actually small at
+    * runtime and falls back to shuffle joins at 100 TB, where
+    * lineitem⋈orders co-partitions on the order key. At warehouse scale
+    * both sides would be bucketed on that key to kill the shuffle entirely
+    * (see Tables.overwritePartitioned).
     */
   def fctLineValue(spark: SparkSession, sfDir: String): DataFrame =
     fctFromDims(spark, sfDir,
@@ -190,7 +193,7 @@ object Star {
       .filter(col("l_quantity") > 0) // P4 (fct_invoice_line_value.sql:9)
       .join(invKeyed, col("l_orderkey") === col("order_id"), "inner")   // J2+J3 (fct.sql:19-22)
       .join(prodKeyed, col("l_partkey") === col("stock_code"), "inner") // J3
-      .join(broadcast(dimDtKeys), Seq("date_key"), "inner")             // J3
+      .join(dimDtKeys, Seq("date_key"), "inner")                        // J3
       .select(
         col("invoice_key"), // P7 keys inherited from dims (fct.sql:3-5)
         col("date_key"),

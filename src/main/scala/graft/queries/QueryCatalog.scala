@@ -436,7 +436,7 @@ object QueryCatalog {
     // single fact pass: per-(year,month) revenue sums + negative-row counts,
     // re-aggregated to the two fact-level metrics
     val grouped = star.fct
-      .join(broadcast(star.dimDatetime.select("date_key", "year", "month")), Seq("date_key"))
+      .join(star.dimDatetime.select("date_key", "year", "month"), Seq("date_key"))
       .groupBy("year", "month")
       .agg(graft.ops.CoreOps.sumMoney(col("total_price")).as("total_revenue"),
            coalesce(sum(when(col("total_price") < 0, 1L).otherwise(0L)), lit(0L)).as("neg_count"))

@@ -76,8 +76,10 @@ object Reports {
     * materialization instead of rebuilding the star per consumer. */
   def yearInvoicesFrom(fct: DataFrame, dimDatetime: DataFrame): DataFrame = {
     val dimDt = dimDatetime.select("date_key", "year", "month")
+    // no forced broadcast: the calendar dim is only bounded at day
+    // granularity — AQE broadcasts it when its runtime size allows
     fct
-      .join(broadcast(dimDt), Seq("date_key"), "inner") // J6 (sql:6-7)
+      .join(dimDt, Seq("date_key"), "inner") // J6 (sql:6-7)
       .groupBy("year", "month")
       .agg(
         countDistinct(col("invoice_key")).as("num_invoices"), // A5 (sql:4)

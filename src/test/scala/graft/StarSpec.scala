@@ -41,6 +41,33 @@ class StarSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in fact build:\n${plan.take(2000)}")
   }
 
+  test("no forced broadcast hint on growing dims (datetime included) — AQE decides") {
+    // The static plan must carry NO user broadcast hint for the fact→dim
+    // joins: dim_invoice/dim_product grow with the data and dim_datetime
+    // grows with distinct timestamps at event granularity, so a forced
+    // broadcast is a driver OOM at scale. (nation/region inside the dim
+    // BUILDS are the only hinted joins — bounded at any scale.)
+    val fct = Star.fctLineValue(spark, sf)
+    val hints = fct.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint   => h
+    }
+    // hinted joins present (nation/region) but none may touch a dim output:
+    // every hint subtree must reference nation/region source columns only
+    hints.foreach { h =>
+      val out = h.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+        .output.map(_.name).toSet
+      assert(!out.contains("date_key") && !out.contains("product_key") && !out.contains("invoice_key"),
+        s"forced broadcast hint on a growing dim: ${out.mkString(",")}")
+    }
+    // and at THIS sf, AQE still picks broadcast for the dim joins from
+    // runtime stats — scale safety costs nothing locally
+    fct.write.format("noop").mode("overwrite").save()
+    val finalPlan = fct.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE should broadcast small dims at sf:\n${finalPlan.take(2000)}")
+  }
+
   test("parquet scans prune columns (ReadSchema shows only needed cols)") {
     val report = Reports.yearInvoices(spark, sf)
     val scans = report.queryExecution.executedPlan.toString

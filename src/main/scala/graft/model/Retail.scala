@@ -1,8 +1,9 @@
 package graft.model
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.ops.CoreOps._
 
 /** The reference pipeline on its OWN schema (raw_invoices + country), so a
@@ -25,6 +26,49 @@ object Retail {
     * shape ('%m/%d/%Y %I:%M %p' → "12/01/2010 08:26 AM"). */
   val RawTsFormat  = "M/d/yyyy H:mm"
   val NormTsFormat = "MM/dd/yyyy hh:mm a"
+
+  /** The full 239-row country seed (reference include/table/country.sql:
+    * 11-250 — the public-domain ISO-3166 country/phone-code table),
+    * re-serialized as a TSV resource, in the PRE-ALTER shape
+    * (id, iso, name, nicename, iso3, numcode, phonecode). Carries the
+    * interesting rows: 13 NULL iso3/numcode territories (Antarctica,
+    * Bouvet Island, Aland Islands, ...) and apostrophe names
+    * ("Cote D'Ivoire", "Lao People's Democratic Republic"). 239 rows is
+    * driver-trivial: parsed locally, parallelized as one partition.
+    */
+  def countrySeedRaw(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("iso", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("nicename", StringType, nullable = false),
+      StructField("iso3", StringType, nullable = true),
+      StructField("numcode", IntegerType, nullable = true),
+      StructField("phonecode", IntegerType, nullable = false)))
+    val in = getClass.getResourceAsStream("/graft/country_seed.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val rows =
+      try src.getLines().map { l =>
+        val f = l.split('\t')
+        Row(f(0).toInt, f(1), f(2), f(3),
+            if (f(4) == "\\N") null else f(4),
+            if (f(5) == "\\N") null else Integer.valueOf(f(5).toInt),
+            f(6).toInt)
+      }.toList
+      finally src.close()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** The seed after the reference's post-load ALTERs (country.sql:252-259):
+    * DROP id, DROP name, RENAME nicename→name — the S9/S10 shape
+    * dim_customer joins against (iso, name, iso3, numcode, phonecode).
+    */
+  def countrySeed(spark: SparkSession): DataFrame =
+    countrySeedRaw(spark)
+      .drop("id")                             // S9 (country.sql:252-253)
+      .drop("name")                           // S9 (country.sql:255-256)
+      .withColumnRenamed("nicename", "name")  // S10 (country.sql:258-259)
+      .select("iso", "name", "iso3", "numcode", "phonecode")
 
   /** pandas preprocess (dags/online_retail.py:34-50): parse-coerce (D1) →
     * per-invoice window max (A9, the ±1-minute fix) → reformat (D2). */

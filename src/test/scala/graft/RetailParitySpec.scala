@@ -38,12 +38,10 @@ class RetailParitySpec extends SparkSpec {
     ("536368", "22960", Some("JAM"), 2L, "12/1/2010 8:34", 4.25, Some(13047.0), "United Kingdom")
   ).toDF("InvoiceNo", "StockCode", "Description", "Quantity", "InvoiceDate", "UnitPrice", "CustomerID", "Country")
 
-  /** country seed, post-ALTER shape (include/table/country.sql:252-259). */
-  private lazy val country = Seq(
-    ("GB", "United Kingdom", Some("GBR"), Some(826), 44),
-    ("FR", "France", Some("FRA"), Some(250), 33),
-    ("AX", "Aland Islands", None: Option[String], None: Option[Int], 358)
-  ).toDF("iso", "name", "iso3", "numcode", "phonecode")
+  /** The FULL 239-row country seed, post-ALTER shape (Retail.countrySeed,
+    * reference include/table/country.sql:11-259) — real join coverage
+    * including the NULL-iso3 territories and apostrophe names. */
+  private lazy val country = Retail.countrySeed(spark)
 
   private lazy val pre     = Retail.preprocess(raw)
   private lazy val dimCust = Retail.dimCustomer(pre, country)
@@ -121,6 +119,22 @@ class RetailParitySpec extends SparkSpec {
     assert(dimProd.filter($"stock_code" === "22960").count() == 1)
     // left-join miss: unknown Country yields null iso but keeps the customer
     assert(dimCust.filter($"country" === "Atlantis" && $"iso".isNull).count() == 1)
+  }
+
+  test("country seed: full 239 rows with NULL territories and apostrophe names (S7-S10)") {
+    assert(country.count() == 239)
+    // 13 NULL-iso3/numcode territories survive the load (country.sql's
+    // DEFAULT NULL rows — Antarctica, Bouvet Island, Aland Islands, ...)
+    assert(country.filter($"iso3".isNull && $"numcode".isNull).count() == 13)
+    assert(country.filter($"name" === "Antarctica" && $"iso3".isNull).count() == 1)
+    // SQL-escaped apostrophes ('') land as literal apostrophes
+    assert(country.filter($"name" === "Cote D'Ivoire").count() == 1)
+    assert(country.filter($"name".contains("People's")).count() == 2)
+    // post-ALTER shape: id/original-name dropped, nicename renamed
+    assert(country.columns.toSeq == Seq("iso", "name", "iso3", "numcode", "phonecode"))
+    // and the raw (pre-ALTER) shape retains all 7 seed columns
+    assert(Retail.countrySeedRaw(spark).columns.toSeq ==
+      Seq("id", "iso", "name", "nicename", "iso3", "numcode", "phonecode"))
   }
 
   test("report values: line counts vs distinct-invoice counts (A2 vs A5 trap)") {

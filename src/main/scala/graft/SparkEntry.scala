@@ -74,7 +74,13 @@ object SparkEntry {
     "q37_events_pivot"        -> (Q.eventsPivot(_, _)),
     // S2→S5 CSV ingest end-to-end + scale-safe approx percentiles
     "q38_csv_ingest"          -> (Q.csvIngest(_, _)),
-    "q39_approx_percentiles"  -> (Q.approxPercentiles(_, _))
+    "q39_approx_percentiles"  -> (Q.approxPercentiles(_, _)),
+    // relational breadth: grouping-sets lattice + window frames
+    "q40_cube"                -> (Q.cubeReport(_, _)),
+    "q41_window_frames"       -> (Q.eventsWindowFrames(_, _)),
+    // LLM-pipeline breadth: tf-idf terms + deterministic hash split
+    "q42_tfidf_topterms"      -> (Q.tfidfTopTerms(_, _)),
+    "q43_hash_split"          -> (Q.hashSplit(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

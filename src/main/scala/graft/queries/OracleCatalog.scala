@@ -499,6 +499,51 @@ object OracleCatalog {
          |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
     },
 
+    "q40_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | GROUPING(l_returnflag, l_linestatus) AS gid,
+         | count(*) AS n_rows, ${sumMoney("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    // moving sum through DECIMAL(18,4): exact addition is association-
+    // independent, so the sliding-frame implementations agree bit-for-bit
+    "q41_window_frames" ->
+      s"""SELECT user_id, event_id,
+         | ${fmtTs("date_trunc('second', ts)")} AS ts_s,
+         | CAST(row_number() OVER w AS INTEGER) AS seq,
+         | CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+         |   ORDER BY date_trunc('second', ts), event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+         | CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w7 AS DOUBLE) AS mv_sum,
+         | CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w7 AS DOUBLE)
+         |   / CAST(count(*) OVER w7 AS DOUBLE) AS mv_avg
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id),
+         |  w7 AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id
+         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // log-free idf (tf * N / df): exact-integer doubles + one division,
+    // bit-identical across engines where ln() is not
+    "q42_tfidf_topterms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksLower) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |    CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+         |      FROM scored)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q43_hash_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |   THEN 'heldout' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
     // round-trip oracle: the landed CSV→parquet table must equal the source
     // byte-for-byte, and the inference path must agree (literal true)
     "q38_csv_ingest" ->

@@ -328,6 +328,80 @@ object QueryCatalog {
       .orderBy("cohort")
   }
 
+  /** CUBE over (returnflag, linestatus) with grouping_id — the full
+    * grouping-sets lattice (both rollup directions + grand total) in one
+    * pass; Spark plans it as a single Expand + hash-aggregate, shuffle
+    * carries |groups|×4. grouping_id disambiguates rolled-up NULLs (both
+    * engines put the first grouping column in the MSB).
+    */
+  def cubeReport(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+           count(lit(1)).as("n_rows"),
+           sumMoney(col("l_quantity")).as("sum_qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  /** Window frames: per-user running totals + 7-row moving aggregates over
+    * the event stream. The moving sum goes through DECIMAL(18,4) — exact
+    * addition is association-independent, so Spark's frame-buffer scan and
+    * DuckDB's segment-tree sliding sum produce identical values (a double
+    * frame sum would diverge); the moving average divides that exact sum
+    * once. One shuffle on user_id; both windows share it.
+    */
+  def eventsWindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    val w = Window.partitionBy("user_id").orderBy(asc("ts_sec"), asc("event_id"))
+    val dec = col("value").cast("decimal(18,4)")
+    val mvSum = sum(dec).over(w.rowsBetween(-6, 0)).cast("double")
+    val mvN   = count(lit(1)).over(w.rowsBetween(-6, 0)).cast("double")
+    ev.select(
+      col("user_id"), col("event_id"),
+      formatTimestampSeconds(col("ts_sec")).as("ts_s"),
+      row_number().over(w).as("seq"),
+      sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").as("running_value"),
+      mvSum.as("mv_sum"),
+      (mvSum / mvN).as("mv_avg"))
+  }
+
+  /** TF-IDF-style top terms per document. Portability note: the idf factor
+    * is the LOG-FREE ratio N/df — `ln` differs by ULPs across libm
+    * implementations, which a hash compare cannot absorb; tf·N/df is three
+    * exact-integer doubles and one division, bit-identical in both engines
+    * (and monotone in 1/df like the log form, so per-doc top-k ordering is
+    * a faithful tf-idf-family ranking). Two aggregations over the exploded
+    * token stream + one per-doc top-k window.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+    val tf   = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val n    = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .join(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
+  /** Deterministic content-hash train/heldout split — the reproducible
+    * sampling primitive of a training-data pipeline (no RNG state, stable
+    * under re-partitioning and re-runs, same assignment in any engine):
+    * first md5 hex nibble of the id buckets 2/16 of docs into heldout.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"), lit("heldout"))
+          .otherwise(lit("train")).as("split"))
+
   /** S2→S5→S11 end-to-end as a driver-checked query (the reference's
     * primary entry path, dags/online_retail.py:36,83-93): customer →
     * CSV (header, ISO-8859-1) → read back with the explicit schema AND

@@ -80,7 +80,10 @@ object SparkEntry {
     "q41_window_frames"       -> (Q.eventsWindowFrames(_, _)),
     // LLM-pipeline breadth: tf-idf terms + deterministic hash split
     "q42_tfidf_topterms"      -> (Q.tfidfTopTerms(_, _)),
-    "q43_hash_split"          -> (Q.hashSplit(_, _))
+    "q43_hash_split"          -> (Q.hashSplit(_, _)),
+    // decontamination (train/heldout 8-gram overlap) + column profiler
+    "q44_decontamination"     -> (Q.decontamination(_, _)),
+    "q45_column_profile"      -> (Q.columnProfile(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

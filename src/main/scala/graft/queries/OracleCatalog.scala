@@ -73,10 +73,13 @@ object OracleCatalog {
   private val toksLower = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
   private val toksRaw   = raw"regexp_split_to_array(trim(text), '\s+')"
 
-  /** Distinct 3-gram shingle list over column t (mirrors Dedup.shingleSet). */
-  private val shingle3 =
-    "list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
-      "ELSE [concat_ws(' ', t[i], t[i+1], t[i+2]) for i in generate_series(1, len(t) - 2)] END)"
+  /** Distinct n-gram shingle list over column t (mirrors Dedup.shingleSet). */
+  private def shingleSqlN(n: Int): String =
+    s"list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE [concat_ws(' ', ${(0 until n).map(k => if (k == 0) "t[i]" else s"t[i+$k]").mkString(", ")}) " +
+      s"for i in generate_series(1, len(t) - ${n - 1})] END)"
+
+  private val shingle3 = shingleSqlN(3)
 
   private def tkCteFrom(src: String) =
     s"tk AS (SELECT doc_id, source, text, $toksLower AS t FROM $src)"
@@ -543,6 +546,48 @@ object OracleCatalog {
         | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |   THEN 'heldout' ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+
+    // exact 8-gram containment against the deduped train gram set — same
+    // split rule as q43; grams md5-hashed like the Spark side
+    "q44_decontamination" ->
+      s"""WITH tk AS (SELECT doc_id, $toksLower AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+         |    THEN 'heldout' ELSE 'train' END AS split,
+         |  ${shingleSqlN(8)} AS sh FROM tk),
+         |g AS (SELECT doc_id, split, md5(unnest(sh)) AS gh FROM sh),
+         |tg AS (SELECT DISTINCT gh FROM g WHERE split = 'train')
+         |SELECT doc_id, count(DISTINCT gh) AS n_shared_grams
+         |FROM g JOIN tg USING (gh)
+         |WHERE split = 'heldout'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // one row per profiled column; doubles stay doubles (double→text
+    // formatting is engine-specific), timestamps profile over their
+    // formatted-seconds form
+    "q45_column_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      def str(expr: String, name: String) =
+        s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+           | CAST(coalesce(sum(CASE WHEN $expr IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+           | count(DISTINCT $expr) AS n_distinct,
+           | CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           | min($expr) AS min_str, max($expr) AS max_str
+           |FROM lineitem""".stripMargin
+      s"""SELECT * FROM (
+         |${num("l_orderkey")}
+         |UNION ALL ${num("l_quantity")}
+         |UNION ALL ${num("l_extendedprice")}
+         |UNION ALL ${str("l_returnflag", "l_returnflag")}
+         |UNION ALL ${str(fmtTs("l_shipdate"), "l_shipdate")}
+         |) ORDER BY col_name""".stripMargin
+    },
 
     // round-trip oracle: the landed CSV→parquet table must equal the source
     // byte-for-byte, and the inference path must agree (literal true)

@@ -398,9 +398,69 @@ object QueryCatalog {
     */
   def hashSplit(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"),
-        when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"), lit("heldout"))
-          .otherwise(lit("train")).as("split"))
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
+
+  /** The deterministic split column shared by q43/q44. */
+  private def splitCol(id: Column): Column =
+    when(substring(md5(id.cast("string")), 1, 1).isin("0", "1"), lit("heldout"))
+      .otherwise(lit("train"))
+
+  /** Train/heldout decontamination — the standard pre-training hygiene
+    * check: a heldout doc is contaminated if it shares any exact
+    * 8-token-gram with any train doc. Grams are md5-hashed so the shuffle
+    * carries fixed-width keys; the train side dedups BEFORE the join
+    * (distinct gram set, not gram instances). Scale shape = LSH banding:
+    * |docs|·grams rows, one equi-join on the hash, never doc×doc.
+    */
+  def decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = docs.select(
+        col("doc_id"), splitCol(col("doc_id")).as("split"),
+        explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
+      .select(col("doc_id"), col("split"), md5(col("gram")).as("gh"))
+    val trainGrams = grams.filter(col("split") === "train").select("gh").distinct()
+    grams.filter(col("split") === "heldout")
+      .join(trainGrams, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("gh")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** One-pass column profiler (count / nulls / exact distinct / min / max
+    * per column) — the data-quality census a pipeline runs before
+    * training. All metrics for all profiled columns compute in ONE
+    * aggregation (Spark plans the multi-column count_distinct as a single
+    * Expand); numerics surface as doubles, strings as strings (doubles are
+    * never stringified — double→text formatting is engine-specific).
+    */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def num(c: String) = struct(
+      lit(c).as("col_name"),
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as("n_nulls"),
+      count_distinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("double").as("min_num"),
+      max(col(c)).cast("double").as("max_num"),
+      lit(null).cast("string").as("min_str"),
+      lit(null).cast("string").as("max_str"))
+    def str(c: Column, name: String) = struct(
+      lit(name).as("col_name"),
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as("n_nulls"),
+      count_distinct(c).as("n_distinct"),
+      lit(null).cast("double").as("min_num"),
+      lit(null).cast("double").as("max_num"),
+      min(c).as("min_str"),
+      max(c).as("max_str"))
+    li.agg(
+        num("l_orderkey").as("p1"), num("l_quantity").as("p2"),
+        num("l_extendedprice").as("p3"), str(col("l_returnflag"), "l_returnflag").as("p4"),
+        str(formatTimestampSeconds(col("l_shipdate")), "l_shipdate").as("p5"))
+      .select(explode(array(col("p1"), col("p2"), col("p3"), col("p4"), col("p5"))).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
 
   /** S2→S5→S11 end-to-end as a driver-checked query (the reference's
     * primary entry path, dags/online_retail.py:36,83-93): customer →

@@ -583,7 +583,7 @@ object OracleCatalog {
       s"""SELECT * FROM (
          |${num("l_orderkey")}
          |UNION ALL ${num("l_quantity")}
-         |UNION ALL ${num("l_extendedprice")}
+         |UNION ALL ${num("l_discount")}
          |UNION ALL ${str("l_returnflag", "l_returnflag")}
          |UNION ALL ${str(fmtTs("l_shipdate"), "l_shipdate")}
          |) ORDER BY col_name""".stripMargin

@@ -435,29 +435,42 @@ object QueryCatalog {
     */
   def columnProfile(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    def num(c: String) = struct(
-      lit(c).as("col_name"),
-      count(lit(1)).as("n_rows"),
-      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as("n_nulls"),
-      count_distinct(col(c)).as("n_distinct"),
-      min(col(c)).cast("double").as("min_num"),
-      max(col(c)).cast("double").as("max_num"),
-      lit(null).cast("string").as("min_str"),
-      lit(null).cast("string").as("max_str"))
-    def str(c: Column, name: String) = struct(
-      lit(name).as("col_name"),
-      count(lit(1)).as("n_rows"),
-      coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as("n_nulls"),
-      count_distinct(c).as("n_distinct"),
-      lit(null).cast("double").as("min_num"),
-      lit(null).cast("double").as("max_num"),
-      min(c).as("min_str"),
-      max(c).as("max_str"))
-    li.agg(
-        num("l_orderkey").as("p1"), num("l_quantity").as("p2"),
-        num("l_extendedprice").as("p3"), str(col("l_returnflag"), "l_returnflag").as("p4"),
-        str(formatTimestampSeconds(col("l_shipdate")), "l_shipdate").as("p5"))
-      .select(explode(array(col("p1"), col("p2"), col("p3"), col("p4"), col("p5"))).as("p"))
+    // Profiled columns: l_orderkey is the deliberate high-cardinality one
+    // (~|orders| distinct). A near-unique DOUBLE column (l_extendedprice)
+    // is excluded: its exact distinct set is the whole column — a 100 TB
+    // profiler switches to approx_count_distinct for those (SCALE.md).
+    val cols = Seq(
+      "l_orderkey" -> col("l_orderkey"), "l_quantity" -> col("l_quantity"),
+      "l_discount" -> col("l_discount"), "l_returnflag" -> col("l_returnflag"),
+      "l_shipdate" -> formatTimestampSeconds(col("l_shipdate")))
+    val numeric = Set("l_orderkey", "l_quantity", "l_discount")
+    // TWO single-row aggregations, crossed: the distinct counts (planned
+    // as one Expand + hash aggregate) and the plain stats (count / nulls /
+    // min / max, one partial-agg scan). Mixing them in ONE aggregate forces
+    // the ~6×-expanded rows through a sort-based aggregate — string min/max
+    // buffers aren't mutable fixed-width, so HashAggregate bails — measured
+    // 8-10s vs ~2.3s for the two-scan shape at sf0.1. At 100 TB the second
+    // scan is the cheaper side of that trade too (the Expand multiplies
+    // rows ×(distinct cols + 1) either way).
+    val distincts = li.agg(
+      count_distinct(cols.head._2).as(s"nd_${cols.head._1}"),
+      cols.tail.map { case (n, c) => count_distinct(c).as(s"nd_$n") }: _*)
+    val plainAggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, c) => Seq(
+      coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"nn_$n"),
+      min(c).as(s"mn_$n"),
+      max(c).as(s"mx_$n")) }
+    val rows = cols.map { case (n, _) => struct(
+      lit(n).as("col_name"),
+      col("n_rows"),
+      col(s"nn_$n").as("n_nulls"),
+      col(s"nd_$n").as("n_distinct"),
+      (if (numeric(n)) col(s"mn_$n").cast("double") else lit(null).cast("double")).as("min_num"),
+      (if (numeric(n)) col(s"mx_$n").cast("double") else lit(null).cast("double")).as("max_num"),
+      (if (numeric(n)) lit(null).cast("string") else col(s"mn_$n")).as("min_str"),
+      (if (numeric(n)) lit(null).cast("string") else col(s"mx_$n")).as("max_str")) }
+    li.agg(plainAggs.head, plainAggs.tail: _*)
+      .crossJoin(broadcast(distincts))
+      .select(explode(array(rows: _*)).as("p"))
       .select(col("p.*"))
       .orderBy("col_name")
   }

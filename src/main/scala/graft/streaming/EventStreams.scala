@@ -77,6 +77,38 @@ object EventStreams {
       }
   }
 
+  final case class Anomaly(user_id: Long, event_id: Long, value: Double,
+                           ewma: Double, ratio: Double)
+  final case class Ewma(mean: Double, n: Long)
+
+  /** Streaming per-key anomaly detection via flatMapGroupsWithState: one
+    * EWMA per active user (state = a single double — bounded by live keys,
+    * never by stream length); an event whose value exceeds `threshold` ×
+    * the running EWMA emits an anomaly row, so output cardinality is
+    * 0..n per batch — the flatMap (not map) state contract. Deterministic:
+    * events fold in (ts, event_id) order within each batch.
+    */
+  def anomalies(events: Dataset[Event], alpha: Double = 0.2,
+                threshold: Double = 3.0, minEvents: Int = 3): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Ewma, Anomaly](OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Ewma]) =>
+          val ordered = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(Ewma(0.0, 0L))
+          val out = Seq.newBuilder[Anomaly]
+          ordered.foreach { e =>
+            if (st.n >= minEvents && st.mean > 0 && e.value > threshold * st.mean)
+              out += Anomaly(userId, e.event_id, e.value, st.mean, e.value / st.mean)
+            st = if (st.n == 0L) Ewma(e.value, 1L)
+                 else Ewma(alpha * e.value + (1 - alpha) * st.mean, st.n + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** readStream → transform → writeStream wiring used by tests: memory sink,
     * Update mode (windowedCounts emits updated aggregates per trigger).
     */

@@ -94,6 +94,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalies: per-user EWMA state flags outliers across batches, flatMap cardinality") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams.anomalies(source.toDS(), alpha = 0.5, threshold = 3.0, minEvents = 3)
+      .writeStream.format("memory").queryName("anom_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: three calm events build the baseline — below minEvents at
+      // each point, so NO anomaly rows (flatMap emits zero)
+      source.addData(
+        Event(1, ts("2024-01-01 00:00:01"), 7, "click", 10.0),
+        Event(2, ts("2024-01-01 00:00:02"), 7, "click", 10.0),
+        Event(3, ts("2024-01-01 00:00:03"), 7, "click", 10.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM anom_test").head().getLong(0) == 0)
+      // batch 2: a 10× spike against the carried EWMA state (~10) → flagged;
+      // the calm event after it is not
+      source.addData(
+        Event(4, ts("2024-01-01 00:00:04"), 7, "click", 100.0),
+        Event(5, ts("2024-01-01 00:00:05"), 7, "click", 10.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, ratio FROM anom_test").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(4L), s"got ${rows.toSeq}")
+      assert(math.abs(rows.head.getDouble(1) - 10.0) < 0.01)
+      // a different user has independent state: its first events never flag
+      source.addData(Event(6, ts("2024-01-01 00:00:06"), 8, "click", 500.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM anom_test").head().getLong(0) == 1)
+    } finally q.stop()
+  }
+
   test("sessionize maintains per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]

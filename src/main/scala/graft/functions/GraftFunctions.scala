@@ -22,5 +22,23 @@ object GraftFunctions {
         MinHashSig(exprs.head, k)
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash64(tokens)")
+        SimHash64(exprs.head)
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_window_hash",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "min_window_hash(text, window)")
+        val w = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => other.eval(null).asInstanceOf[Int]
+        }
+        MinWindowHash(exprs.head, w)
+      },
+      "scala_udf")
   }
 }

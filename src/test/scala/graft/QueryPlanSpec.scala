@@ -1,0 +1,52 @@
+package graft
+
+import graft.queries.QueryCatalog
+
+/** Plan-shape assertions for the round-2 breadth queries — the properties
+  * that keep them viable at 100 TB, asserted on the executed plan so a
+  * refactor can't silently regress them.
+  */
+class QueryPlanSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q40 cube plans ONE Expand (grouping-sets lattice in a single pass)") {
+    val plan = executedPlan(QueryCatalog.cubeReport(spark, sf))
+    assert("(?m)^.*Expand".r.findAllIn(plan).size == 1, s"expected one Expand:\n${plan.take(1500)}")
+  }
+
+  test("q44 decontamination joins grams hash-equi, never nested-loop") {
+    val plan = executedPlan(QueryCatalog.decontamination(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair space must come from the gram equi-join:\n${plan.take(1500)}")
+  }
+
+  test("q42 tf-idf: only the 1-row corpus count crosses; gram joins are hash joins") {
+    val df = QueryCatalog.tfidfTopTerms(spark, sf)
+    val plan = executedPlan(df)
+    // the deliberate broadcast of the single-row N — anything nested-loop
+    // beyond that one is a regression
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nested <= 1, s"unexpected nested-loop joins ($nested):\n${plan.take(1500)}")
+    assert(plan.contains("HashJoin") || plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"tf→df join should be an equi join:\n${plan.take(1500)}")
+  }
+
+  test("q45 profiler: distincts and plain stats are separate aggs; the Expand feeds a hash agg") {
+    val plan = executedPlan(QueryCatalog.columnProfile(spark, sf))
+    // the deliberate two-aggregation shape, crossed on single rows
+    assert(plan.contains("Cross"), s"expected the two-agg cross join:\n${plan.take(1500)}")
+    // and the distinct-rewrite's expanded rows must aggregate by HASH —
+    // the regression guarded here is Expand→SortAggregate (the 8-10s shape
+    // when string min/max shares the aggregate with the distincts; the
+    // plain-stats branch alone may sort, it sees raw rows once)
+    val lines = plan.linesIterator.toVector
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx > 0, s"expected an Expand for the multi-distinct:\n${plan.take(1500)}")
+    assert(lines(expandIdx - 1).contains("HashAggregate"),
+      s"Expand must feed a HashAggregate, got: ${lines(expandIdx - 1)}")
+  }
+}

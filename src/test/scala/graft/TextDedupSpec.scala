@@ -155,6 +155,17 @@ class TextDedupSpec extends SparkSpec {
     assert(row.getSeq[String](0).forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("simhash64 and min_window_hash are SQL-callable after GraftFunctions.register") {
+    graft.functions.GraftFunctions.register(spark)
+    val sqlRow = spark.sql(
+      "SELECT simhash64(array('a', 'b')) AS sh, min_window_hash('the quick brown fox', 16) AS mw").head()
+    val colRow = Seq(("x")).toDF("t").select(
+      Dedup.simhash64(lit("a b")).as("sh"),
+      TextOps.minWindowHash(lit("the quick brown fox"), 16).as("mw")).head()
+    assert(sqlRow.getLong(0) == colRow.getLong(0))
+    assert(sqlRow.getLong(1) == colRow.getLong(1))
+  }
+
   test("hamming64 column matches JVM bitCount") {
     val df = Seq((0x0fL, 0xf0L)).toDF("a", "b")
     assert(df.select(Dedup.hamming64(col("a"), col("b"))).head().getInt(0) == 8)

@@ -198,9 +198,13 @@ object QueryCatalog {
     Similarity.scoreAll(e, e.filter(col("vec_id") < 10))
   }
 
+  /** Exact top-k through the bounded-heap Aggregator (identical values to
+    * the window form — SimilaritySpec asserts equality — but k-entry state
+    * per query instead of a full per-group sort; see Similarity Scaladoc).
+    */
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+    Similarity.bruteForceTopKAgg(e, e.filter(col("vec_id") < 10), 5)
   }
 
   def lshAnnTopK(s: SparkSession, dir: String): DataFrame = {

@@ -88,6 +88,28 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact top-k via the bounded-heap [[TopK.TopKAgg]] Aggregator — same
+    * results as [[bruteForceTopK]] (same scores, same tie-break), different
+    * physical shape: state is ≤k entries per query at every point of the
+    * partial/merge tree, so the shuffle carries k-entry buffers instead of
+    * all |corpus| scored rows per query, and nothing ever sorts a full
+    * group. The window form is fine when queries are few; THIS is the form
+    * that survives a million-query batch at 100 TB.
+    */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = scoreAll(corpus, queries, idCol, vecCol)
+    import scored.sparkSession.implicits._
+    scored.select(col("query_id"), col("vec_id"), col("score")).as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => TopK.Scored(t._2, t._3))
+      .agg(TopK.TopKAgg(k).toColumn)
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk.entries")))
+      .select(col("query_id"), col("col.id").as("vec_id"), col("col.score").as("score"),
+              (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component h[i][d] derived from
     * md5(bit, dim) — no RNG state, same planes every run/engine.
     * Values in [-0.5, 0.5).

@@ -100,6 +100,17 @@ class SimilaritySpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("bruteForceTopKAgg equals the window form row-for-row (bounded-heap Aggregator)") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val win = Similarity.bruteForceTopK(e, q, 5)
+      .select("query_id", "vec_id", "score", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val agg = Similarity.bruteForceTopKAgg(e, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(agg == win, s"agg path diverged: ${agg.diff(win).take(5)} vs ${win.diff(agg).take(5)}")
+  }
+
   test("embeddingNearDups: planted duplicate found, ordered pair, thresholded") {
     val e = Tables.table(spark, sf, "embeddings")
       .union(Tables.table(spark, sf, "embeddings").filter(col("vec_id") === 7)

@@ -83,7 +83,10 @@ object SparkEntry {
     "q43_hash_split"          -> (Q.hashSplit(_, _)),
     // decontamination (train/heldout 8-gram overlap) + column profiler
     "q44_decontamination"     -> (Q.decontamination(_, _)),
-    "q45_column_profile"      -> (Q.columnProfile(_, _))
+    "q45_column_profile"      -> (Q.columnProfile(_, _)),
+    // operators Spark lacks natively, composed scale-safe
+    "q46_asof_join"           -> (Q.asofEventsOrders(_, _)),
+    "q47_range_join"          -> (Q.rangeJoinOrderLines(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -125,4 +125,53 @@ object CoreOps {
       .join(saltedSmall, Seq(key, "__salt"), "inner")
       .drop("__salt")
   }
+
+  /** AS-OF join — for each left row, the single latest right row with
+    * `rightTs <= leftTs` on the same key (pandas merge_asof / kdb aj
+    * semantics; Spark has no native operator). Implemented by COMPOSITION,
+    * not a nested-loop inequality join: union both sides tagged, ONE
+    * shuffle on the key, and a running last-non-null window ordered by
+    * (ts, side, tie) carries each right payload forward to the left rows
+    * it covers. Cost is sort-within-key of |left|+|right| — the 100 TB
+    * shape — versus the O(|left|·|right|) per key a naive
+    * `l.ts >= r.ts` theta-join plans.
+    *
+    * Determinism: right rows at the same timestamp are resolved by the
+    * greatest `rightTieCol`; a right row at exactly leftTs DOES match
+    * (<= semantics, right sorts before left at equal ts).
+    *
+    * @return left rows + `rightPayload` columns (null when no right row
+    *         precedes the left row).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, rightTieCol: String,
+               rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lCols = left.columns.toSeq
+    val pType = org.apache.spark.sql.types.StructType(rightPayload.map(c => right.schema(c)))
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+      .withColumn("__p", lit(null).cast(pType))
+    val r = right.select(
+      (Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+           col(rightTieCol).cast("long").as("__tie"),
+           struct(rightPayload.map(col): _*).as("__p")) ++
+        lCols.map(c => if (c == key) col(key)
+                       else lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val aux = Seq("__ts", "__side", "__tie", "__p")
+    val unioned = l.select((lCols ++ aux).map(col): _*)
+      .unionByName(r.select((lCols ++ aux).map(col): _*))
+    // right rows (side 0) sort BEFORE left rows (side 1) at equal ts ⇒ <=
+    // semantics; among equal-ts right rows the greatest tie sorts last and
+    // the running last-non-null picks it
+    val w = Window.partitionBy(key)
+      .orderBy(asc("__ts"), asc("__side"), asc("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(col) ++ rightPayload.map(c => col(s"__match.$c").as(c)): _*)
+  }
 }

@@ -605,6 +605,40 @@ object OracleCatalog {
         | true AS p50_ok, true AS p90_ok, true AS p99_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // replays CoreOps.asofJoin's union + running last-non-null construction
+    // so tie semantics are identical by definition (right-before-left at
+    // equal ts ⇒ <= match; greatest orderkey wins equal-ts order ties)
+    "q46_asof_join" ->
+      s"""WITH l AS (SELECT event_id, user_id, date_trunc('second', ts) AS uts,
+         |             1 AS side, CAST(NULL AS BIGINT) AS tie,
+         |             CAST(NULL AS BIGINT) AS oid, CAST(NULL AS TIMESTAMP) AS odate
+         |           FROM events),
+         |r AS (SELECT CAST(NULL AS BIGINT) AS event_id, o_custkey AS user_id,
+         |        o_orderdate AS uts, 0 AS side, o_orderkey AS tie,
+         |        o_orderkey AS oid, o_orderdate AS odate
+         |      FROM orders),
+         |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+         |m AS (SELECT *, last_value(oid IGNORE NULLS) OVER w AS m_oid,
+         |        last_value(odate IGNORE NULLS) OVER w AS m_odate
+         |      FROM u WINDOW w AS (PARTITION BY user_id ORDER BY uts, side, tie
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, ${fmtTs("uts")} AS ts_s,
+         | m_oid AS order_id, ${fmtTs("m_odate")} AS order_date
+         |FROM m WHERE side = 1""".stripMargin,
+
+    // the oracle runs the direct inequality join (DuckDB plans IEJoin);
+    // the Spark side buckets it into an equi join — identical pairs
+    "q47_range_join" ->
+      s"""SELECT o_orderkey,
+         | count(*) AS n_lines, ${sumMoney("l_quantity")} AS qty_sum
+         |FROM orders
+         |JOIN (SELECT o2.o_custkey AS l_custkey, l.l_shipdate, l.l_quantity
+         |      FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey) le
+         |  ON o_custkey = le.l_custkey
+         | AND le.l_shipdate >= o_orderdate
+         | AND le.l_shipdate < o_orderdate + INTERVAL 30 DAY
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

@@ -539,6 +539,57 @@ object QueryCatalog {
       .orderBy("l_returnflag")
   }
 
+  /** AS-OF join (q46): each event matched to the latest order of the same
+    * customer at-or-before the event time — CoreOps.asofJoin's union +
+    * running-last-non-null construction (one shuffle on the key; never a
+    * per-key O(|events|·|orders|) theta join). The oracle replays the same
+    * construction, so tie semantics are identical by definition.
+    */
+  def asofEventsOrders(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .select("event_id", "user_id", "ts_sec")
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+    asofJoin(ev, orders, key = "user_id", leftTs = "ts_sec", rightTs = "o_orderdate",
+             rightTieCol = "o_orderkey", rightPayload = Seq("o_orderkey", "o_orderdate"))
+      .select(
+        col("event_id"), col("user_id"),
+        formatTimestampSeconds(col("ts_sec")).as("ts_s"),
+        col("o_orderkey").as("order_id"),
+        formatTimestampSeconds(col("o_orderdate")).as("order_date"))
+  }
+
+  /** Range (interval) join (q47): per order, the lines of the SAME customer
+    * shipped within [orderdate, orderdate+30d) — a non-equi predicate Spark
+    * would otherwise plan as a nested-loop. Composed as a BUCKETED equi
+    * join: both sides key on (custkey, 30-day epoch bucket), the interval
+    * side explodes into the (≤2) buckets it overlaps, and the exact
+    * interval filter runs after the hash join — cost |pairs-in-bucket|,
+    * never |orders|×|lines| per customer. QueryPlanSpec asserts no
+    * nested-loop join survives in the plan.
+    */
+  def rangeJoinOrderLines(s: SparkSession, dir: String): DataFrame = {
+    val bucketSec = 30L * 86400
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_end"))
+      .withColumn("bucket", explode(sequence(
+        (unix_timestamp(col("o_orderdate")) / bucketSec).cast("long"),
+        ((unix_timestamp(col("o_end")) - 1) / bucketSec).cast("long"))))
+    val lines = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey").as("l_custkey")), Seq("l_orderkey"))
+      .select(col("l_custkey"), col("l_shipdate"), col("l_quantity"))
+      .withColumn("bucket", (unix_timestamp(col("l_shipdate")) / bucketSec).cast("long"))
+    orders
+      .join(lines, col("o_custkey") === col("l_custkey") && orders("bucket") === lines("bucket"))
+      .filter(col("l_shipdate") >= col("o_orderdate") && col("l_shipdate") < col("o_end"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_lines"), sumMoney(col("l_quantity")).as("qty_sum"))
+      .orderBy("o_orderkey")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

@@ -87,4 +87,23 @@ class CoreOpsSpec extends SparkSpec {
     val vals = df.collect()
     assert(vals(0).getTimestamp(0) != null && vals(1).isNullAt(0))
   }
+
+  test("asofJoin: latest right at-or-before left, orderkey tie-break, null when none precedes") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")), // after two orders
+      (2L, 7L, ts("2024-01-01 09:00:00")), // EXACTLY at an order ts → <= matches
+      (3L, 7L, ts("2024-01-01 07:59:59")), // before every order → null
+      (4L, 8L, ts("2024-01-01 10:00:00"))  // key with no orders at all → null
+    ).toDF("event_id", "user_id", "ts_sec")
+    val right = Seq(
+      (7L, ts("2024-01-01 08:00:00"), 100L),
+      (7L, ts("2024-01-01 09:00:00"), 200L),
+      (7L, ts("2024-01-01 09:00:00"), 201L) // same ts: greatest key must win
+    ).toDF("user_id", "o_orderdate", "o_orderkey")
+    val out = asofJoin(left, right, "user_id", "ts_sec", "o_orderdate",
+        "o_orderkey", Seq("o_orderkey"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out == Map(1L -> 201L, 2L -> 201L, 3L -> -1L, 4L -> -1L), s"got $out")
+  }
 }

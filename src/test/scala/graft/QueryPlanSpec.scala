@@ -35,6 +35,12 @@ class QueryPlanSpec extends SparkSpec {
       s"tf→df join should be an equi join:\n${plan.take(1500)}")
   }
 
+  test("q47 range join: bucketed equi join, no nested-loop despite the interval predicate") {
+    val plan = executedPlan(QueryCatalog.rangeJoinOrderLines(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate must ride the bucket equi-join:\n${plan.take(1500)}")
+  }
+
   test("q45 profiler: distincts and plain stats are separate aggs; the Expand feeds a hash agg") {
     val plan = executedPlan(QueryCatalog.columnProfile(spark, sf))
     // the deliberate two-aggregation shape, crossed on single rows

@@ -86,7 +86,9 @@ object SparkEntry {
     "q45_column_profile"      -> (Q.columnProfile(_, _)),
     // operators Spark lacks natively, composed scale-safe
     "q46_asof_join"           -> (Q.asofEventsOrders(_, _)),
-    "q47_range_join"          -> (Q.rangeJoinOrderLines(_, _))
+    "q47_range_join"          -> (Q.rangeJoinOrderLines(_, _)),
+    // repetition/boilerplate quality rule
+    "q48_repetition"          -> (Q.repetitionScore(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

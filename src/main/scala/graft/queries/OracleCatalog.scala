@@ -639,6 +639,19 @@ object OracleCatalog {
          | AND le.l_shipdate < o_orderdate + INTERVAL 30 DAY
          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
+    // NON-distinct 3-gram stream (repetition needs counts, not sets)
+    "q48_repetition" -> {
+      val rawShingle3 =
+        "CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+          "ELSE [concat_ws(' ', t[i], t[i+1], t[i+2]) for i in generate_series(1, len(t) - 2)] END"
+      s"""WITH tk AS (SELECT doc_id, $toksLower AS t FROM documents),
+         |g AS (SELECT doc_id, unnest($rawShingle3) AS g FROM tk),
+         |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, max(c) AS max_gram_count,
+         | CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_frac
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

@@ -590,6 +590,22 @@ object QueryCatalog {
       .orderBy("o_orderkey")
   }
 
+  /** Repetition detection (q48) — the boilerplate/templating quality rule:
+    * fraction of a doc's 3-gram stream occupied by its single most repeated
+    * 3-gram (NON-distinct shingles; high value ⇒ loops/boilerplate). Pure
+    * explode + two-level aggregation; the fraction is an exact-integer
+    * double division, portable without rounding.
+    */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("max_gram_count"))
+      .withColumn("rep_frac",
+        col("max_gram_count").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

@@ -109,6 +109,30 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream interval join — attribution: each click
+    * joined to the same user's purchases within the following
+    * `horizon`. Both sides carry watermarks and the join condition bounds
+    * event time on both ends, so Spark can evict join state once the
+    * watermark passes a row's match window — state is O(rows inside the
+    * horizon), never O(stream). Unbounded/unwatermarked stream-stream
+    * joins are rejected by Spark for exactly that reason.
+    */
+  def attribution(clicks: Dataset[Event], purchases: Dataset[Event],
+                  horizon: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.toDF("c_event_id", "c_ts", "c_user_id", "c_type", "c_value")
+      .withWatermark("c_ts", watermark)
+    val p = purchases.toDF("p_event_id", "p_ts", "p_user_id", "p_type", "p_value")
+      .withWatermark("p_ts", watermark)
+    c.join(p, expr(
+        s"""c_user_id = p_user_id AND
+           |p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $horizon""".stripMargin))
+      .select(col("c_user_id").as("user_id"),
+              col("c_event_id").as("click_id"), col("p_event_id").as("purchase_id"),
+              col("c_ts").as("click_ts"), col("p_ts").as("purchase_ts"),
+              col("p_value").as("purchase_value"))
+  }
+
   /** readStream → transform → writeStream wiring used by tests: memory sink,
     * Update mode (windowedCounts emits updated aggregates per trigger).
     */

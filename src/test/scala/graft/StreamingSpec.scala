@@ -125,6 +125,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attribution: stream-stream interval join matches purchases within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.attribution(clicks.toDS(), purchases.toDS(), horizon = "1 hour")
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 0.0),
+        Event(2, ts("2024-01-01 10:00:00"), 8, "click", 0.0))
+      purchases.addData(
+        Event(50, ts("2024-01-01 10:30:00"), 7, "purchase", 9.99),  // in horizon
+        Event(51, ts("2024-01-01 11:30:00"), 7, "purchase", 5.00),  // past horizon
+        Event(52, ts("2024-01-01 09:59:00"), 7, "purchase", 1.00),  // before click
+        Event(53, ts("2024-01-01 10:05:00"), 9, "purchase", 2.00))  // other user
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, purchase_id FROM attr_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 50L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("sessionize maintains per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]

@@ -60,4 +60,30 @@ class PropertySpec extends SparkSpec {
       assert(out.toSet == best)
     }
   }
+
+  test("asofJoin matches the brute-force reference on random data") {
+    val gen = for {
+      nL <- Gen.choose(1, 25)
+      nR <- Gen.choose(0, 25)
+      ls <- Gen.listOfN(nL, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+      rs <- Gen.listOfN(nR, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+    } yield (ls, rs)
+    for (((ls, rs), caseIdx) <- samples(gen, 8).zipWithIndex) {
+      def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      val left = ls.zipWithIndex.map { case ((k, s), i) => (i.toLong, k, t(s)) }
+        .toDF("event_id", "k", "lts")
+      val right = rs.zipWithIndex.map { case ((k, s), i) => (1000L + i, k, t(s)) }
+        .toDF("rid", "k", "rts")
+      val out = asofJoin(left, right, "k", "lts", "rts", "rid", Seq("rid"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      // reference: latest rts <= lts on the key; ties by greatest rid
+      val rSeq = rs.zipWithIndex.map { case ((k, s), i) => (1000L + i, k, s) }
+      val expect = ls.zipWithIndex.map { case ((k, s), i) =>
+        val cands = rSeq.filter(r => r._2 == k && r._3 <= s)
+        i.toLong -> (if (cands.isEmpty) -1L
+                     else cands.maxBy(r => (r._3, r._1))._1)
+      }.toMap
+      assert(out == expect, s"case $caseIdx: $out vs $expect")
+    }
+  }
 }

@@ -82,4 +82,19 @@ object Tables {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Bucketed catalog table — the write-side half of the "bucketing kills
+    * the shuffle" contract: two tables bucketed (and sorted) on the same
+    * key with the same bucket count join WITHOUT any Exchange, because
+    * their on-disk layout IS the join partitioning (asserted by plan test
+    * in IoSpec). This is what the fct⋈orders co-partitioning claims in
+    * SCALE.md compile down to at warehouse scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

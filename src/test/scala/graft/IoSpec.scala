@@ -65,4 +65,28 @@ class IoSpec extends SparkSpec {
     assert(shaped.filter(col("iso3").isNull).count() == 1)
     spark.sql("DROP DATABASE IF EXISTS retail")
   }
+
+  test("bucketed tables join with NO exchange (co-located layout is the partitioning)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a non-broadcast join
+    try {
+      val orders = Tables.table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+      val lines  = Tables.table(spark, sf, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      Tables.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+      Tables.writeBucketed(lines, "b_lines", "o_orderkey", 8)
+      val j = spark.table("b_orders").join(spark.table("b_lines"), Seq("o_orderkey"))
+      j.write.format("noop").mode("overwrite").save()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n${plan.take(1200)}")
+      assert(!plan.contains("Exchange"),
+        s"bucketed-on-key join must not shuffle:\n${plan.take(1200)}")
+      // sanity: same result as the raw-table join
+      assert(j.count() == orders.join(lines, Seq("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lines")
+    }
+  }
 }

@@ -88,7 +88,9 @@ object SparkEntry {
     "q46_asof_join"           -> (Q.asofEventsOrders(_, _)),
     "q47_range_join"          -> (Q.rangeJoinOrderLines(_, _)),
     // repetition/boilerplate quality rule
-    "q48_repetition"          -> (Q.repetitionScore(_, _))
+    "q48_repetition"          -> (Q.repetitionScore(_, _)),
+    // capstone: full training-corpus preparation composition
+    "q49_training_corpus"     -> (Q.trainingCorpus(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -340,6 +340,42 @@ object OracleCatalog {
          |SELECT doc_id, n_tokens, quality FROM e
          |WHERE doc_id NOT IN (SELECT doc_b FROM pv)""".stripMargin,
 
+    // the q32 chain + split + 8-gram heldout decontamination — each stage
+    // is separately oracle-checked; this checks the composition
+    "q49_training_corpus" ->
+      s"""WITH ${statsCte("documents")},
+         |q AS (SELECT doc_id, text, n_tokens, $qualityExpr AS quality FROM b),
+         |qf AS (SELECT * FROM q WHERE quality >= 0.5),
+         |e AS (SELECT doc_id, text, n_tokens, quality FROM (
+         |   SELECT qf.*, min(doc_id) OVER (
+         |     PARTITION BY md5(array_to_string($toksLower, ' '))) AS keep FROM qf)
+         | WHERE doc_id = keep),
+         |tk2 AS (SELECT doc_id, $toksLower AS t FROM e),
+         |sh AS (SELECT doc_id, $shingle3 AS sh FROM tk2),
+         |sig AS (SELECT doc_id, $sigCols FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, ${bandKey(b)} AS band_key FROM sig")
+              .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |         FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |pv AS (SELECT DISTINCT cand.doc_b FROM cand
+         |       JOIN sh a ON cand.doc_a = a.doc_id
+         |       JOIN sh bb ON cand.doc_b = bb.doc_id
+         |       WHERE ${jaccardSql("a.sh", "bb.sh")} >= 0.8),
+         |clean AS (SELECT doc_id, n_tokens, quality,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+         |      THEN 'heldout' ELSE 'train' END AS split,
+         |    t
+         |  FROM e JOIN tk2 USING (doc_id)
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM pv)),
+         |g AS (SELECT doc_id, split, md5(unnest(${shingleSqlN(8)})) AS gh FROM clean),
+         |tg AS (SELECT DISTINCT gh FROM g WHERE split = 'train'),
+         |cont AS (SELECT DISTINCT doc_id FROM g
+         |         WHERE split = 'heldout' AND gh IN (SELECT gh FROM tg))
+         |SELECT doc_id, split, n_tokens, quality FROM clean
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         |ORDER BY doc_id""".stripMargin,
+
     "q24_simhash" -> {
       // per token: hi = md5 hex chars 1-8 (simhash bits 32-63), lo = 9-16
       // (bits 0-31), folded nibble-by-nibble; each bit votes ±1; bit 63

@@ -191,6 +191,44 @@ object QueryCatalog {
       .select("doc_id", "n_tokens", "quality")
   }
 
+  /** The capstone composition (q49): the full training-corpus preparation a
+    * pre-training pipeline runs, end-to-end in one plan —
+    * quality filter → exact dedup (keep lowest id) → verified near-dup
+    * removal (LSH candidates re-scored with true Jaccard) → deterministic
+    * train/heldout split → heldout decontamination (drop heldout docs
+    * sharing any exact 8-gram with a surviving train doc). Every stage is
+    * individually oracle-checked (q15/q14/q19+q32/q43/q44); this query
+    * checks their composition.
+    */
+  def trainingCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = docs.select(
+      col("doc_id"), col("text"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    val q = scored.filter(col("quality") >= 0.5)
+    val e = q
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep"))
+      .drop("fp", "keep")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nearDups = Dedup.nearDupPairs(e, "doc_id", "text", shingleN = 3, threshold = 0.8)
+      .select(col("doc_b"))
+    val clean = e.join(nearDups, e("doc_id") === nearDups("doc_b"), "left_anti")
+      .withColumn("split", splitCol(col("doc_id")))
+    val grams = clean.select(col("doc_id"), col("split"),
+        explode(Dedup.shingleSet(col("text"), 8)).as("g"))
+      .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
+    val trainGrams = grams.filter(col("split") === "train").select("gh").distinct()
+    val contaminated = grams.filter(col("split") === "heldout")
+      .join(trainGrams, Seq("gh"), "left_semi")
+      .select(col("doc_id").as("cont_id")).distinct()
+    clean.join(contaminated, clean("doc_id") === contaminated("cont_id"), "left_anti")
+      .select("doc_id", "split", "n_tokens", "quality")
+      .orderBy("doc_id")
+  }
+
   // ---- extensions: similarity search --------------------------------------
 
   def cosineScores(s: SparkSession, dir: String): DataFrame = {

@@ -35,6 +35,15 @@ class QueryPlanSpec extends SparkSpec {
       s"tf→df join should be an equi join:\n${plan.take(1500)}")
   }
 
+  test("q46 as-of join: one shuffle on the key, no nested-loop despite the ts inequality") {
+    val plan = executedPlan(QueryCatalog.asofEventsOrders(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not theta-join:\n${plan.take(1500)}")
+    // the union + window construction shuffles the combined stream once
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one key shuffle, got $exchanges:\n${plan.take(1500)}")
+  }
+
   test("q47 range join: bucketed equi join, no nested-loop despite the interval predicate") {
     val plan = executedPlan(QueryCatalog.rangeJoinOrderLines(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -164,32 +164,46 @@ object QueryCatalog {
               round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
   }
 
+  /** Session-cached clean corpus — the shared prefix of q32 and q49
+    * (quality filter → exact dedup keep-lowest-id → verified near-dup
+    * removal), materialized once per (session, dir) like Star.build: at
+    * scale the deduped corpus is THE artifact every downstream consumer
+    * reads, so it is computed and persisted once, not per query.
+    * Columns: doc_id, text, n_tokens, quality.
+    */
+  private val corpusCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def cleanedCorpus(s: SparkSession, dir: String): DataFrame =
+    corpusCache.getOrElseUpdate((s, dir), {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(
+        col("doc_id"), col("text"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val q = scored.filter(col("quality") >= 0.5)
+      // e feeds three consumers (LSH banding, Jaccard-verification sets,
+      // the final anti-join) — persist so quality scoring + the dedup
+      // window run once, not three times
+      val e = q
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("keep", min(col("doc_id")).over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("keep"))
+        .drop("fp", "keep")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nearDups = Dedup.nearDupPairs(e, "doc_id", "text", shingleN = 3, threshold = 0.8)
+        .select(col("doc_b"))
+      e.join(nearDups, e("doc_id") === nearDups("doc_b"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Flagship LLM-data-pipeline composition: quality filter → exact dedup
     * (keep lowest id per canonical fingerprint) → verified near-dup removal
     * (LSH candidates re-scored with true Jaccard, drop the higher id of
     * each pair ≥ 0.8). Returns the clean corpus with its stats.
     */
-  def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val scored = docs.select(
-      col("doc_id"), col("text"),
-      TextOps.tokenCount(col("text")).as("n_tokens"),
-      TextOps.qualityScore(col("text")).as("quality"))
-    val q = scored.filter(col("quality") >= 0.5)
-    // e feeds three consumers (LSH banding, Jaccard-verification sets, the
-    // final anti-join) — persist so quality scoring + the dedup window run
-    // once, not three times
-    val e = q
-      .withColumn("fp", TextOps.fingerprint(col("text")))
-      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy("fp")))
-      .filter(col("doc_id") === col("keep"))
-      .drop("fp", "keep")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nearDups = Dedup.nearDupPairs(e, "doc_id", "text", shingleN = 3, threshold = 0.8)
-      .select(col("doc_b"))
-    e.join(nearDups, e("doc_id") === nearDups("doc_b"), "left_anti")
-      .select("doc_id", "n_tokens", "quality")
-  }
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame =
+    cleanedCorpus(s, dir).select("doc_id", "n_tokens", "quality")
 
   /** The capstone composition (q49): the full training-corpus preparation a
     * pre-training pipeline runs, end-to-end in one plan —
@@ -201,21 +215,7 @@ object QueryCatalog {
     * checks their composition.
     */
   def trainingCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val scored = docs.select(
-      col("doc_id"), col("text"),
-      TextOps.tokenCount(col("text")).as("n_tokens"),
-      TextOps.qualityScore(col("text")).as("quality"))
-    val q = scored.filter(col("quality") >= 0.5)
-    val e = q
-      .withColumn("fp", TextOps.fingerprint(col("text")))
-      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy("fp")))
-      .filter(col("doc_id") === col("keep"))
-      .drop("fp", "keep")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nearDups = Dedup.nearDupPairs(e, "doc_id", "text", shingleN = 3, threshold = 0.8)
-      .select(col("doc_b"))
-    val clean = e.join(nearDups, e("doc_id") === nearDups("doc_b"), "left_anti")
+    val clean = cleanedCorpus(s, dir)
       .withColumn("split", splitCol(col("doc_id")))
     val grams = clean.select(col("doc_id"), col("split"),
         explode(Dedup.shingleSet(col("text"), 8)).as("g"))

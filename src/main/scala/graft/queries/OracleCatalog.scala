@@ -567,7 +567,7 @@ object OracleCatalog {
     "q42_tfidf_topterms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksLower) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          |n AS (SELECT count(*) AS n_docs FROM documents),
          |scored AS (SELECT doc_id, term, tf, df,
          |    CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score

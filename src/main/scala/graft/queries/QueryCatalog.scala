@@ -419,7 +419,10 @@ object QueryCatalog {
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
     val tf   = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    // df derives from tf — one (doc,term) row per distinct pair already
+    // exists there, so counting rows per term IS the distinct-doc count;
+    // re-aggregating the raw exploded tokens would re-run the explode
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n    = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(dfreq, Seq("term"))

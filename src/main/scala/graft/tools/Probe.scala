@@ -23,23 +23,26 @@ object Probe {
     // warmup so first measurement isn't session startup
     spark.range(100000).selectExpr("md5(cast(id as string)) h").groupBy("h").count().count()
 
-    def time(label: String)(f: => Long): Unit = {
+    // time a noop WRITE, not count() — a bare count lets Catalyst prune
+    // projection work, so count-timings understate projection-heavy
+    // queries (same fix as Bench)
+    def time(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val n  = f
-      println(f"[probe] $label rows=$n%d time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[probe] $label time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
     args.drop(1).headOption match {
       case Some(q) =>
         val fn = graft.SparkEntry.queries(q)
-        for (run <- 1 to 3) time(s"$q run$run")(fn(spark, dir).count())
+        for (run <- 1 to 3) time(s"$q run$run")(fn(spark, dir))
         println(fn(spark, dir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode).linesIterator
           .takeWhile(_.nonEmpty).mkString("\n"))
       case None =>
         println(s"[probe] entry rows=${graft.SparkEntry.entry(spark).count()}")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-          time(name)(fn(spark, dir).count())
+          time(name)(fn(spark, dir))
         }
     }
     spark.stop()

@@ -90,7 +90,9 @@ object SparkEntry {
     // repetition/boilerplate quality rule
     "q48_repetition"          -> (Q.repetitionScore(_, _)),
     // capstone: full training-corpus preparation composition
-    "q49_training_corpus"     -> (Q.trainingCorpus(_, _))
+    "q49_training_corpus"     -> (Q.trainingCorpus(_, _)),
+    // semi-structured path: lossless JSON pack/unpack
+    "q50_json_roundtrip"      -> (Q.jsonRoundtrip(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

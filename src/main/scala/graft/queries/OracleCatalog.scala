@@ -688,6 +688,13 @@ object OracleCatalog {
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    // the oracle pins the ORIGINAL typed values — the Spark side must
+    // round-trip them through JSON losslessly to match
+    "q50_json_roundtrip" ->
+      s"""SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS tp,
+         | ${fmtTs("o_orderdate")} AS od, o_orderstatus AS st_by_path
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

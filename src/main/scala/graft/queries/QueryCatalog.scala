@@ -647,6 +647,33 @@ object QueryCatalog {
         col("max_gram_count").cast("double") / col("n_grams").cast("double"))
       .orderBy("doc_id")
 
+  /** JSON round-trip (q50) — the semi-structured path: pack typed columns
+    * into JSON with to_json, recover them with a schema'd from_json plus a
+    * path-style get_json_object probe. The oracle pins the ORIGINAL typed
+    * values, so any loss in the engine's JSON write/parse (double
+    * shortest-repr fidelity, string escaping, null handling) breaks the
+    * hash. Doubles come back through typed parsing, never through their
+    * JSON string form (string formatting of doubles is engine-specific).
+    */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val o = t(s, dir, "orders")
+    val js = o.select(col("o_orderkey"), to_json(struct(
+      col("o_orderstatus").as("st"),
+      col("o_totalprice").as("tp"),
+      formatTimestampSeconds(col("o_orderdate")).as("od"))).as("j"))
+    val schema = StructType(Seq(
+      StructField("st", StringType), StructField("tp", DoubleType),
+      StructField("od", StringType)))
+    js.select(
+        col("o_orderkey"),
+        from_json(col("j"), schema).as("p"),
+        get_json_object(col("j"), "$.st").as("st_by_path"))
+      .select(col("o_orderkey"), col("p.st").as("st"), col("p.tp").as("tp"),
+              col("p.od").as("od"), col("st_by_path"))
+      .orderBy("o_orderkey")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

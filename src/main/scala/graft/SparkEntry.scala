@@ -9,10 +9,12 @@ import graft.report.Reports
   * `queries` covers SURVEY.md §2's operator inventory (scans, projections,
   * filters, date/time, joins, aggregations, windows, top-K, checks) plus the
   * LLM-pipeline extensions (dedup, minhash/LSH, simhash, text analysis,
-  * similarity search, multimodal plumbing). Entries with a DuckDB
-  * equivalent carry an oracle in [[graft.queries.OracleCatalog]]; the rest
-  * (bit-level simhash, hyperplane LSH, mapPartitions feature extraction)
-  * are rows-only by design.
+  * similarity search, multimodal plumbing, corpus hygiene). EVERY entry
+  * carries a DuckDB oracle in [[graft.queries.OracleCatalog]] — including
+  * the bit-level simhash, the hyperplane-LSH paths (constants serialized
+  * into the SQL), the media byte stats, and the approx/JSON queries
+  * (checked via verified contracts / typed round-trips rather than
+  * engine-specific values).
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -55,13 +57,13 @@ object SparkEntry {
     "q22_ann_topk"            -> (Q.annTopK(_, _)),
     // checks engine
     "q23_checks_report"       -> (Q.checksReport(_, _)),
-    // rows-only (no SQL equivalent): simhash bits, hyperplane LSH, media
+    // bit-level + LSH + media (oracles mirror the bit math / constants)
     "q24_simhash"             -> (Q.simhash(_, _)),
     "q25_lsh_ann_topk"        -> (Q.lshAnnTopK(_, _)),
     "q26_embedding_neardups"  -> (Q.embeddingNearDups(_, _)),
     "q27_media_features"      -> (Q.mediaFeatures(_, _)),
     "q28_media_frames"        -> (Q.mediaFrames(_, _)),
-    // rolling-hash fingerprints (oracle-checked) + IVF ANN (rows-only)
+    // rolling-hash fingerprints + IVF ANN
     "q29_rolling_hash"        -> (Q.rollingHashes(_, _)),
     "q30_ivf_ann_topk"        -> (Q.ivfAnnTopK(_, _)),
     // flagship LLM-pipeline composition (oracle-checked)

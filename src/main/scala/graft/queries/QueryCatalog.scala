@@ -21,8 +21,18 @@ import graft.streaming.EventStreams
   * Engine-portability contract shared with the oracle (see SURVEY.md §7
   * risk list):
   *  - timestamps cross the boundary only as `strftime`-style seconds strings
-  *  - money/quantity sums go through DECIMAL(18,2) then back to double
-  *  - per-row double arithmetic mirrors the exact expression tree
+  *  - money/quantity sums go through DECIMAL(18,4) then back to double;
+  *    window-FRAME sums likewise (double frame sums differ by association
+  *    between Spark's frame scan and DuckDB's segment tree)
+  *  - per-row double arithmetic mirrors the exact expression tree;
+  *    `round(double, d)` is NEVER used on checked values — Spark rounds
+  *    the shortest decimal repr, DuckDB scales-then-rounds in FP; the
+  *    portable form is `floor(x·10^d + 0.5)/10^d` (identical IEEE ops)
+  *  - no `ln`/`log` in checked values (libm ULP divergence) — scores use
+  *    log-free ratios of exact-integer doubles
+  *  - engine-specific approximations (approx_percentile, JSON text forms,
+  *    double→string) never cross the boundary: queries output verified
+  *    CONTRACT booleans or typed round-tripped values instead
   *  - every ranking has a deterministic tie-break
   *  - hashes are md5 hex strings; minima over them are lexicographic
   */

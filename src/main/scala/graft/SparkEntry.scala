@@ -94,7 +94,9 @@ object SparkEntry {
     // capstone: full training-corpus preparation composition
     "q49_training_corpus"     -> (Q.trainingCorpus(_, _)),
     // semi-structured path: lossless JSON pack/unpack
-    "q50_json_roundtrip"      -> (Q.jsonRoundtrip(_, _))
+    "q50_json_roundtrip"      -> (Q.jsonRoundtrip(_, _)),
+    // regex scrubbing / PII-style redaction
+    "q51_redaction"           -> (Q.redaction(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -695,6 +695,15 @@ object OracleCatalog {
          | ${fmtTs("o_orderdate")} AS od, o_orderstatus AS st_by_path
          |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // 'g' flag: DuckDB's regexp_replace is first-match-only by default,
+    // Spark's replaces all
+    "q51_redaction" ->
+      """SELECT c_custkey,
+        | regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+        | coalesce(regexp_extract(c_name, '[0-9]+', 0), '') AS id_str,
+        | CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER) AS n_digit_runs
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

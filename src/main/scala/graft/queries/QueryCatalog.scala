@@ -684,6 +684,22 @@ object QueryCatalog {
       .orderBy("o_orderkey")
   }
 
+  /** Regex scrubbing/redaction (q51) — the PII-masking primitive of a
+    * corpus pipeline: digit runs masked, the identifier extracted, match
+    * counts kept for auditing. Patterns stay inside the regex subset both
+    * engines' dialects (Java regex / RE2) treat identically — character
+    * classes, +, anchors; no backrefs or lookaround. DuckDB needs the 'g'
+    * flag to match Spark's replace-all semantics.
+    */
+  def redaction(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+        regexp_extract(col("c_name"), "[0-9]+", 0).as("id_str"),
+        expr("regexp_count(c_name, '[0-9]+')").cast("int").as("n_digit_runs"))
+      .orderBy("c_custkey")
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

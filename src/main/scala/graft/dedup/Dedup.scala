@@ -177,7 +177,8 @@ object Dedup {
       .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.ops.CoreOps.roundPortable(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Jaccard similarity of two pre-distinct arrays. */

@@ -108,6 +108,19 @@ object CoreOps {
   def sumMoney(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** Engine-portable d-digit rounding: `floor(x·10^d + 0.5)/10^d` — the
+    * same IEEE ops in Spark and DuckDB, so results are bit-identical.
+    * `round(double, d)` is NOT portable: Spark rounds the shortest decimal
+    * repr (BigDecimal.valueOf) HALF_UP while DuckDB scales-then-rounds in
+    * FP, and they disagree whenever the shortest repr ends in 5 at digit
+    * d+1 (the r1 q21 hash mismatch). Every rounded checked value goes
+    * through this form.
+    */
+  def roundPortable(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
   /** Skew-resistant equi-join: the big (skewed) side gets a deterministic
     * salt derived from a high-cardinality discriminator column; the small
     * side is replicated once per salt. A hot key's rows then spread over

@@ -104,14 +104,14 @@ object OracleCatalog {
        | FROM $src)""".stripMargin
 
   /** Composite quality score over statsCte columns (mirrors
-    * TextOps.qualityScore's exact expression tree). */
+    * TextOps.qualityScore's exact expression tree, portable floor-round). */
   private val qualityExpr: String =
-    """round(greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+    """floor((greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
       |   CAST(0.4 AS DOUBLE) * (CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
       |   + CAST(0.4 AS DOUBLE) * least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
       |   - CAST(0.1 AS DOUBLE) * (CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))
       |   - CAST(0.1 AS DOUBLE) * (CAST(n_digits AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))
-      |   + CAST(0.3 AS DOUBLE))), 6)""".stripMargin
+      |   + CAST(0.3 AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
 
   private def minhash(i: Int): String =
     s"list_min(list_transform(sh, x -> md5('$i|' || x)))"
@@ -288,9 +288,9 @@ object OracleCatalog {
          |        lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS doc_b, sh AS sh_a
          |      FROM sh)
          |SELECT doc_a, doc_b,
-         | round(CASE WHEN (len(sh_a) + len(b.sh) - len(list_intersect(sh_a, b.sh))) = 0 THEN CAST(0.0 AS DOUBLE)
+         | floor((CASE WHEN (len(sh_a) + len(b.sh) - len(list_intersect(sh_a, b.sh))) = 0 THEN CAST(0.0 AS DOUBLE)
          |   ELSE CAST(len(list_intersect(sh_a, b.sh)) AS DOUBLE)
-         |        / CAST(len(sh_a) + len(b.sh) - len(list_intersect(sh_a, b.sh)) AS DOUBLE) END, 6) AS jaccard
+         |        / CAST(len(sh_a) + len(b.sh) - len(list_intersect(sh_a, b.sh)) AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |FROM p JOIN sh b ON p.doc_b = b.doc_id
          |WHERE doc_b IS NOT NULL""".stripMargin,
 
@@ -521,10 +521,10 @@ object OracleCatalog {
         |ORDER BY op_tag, o_orderkey""".stripMargin,
 
     "q36_percentiles" ->
-      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50,
-        | round(quantile_cont(l_quantity, 0.9), 4) AS p90,
-        | round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      s"""SELECT l_returnflag, ${round4("quantile_cont(l_quantity, 0.5)")} AS p50,
+         | ${round4("quantile_cont(l_quantity, 0.9)")} AS p90,
+         | ${round4("quantile_cont(l_extendedprice, 0.99)")} AS price_p99
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q37_events_pivot" -> {
       val types = Seq("click", "view", "purchase", "signup", "error")

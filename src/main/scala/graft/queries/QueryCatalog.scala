@@ -171,7 +171,7 @@ object QueryCatalog {
     val right = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     withNext.join(right, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-              round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+              roundPortable(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
   }
 
   /** Session-cached clean corpus — the shared prefix of q32 and q49
@@ -358,9 +358,9 @@ object QueryCatalog {
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99"))
+        roundPortable(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        roundPortable(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        roundPortable(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99"))
       .orderBy("l_returnflag")
 
   /** Static pivot: per event_type counts + value sums as columns, one row

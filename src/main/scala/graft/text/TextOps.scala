@@ -62,7 +62,7 @@ object TextOps {
     val punctR = punctCount(text).cast("double") / greatest(chars, lit(1.0))
     val digitR = digitCount(text).cast("double") / greatest(chars, lit(1.0))
     val lenOk  = when(n >= 5 && n <= 10000, lit(1.0)).otherwise(lit(0.0))
-    round(
+    graft.ops.CoreOps.roundPortable(
       greatest(lit(0.0), least(lit(1.0),
         lit(0.4) * lenOk + lit(0.4) * least(stopR * lit(4.0), lit(1.0))
           - lit(0.1) * punctR - lit(0.1) * digitR + lit(0.3))),

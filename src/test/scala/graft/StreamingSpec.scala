@@ -11,6 +11,32 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("file readStream drained with Trigger.AvailableNow matches the batch aggregation") {
+    // the production source path MemoryStream doesn't exercise: schema'd
+    // parquet directory in, windowed aggregation, Complete-mode memory sink
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val batchEvents = graft.io.Tables.events(spark, sf)
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = EventStreams.windowedCounts(streamed)
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val stream = spark.sql(
+        "SELECT window_start, event_type, n_events FROM file_stream_test")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = EventStreams.windowedCounts(batchEvents)
+        .select("window_start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(stream == batch,
+        s"stream/batch divergence: ${stream.size} vs ${batch.size} windows")
+      assert(stream.values.sum == batchEvents.count())
+    } finally q.stop()
+  }
+
   test("windowedCounts over a MemoryStream: tumbling windows + watermark") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]

@@ -96,7 +96,9 @@ object SparkEntry {
     // semi-structured path: lossless JSON pack/unpack
     "q50_json_roundtrip"      -> (Q.jsonRoundtrip(_, _)),
     // regex scrubbing / PII-style redaction
-    "q51_redaction"           -> (Q.redaction(_, _))
+    "q51_redaction"           -> (Q.redaction(_, _)),
+    // banded simhash near-dup pairs (exact recall for hamming <= 3)
+    "q52_simhash_neardups"    -> (Q.simhashNearDups(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -200,4 +200,32 @@ object Dedup {
   /** Hamming distance between two simhash-64 values. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs: banded candidate generation + exact
+    * hamming verification. The 64-bit simhash splits into four 16-bit
+    * bands; by pigeonhole any pair within hamming distance ≤ 3 agrees on
+    * at least one whole band, so the band equi-join has EXACT recall for
+    * maxHamming ≤ 3 while only expanding pairs inside band buckets — the
+    * same never-form-the-pair-space shape as MinHash LSH. Shift is
+    * arithmetic + mask (identical to a logical shift once masked), which
+    * both engines spell the same way.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands give exact recall only for hamming <= 3")
+    val sh = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sh.select(col("doc_id"), col("h"), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+             shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+    }: _*)).as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("h").as("ha"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("h").as("hb"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming64(col("ha"), col("hb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

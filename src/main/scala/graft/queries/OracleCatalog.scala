@@ -123,6 +123,29 @@ object OracleCatalog {
 
   private val stopList = graft.text.TextOps.StopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  /** SimHash-64 per doc as CTEs ending in sim(doc_id, simhash) — per
+    * token: hi = md5 hex chars 1-8 (simhash bits 32-63), lo = 9-16 (bits
+    * 0-31), folded nibble-by-nibble; each bit votes ±1; bit 63
+    * materializes as BIGINT min to dodge signed overflow. Shared by q24
+    * and q52. */
+  private val simhashCtes: String = {
+    def hexFold(start: Int) =
+      s"list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT) " +
+        s"for i in generate_series($start, ${start + 7})], (a, x) -> a * 16 + x)"
+    val votes = (0 until 64).map { b =>
+      val half = if (b < 32) s"lo >> $b" else s"hi >> ${b - 32}"
+      s"sum(CASE WHEN (($half) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n  ")
+    val assemble = (0 until 63).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ") + " + (CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
+    s"""tok AS (SELECT doc_id, unnest($toksLower) AS t FROM documents),
+       |h AS (SELECT doc_id, ${hexFold(1)} AS hi, ${hexFold(9)} AS lo FROM tok),
+       |v AS (SELECT doc_id,
+       |  $votes
+       | FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $assemble AS simhash FROM v)""".stripMargin
+  }
+
   // ---- vector fragments ----------------------------------------------------
 
   private val dotSelf  = "list_reduce([v[i] * v[i] for i in generate_series(1, len(v))], (acc, x) -> acc + x)"
@@ -376,26 +399,23 @@ object OracleCatalog {
          |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
          |ORDER BY doc_id""".stripMargin,
 
-    "q24_simhash" -> {
-      // per token: hi = md5 hex chars 1-8 (simhash bits 32-63), lo = 9-16
-      // (bits 0-31), folded nibble-by-nibble; each bit votes ±1; bit 63
-      // materializes as BIGINT min to dodge signed overflow.
-      def hexFold(start: Int) =
-        s"list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT) " +
-          s"for i in generate_series($start, ${start + 7})], (a, x) -> a * 16 + x)"
-      val votes = (0 until 64).map { b =>
-        val half = if (b < 32) s"lo >> $b" else s"hi >> ${b - 32}"
-        s"sum(CASE WHEN (($half) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
-      }.mkString(",\n  ")
-      val assemble = (0 until 63).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString(" + ") + " + (CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
-      s"""WITH tok AS (SELECT doc_id, unnest($toksLower) AS t FROM documents),
-         |h AS (SELECT doc_id, ${hexFold(1)} AS hi, ${hexFold(9)} AS lo FROM tok),
-         |v AS (SELECT doc_id,
-         |  $votes
-         | FROM h GROUP BY doc_id)
-         |SELECT doc_id, $assemble AS simhash FROM v""".stripMargin
-    },
+    "q24_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sim""".stripMargin,
+
+    // banded simhash near-dups: 4×16-bit bands (arithmetic shift + mask ==
+    // logical shift), pairs inside band buckets only, exact hamming verify
+    "q52_simhash_neardups" ->
+      s"""WITH $simhashCtes,
+         |bands AS (SELECT doc_id, simhash, b.band,
+         |    (simhash >> (b.band * 16)) & 65535 AS key
+         |  FROM sim, (VALUES (0), (1), (2), (3)) b(band))
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+         |FROM bands l JOIN bands r
+         |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q25_lsh_ann_topk" -> {
       // same probe-mask set Similarity.lshTopK builds for nBits=6, probeFlips=2

@@ -286,6 +286,13 @@ object QueryCatalog {
   def simhash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
 
+  /** SimHash near-dup pairs (q52): banded candidates + exact hamming —
+    * see Dedup.simhashNearDups (exact recall for hamming ≤ 3 by
+    * pigeonhole over four 16-bit bands). */
+  def simhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
   // ---- extensions: multimodal plumbing (rows-only: mapPartitions) ---------
 
   /** Oracle-mirrorable slice of the media-feature extraction: n_bytes and

@@ -98,7 +98,9 @@ object SparkEntry {
     // regex scrubbing / PII-style redaction
     "q51_redaction"           -> (Q.redaction(_, _)),
     // banded simhash near-dup pairs (exact recall for hamming <= 3)
-    "q52_simhash_neardups"    -> (Q.simhashNearDups(_, _))
+    "q52_simhash_neardups"    -> (Q.simhashNearDups(_, _)),
+    // ranking-function breadth (rank/dense_rank/percent_rank/cume_dist/ntile)
+    "q53_rank_functions"      -> (Q.rankFunctions(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

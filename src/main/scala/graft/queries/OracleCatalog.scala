@@ -724,6 +724,17 @@ object OracleCatalog {
         | CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER) AS n_digit_runs
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "q53_rank_functions" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        | CAST(rank() OVER w AS INTEGER) AS rnk,
+        | CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        | percent_rank() OVER w AS prnk,
+        | cume_dist() OVER w AS cdist,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC)""".stripMargin,
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

@@ -707,6 +707,27 @@ object QueryCatalog {
         expr("regexp_count(c_name, '[0-9]+')").cast("int").as("n_digit_runs"))
       .orderBy("c_custkey")
 
+  /** Ranking-function breadth (q53): rank / dense_rank / percent_rank /
+    * cume_dist / ntile over one shared window. Tie semantics are exercised
+    * deliberately (l_quantity repeats heavily): rank functions agree on
+    * ties by definition; ntile does NOT, so the order-by carries the full
+    * deterministic tie-break (quantity, orderkey, linenumber).
+    * percent_rank/cume_dist are exact-integer double divisions — portable
+    * without rounding.
+    */
+  def rankFunctions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(asc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

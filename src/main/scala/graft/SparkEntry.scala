@@ -100,7 +100,9 @@ object SparkEntry {
     // banded simhash near-dup pairs (exact recall for hamming <= 3)
     "q52_simhash_neardups"    -> (Q.simhashNearDups(_, _)),
     // ranking-function breadth (rank/dense_rank/percent_rank/cume_dist/ntile)
-    "q53_rank_functions"      -> (Q.rankFunctions(_, _))
+    "q53_rank_functions"      -> (Q.rankFunctions(_, _)),
+    // near-dup pairs -> connected components -> canonical doc per cluster
+    "q54_dedup_clusters"      -> (Q.dedupClusters(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,102 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over a candidate-pair graph — the
+  * transitive-closure step that turns near-dup PAIRS into dedup CLUSTERS.
+  *
+  * Pairs alone under-dedup: if A~B and B~C but A!~C (similarity is not
+  * transitive, and LSH banding needn't surface every edge of a clique),
+  * dropping `doc_b` of each pair can still keep two documents of the same
+  * cluster. The fix every production dedup pipeline ships is components:
+  * label each doc with min(doc id) over its connected component and keep
+  * one representative per label.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping —
+  *   propagate:  label(v) <- min(label(v), min over neighbors u of label(u))
+  *   jump:       label(v) <- label(label(v))
+  * Both steps preserve the invariant that label(v) is the id of a vertex in
+  * v's component and never increase it, so the fixpoint is the component
+  * minimum. Propagation alone needs O(diameter) rounds; the jump step
+  * roughly halves remaining path length per round, giving O(log n) rounds
+  * on chain-shaped components (the worst case for boilerplate-heavy
+  * corpora where doc i edges to doc i+1).
+  *
+  * Scale shape: per round, one shuffle join edges⋈labels + one min
+  * aggregate + one self-join — every structure is O(|V| + |E|), nothing
+  * ever materializes a component member list or the pair space. Each
+  * round's labels are `localCheckpoint`ed: persist alone is NOT enough
+  * here, because the jump step references the propagate frame twice and
+  * the change-count references two rounds — the analyzed logical plan
+  * would grow ~4× per round (exponential; OOMs the planner by round ~8).
+  * Checkpointing truncates lineage so every round plans against a flat
+  * scan. On a real cluster prefer reliable checkpointing
+  * (`sc.setCheckpointDir` + `checkpoint()`) for executor-loss tolerance;
+  * the algorithm is unchanged.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given by `edges`.
+    *
+    * @param edges    two-column frame of undirected edges (self-loops fine)
+    * @param srcCol   edge source column in `edges`
+    * @param dstCol   edge destination column in `edges`
+    * @param vertices one-column frame of ALL vertex ids (a superset of the
+    *                 edge endpoints — isolated vertices become singleton
+    *                 components labelled by themselves)
+    * @param idCol    vertex id column in `vertices`
+    * @param maxIters convergence guard; propagation+jumping converges in
+    *                 O(log n) rounds so the default is generous
+    * @return (idCol, "component") — component = min vertex id reachable
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          vertices: DataFrame, idCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    // Symmetrized edges plus a self-loop per vertex: with self-loops, the
+    // propagate join alone covers every vertex AND its own current label,
+    // so the loop body needs no union with the label frame (unioning a
+    // checkpointed frame with its own derivative also trips Catalyst's
+    // Union constraint rewrite on the shared attribute ids).
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .union(vertices.select(col(idCol).as("src"), col(idCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // propagate: min over own label (via self-loop) and neighbors' labels;
+      // checkpointed because the jump self-join reads it twice — the
+      // barrier both dedups the propagate work and keeps the plan flat
+      val prop = sym
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      // jump: adopt the label of the vertex the label points at. Labels
+      // always name live vertices (min of vertex ids), so the join is a
+      // left join only as belt-and-braces.
+      val next = prop.as("a")
+        .join(prop.select(col("id").as("pid"), col("label").as("plabel")),
+              col("a.label") === col("pid"), "left")
+        .select(col("a.id").as("id"),
+                coalesce(col("plabel"), col("a.label")).as("label"))
+        .localCheckpoint()
+      // convergence check against the previous round's labels
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
+        .filter(col("label") =!= col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("component"))
+  }
+}

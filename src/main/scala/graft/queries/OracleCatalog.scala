@@ -735,6 +735,34 @@ object OracleCatalog {
         |WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC)""".stripMargin,
 
+    // dedup clusters: verified near-dup pairs (the q19 candidates re-scored
+    // with true Jaccard, q32's `pv` shape) → connected components via a
+    // recursive reachability CTE; component = min reachable doc_id — the
+    // same fixpoint the Spark min-label propagation converges to.
+    "q54_dedup_clusters" ->
+      s"""WITH RECURSIVE $tkCte, $shCte,
+         |sig AS (SELECT doc_id, $sigCols FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, ${bandKey(b)} AS band_key FROM sig")
+              .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |         FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |ver AS (SELECT cand.doc_a, cand.doc_b FROM cand
+         |        JOIN sh a ON cand.doc_a = a.doc_id
+         |        JOIN sh bb ON cand.doc_b = bb.doc_id
+         |        WHERE ${jaccardSql("a.sh", "bb.sh")} >= 0.8),
+         |ed AS (SELECT doc_a AS s, doc_b AS d FROM ver
+         |       UNION ALL SELECT doc_b AS s, doc_a AS d FROM ver),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN ed e ON e.s = r.node),
+         |comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node)
+         |SELECT doc_id, component,
+         | CAST(count(*) OVER (PARTITION BY component) AS INTEGER) AS cluster_size,
+         | doc_id = component AS is_canonical
+         |FROM comp""".stripMargin,
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

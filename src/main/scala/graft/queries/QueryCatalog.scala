@@ -728,6 +728,24 @@ object QueryCatalog {
         ntile(4).over(w).as("quartile"))
   }
 
+  /** Dedup clusters (q54): verified near-dup pairs → connected components
+    * → one canonical doc per cluster. The transitive-closure step pair
+    * lists omit: A~B~C groups as ONE cluster even when LSH never surfaced
+    * the A-C edge. Every document gets a row (isolated docs are singleton
+    * clusters), so downstream dedup is `filter(is_canonical)`.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs  = t(s, dir, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.8)
+    val comp  = graft.dedup.Components.connectedComponents(
+      pairs, "doc_a", "doc_b", docs.select("doc_id"), "doc_id")
+    comp
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")).cast("int"))
+      .withColumn("is_canonical", col("doc_id") === col("component"))
+      .select("doc_id", "component", "cluster_size", "is_canonical")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Components
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force union-find reference. */
+  private def ufComponents(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(vertices.map(v => v -> v): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress fully, then label = min of component (find gives the
+    // min root because unions always point the larger root at the smaller)
+    vertices.map(v => v -> find(v)).toMap
+  }
+
+  private def run(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val v = vertices.toDF("doc_id")
+    val e = edges.toDF("doc_a", "doc_b")
+    Components.connectedComponents(e, "doc_a", "doc_b", v, "doc_id")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("chain graph (worst case for plain propagation) labels to the min") {
+    val vs = (1L to 40L)
+    val es = (1L until 40L).map(i => (i, i + 1))
+    assert(run(vs, es) == ufComponents(vs, es))
+  }
+
+  test("mixed graph: cliques, chains, singletons, self-loops") {
+    val vs = (1L to 30L)
+    val es = Seq(
+      (2L, 5L), (5L, 9L), (2L, 9L),            // triangle
+      (11L, 12L), (12L, 13L), (13L, 14L),      // chain
+      (20L, 20L),                              // self-loop singleton
+      (25L, 30L)                               // pair
+    )
+    val got = run(vs, es)
+    assert(got == ufComponents(vs, es))
+    assert(got(1L) == 1L && got(3L) == 3L)     // isolated vertices stay themselves
+    assert(got(9L) == 2L && got(14L) == 11L && got(30L) == 25L)
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val vs = (1L to n.toLong)
+      val es = Seq.fill(45)((rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))
+      assert(run(vs, es) == ufComponents(vs, es))
+    }
+  }
+}

@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: local[32] runs all execution in this one JVM, and GC
+  // pressure under 32 concurrent task threads showed up as multi-second
+  // per-query stalls at 8g in shared-box bench runs. Override with
+  // SPARK_DRIVER_MEM where the box is smaller.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

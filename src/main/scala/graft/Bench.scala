@@ -27,6 +27,13 @@ object Bench {
     // that owns it: q02-q05 fill their dim caches, q06 fills the fact, the
     // report queries then read the cache — not on whichever star consumer
     // HashMap iteration happens to put first.
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
+    val gc0 = gcMillis
+    val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -36,7 +43,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // value = sum of sequential per-query wall times (comparable across
+    // rounds). gc_sec/wall_sec are diagnostics: gc_sec ≫ 0 or
+    // wall_sec ≫ value means the run was GC-bound / box-contended and the
+    // per-query numbers carry that noise.
+    val diag = s""""wall_sec":${(System.nanoTime() - wall0) / 1e9},"gc_sec":${(gcMillis - gc0) / 1e3}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$diag,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

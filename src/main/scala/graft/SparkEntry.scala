@@ -102,7 +102,15 @@ object SparkEntry {
     // ranking-function breadth (rank/dense_rank/percent_rank/cume_dist/ntile)
     "q53_rank_functions"      -> (Q.rankFunctions(_, _)),
     // near-dup pairs -> connected components -> canonical doc per cluster
-    "q54_dedup_clusters"      -> (Q.dedupClusters(_, _))
+    "q54_dedup_clusters"      -> (Q.dedupClusters(_, _)),
+    // training-pipeline breadth: chunking / packing / sampling / reshaping
+    "q55_chunking"            -> (Q.chunkDocs(_, _)),
+    "q56_packing"             -> (Q.packSequences(_, _)),
+    "q57_stratified_sample"   -> (Q.stratifiedSample(_, _)),
+    "q58_unpivot"             -> (Q.unpivotMetrics(_, _)),
+    // sketch contracts + candidate verification
+    "q59_approx_distinct"     -> (Q.approxDistinctContract(_, _)),
+    "q60_edit_distance"       -> (Q.editDistancePairs(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -65,38 +65,61 @@ object Components {
       .union(vertices.select(col(idCol).as("src"), col(idCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint()
+    val sc = edges.sparkSession.sparkContext
+    // localCheckpoint is EAGER: the frame's blocks are persisted by the
+    // time the call returns, so diffing getPersistentRDDs around it yields
+    // exactly the RDD ids backing that frame. Tracking them lets each
+    // round free its predecessor's blocks explicitly instead of leaving
+    // O(rounds) checkpointed frames to the ContextCleaner (the blocks of a
+    // truncated-lineage frame are NOT recomputable, so a frame is only
+    // released once nothing downstream can reference it again).
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+    var (labels, labelIds) = checkpointTracked(
+      vertices.select(col(idCol).as("id"), col(idCol).as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       // propagate: min over own label (via self-loop) and neighbors' labels;
       // checkpointed because the jump self-join reads it twice — the
       // barrier both dedups the propagate work and keeps the plan flat
-      val prop = sym
+      val (prop, propIds) = checkpointTracked(sym
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .select(col("dst").as("id"), col("label"))
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .groupBy("id").agg(min("label").as("label")))
       // jump: adopt the label of the vertex the label points at. Labels
       // always name live vertices (min of vertex ids), so the join is a
       // left join only as belt-and-braces.
-      val next = prop.as("a")
+      val (next, nextIds) = checkpointTracked(prop.as("a")
         .join(prop.select(col("id").as("pid"), col("label").as("plabel")),
               col("a.label") === col("pid"), "left")
         .select(col("a.id").as("id"),
-                coalesce(col("plabel"), col("a.label")).as("label"))
-        .localCheckpoint()
+                coalesce(col("plabel"), col("a.label")).as("label")))
       // convergence check against the previous round's labels
       val changed = next
         .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
         .filter(col("label") =!= col("prev"))
         .count()
+      // `next` is materialized; the propagate frame and the previous
+      // round's labels can never be referenced again — free their blocks
+      release(propIds)
+      release(labelIds)
       labels = next
+      labelIds = nextIds
       converged = changed == 0
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: labels NOT converged after $maxIters rounds — " +
+        "component ids may be non-minimal; raise maxIters")
     labels.select(col("id").as(idCol), col("label").as("component"))
   }
 }

@@ -76,7 +76,17 @@ object Dedup {
     * |docs| × bands rows, the only thing that ever shuffles.
     */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
-               shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+               shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    lshBandsWithSig(docs, idCol, textCol, shingleN, k, rowsPerBand)._1
+
+  /** [[lshBands]] plus the persisted signature frame backing it, so callers
+    * that fully consume the bands (e.g. [[minhashCandidatePairs]]) can
+    * unpersist the signature cache instead of leaving it to ContextCleaner
+    * GC. Callers that keep the returned bands lazy must NOT unpersist until
+    * their own result is materialized.
+    */
+  private[graft] def lshBandsWithSig(docs: DataFrame, idCol: String, textCol: String,
+               shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
     require(k % rowsPerBand == 0, "k must divide into bands evenly")
     val bands = k / rowsPerBand
     // Compute the k-hash signature in ONE codegen'd projection (identical
@@ -103,9 +113,10 @@ object Dedup {
         md5(substring(col("sigs"), b * rowsPerBand * 33 + 1, rowsPerBand * 33 - 1)).as("band_key")
       )
     }
-    sigDf
+    val banded = sigDf
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    (banded, sigDf)
   }
 
   /** Candidate near-dup pairs from LSH buckets. NOT a bucket self-join
@@ -124,7 +135,7 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
                             maxBucket: Int = Int.MaxValue): DataFrame = {
-    val b = lshBands(docs, idCol, textCol, shingleN, k, rowsPerBand)
+    val (b, sigDf) = lshBandsWithSig(docs, idCol, textCol, shingleN, k, rowsPerBand)
     val blocked =
       if (maxBucket == Int.MaxValue)
         b.withColumn("__blk", lit(0L))
@@ -157,10 +168,19 @@ object Dedup {
     val pairs = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         y => struct(x.as("doc_a"), y.as("doc_b")))))
-    buckets
+    // Eager-materialize the (small: bounded by true near-dup density) pair
+    // set so the |docs|-sized signature cache can be released NOW rather
+    // than accumulating one persisted frame per invocation until
+    // ContextCleaner GC. localCheckpoint doubles as the lineage barrier —
+    // downstream consumers (Jaccard verification, components) replan
+    // against a flat scan of the pairs.
+    val out = buckets
       .select(explode(pairs).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+      .localCheckpoint()
+    sigDf.unpersist()
+    out
   }
 
   /** Verified near-dup pairs: LSH candidates re-scored with true n-gram
@@ -213,18 +233,32 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 bands give exact recall only for hamming <= 3")
-    val sh = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sh.select(col("doc_id"), col("h"), explode(array((0 until 4).map { b =>
-      struct(lit(b).as("band"),
-             shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
-    }: _*)).as("bk"))
+    // One simhash pass, one shuffle on (band, key), in-bucket pair
+    // expansion — the same single-aggregation shape as
+    // minhashCandidatePairs, NOT a bucket self-join (which reads the
+    // simhash projection twice and historically leaked a persisted frame
+    // per invocation). Buckets group docs agreeing on one 16-bit band:
+    // tiny when the corpus is clean, and the (doc_id, h) structs they
+    // collect are 16 bytes/doc.
+    val banded = docs
+      .select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("h"))
+      .select(col("doc_id"), col("h"), explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+               shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+      }: _*)).as("bk"))
       .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
-    val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("h").as("ha"))
-    val r = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("h").as("hb"))
-    l.join(r, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), hamming64(col("ha"), col("hb")).as("hamming"))
+    val buckets = banded
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("h")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    // ordered pairs (ds[i], ds[j]) for i < j; structs sort by doc_id first
+    val pairs = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))),
+        y => struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+                    hamming64(x.getField("h"), y.getField("h")).as("hamming")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -9,17 +9,40 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftFunctions {
 
+  /** Extract a static Int argument from a SQL call site. Accepts any
+    * FOLDABLE integral expression (INT/BIGINT/SMALLINT/TINYINT literals or
+    * constant arithmetic over them); rejects non-foldable or non-integral
+    * arguments with a clear error instead of the ClassCastException /
+    * undefined eval(null) a blind cast produces.
+    */
+  private def staticIntArg(e: Expression, fn: String, arg: String): Int = {
+    import org.apache.spark.sql.types._
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: `$arg` must be a constant integer, got non-foldable ${e.sql}")
+    e.dataType match {
+      case IntegerType | LongType | ShortType | ByteType =>
+        e.eval(null) match {
+          case null =>
+            throw new IllegalArgumentException(s"$fn: `$arg` must not be NULL")
+          case v: java.lang.Number if v.longValue.isValidInt => v.intValue
+          case v =>
+            throw new IllegalArgumentException(
+              s"$fn: `$arg` out of Int range: $v")
+        }
+      case dt =>
+        throw new IllegalArgumentException(
+          s"$fn: `$arg` must be an integer type, got ${dt.sql}")
+    }
+  }
+
   /** Register all graft SQL functions on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "minhash_sig(shingles, k)")
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => other.eval(null).asInstanceOf[Int]
-        }
-        MinHashSig(exprs.head, k)
+        MinHashSig(exprs.head, staticIntArg(exprs(1), "minhash_sig", "k"))
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -33,11 +56,7 @@ object GraftFunctions {
       "min_window_hash",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "min_window_hash(text, window)")
-        val w = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => other.eval(null).asInstanceOf[Int]
-        }
-        MinWindowHash(exprs.head, w)
+        MinWindowHash(exprs.head, staticIntArg(exprs(1), "min_window_hash", "window"))
       },
       "scala_udf")
   }

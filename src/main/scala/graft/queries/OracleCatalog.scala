@@ -763,6 +763,81 @@ object OracleCatalog {
          | doc_id = component AS is_canonical
          |FROM comp""".stripMargin,
 
+    // fixed-size token chunks with overlap; DuckDB's inclusive 1-based list
+    // slice t[s : s+63] == Spark slice(t, s, 64); chunk_idx = (start-1)//48
+    // == posexplode position since starts are arithmetic
+    "q55_chunking" ->
+      raw"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         |st AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 48)) AS s FROM tk)
+         |SELECT doc_id, CAST((s - 1) // 48 AS INTEGER) AS chunk_idx,
+         | array_to_string(t[s : s + 63], ' ') AS chunk_text,
+         | CAST(least(64, len(t) - s + 1) AS INTEGER) AS n_chunk_tokens
+         |FROM st""".stripMargin,
+
+    // contiguous token-budget packing per source shard: running sum in
+    // doc_id order, pack = the 2048-token bin the doc's first token falls in
+    "q56_packing" ->
+      raw"""WITH b AS (SELECT doc_id, source,
+         |  CASE WHEN len(trim(text)) = 0 THEN 0
+         |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) END AS n_tokens
+         | FROM documents),
+         |c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  sum(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b)
+         |SELECT doc_id, source, n_tokens,
+         | CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+         | CAST((cum - n_tokens) - ((cum - n_tokens) // 2048) * 2048 AS BIGINT) AS pack_offset
+         |FROM c""".stripMargin,
+
+    // content-addressed uniform: first 8 md5 hex chars as integer / 2^32
+    // (division by a power of two is FP-exact, so u crosses engines raw)
+    "q57_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  list_reduce([CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |               for i in generate_series(1, 8)], (a, x) -> a * 16 + x) AS v
+        | FROM documents)
+        |SELECT doc_id, source, CAST(v AS DOUBLE) / 4294967296.0 AS u,
+        |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.25 ELSE 0.75 END AS rate
+        |FROM h
+        |WHERE CAST(v AS DOUBLE) / 4294967296.0
+        |      < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.25 ELSE 0.75 END""".stripMargin,
+
+    "q58_unpivot" ->
+      s"""WITH w AS (SELECT l_returnflag,
+         |  ${sumMoney("l_quantity")} AS sum_qty,
+         |  ${sumMoney("l_extendedprice")} AS sum_price,
+         |  CAST(count(*) AS DOUBLE) AS n_rows
+         | FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, metric, value
+         |FROM w UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_rows))
+         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // contract oracle (q39/q38 pattern): the HLL++ estimate is engine-
+    // specific by design; what crosses the boundary is the exact count and
+    // the VERIFIED 5-sigma error contract
+    "q59_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS nd_exact,
+        | true AS sketch_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact Levenshtein over the q19 LSH candidate pairs only; both engines
+    // implement Wagner-Fischer character distance
+    "q60_edit_distance" ->
+      s"""WITH $tkCte, $shCte,
+         |sig AS (SELECT doc_id, $sigCols FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, ${bandKey(b)} AS band_key FROM sig")
+              .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |         FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+         |SELECT doc_a, doc_b,
+         | CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,
+         | CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         |   / greatest(CAST(greatest(len(a.text), len(b.text)) AS DOUBLE), CAST(1.0 AS DOUBLE)) AS edit_frac
+         |FROM cand JOIN documents a ON cand.doc_a = a.doc_id
+         |          JOIN documents b ON cand.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

@@ -181,8 +181,19 @@ object QueryCatalog {
     * reads, so it is computed and persisted once, not per query.
     * Columns: doc_id, text, n_tokens, quality.
     */
+  private final case class CachedCorpus(deduped: DataFrame, clean: DataFrame)
   private val corpusCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CachedCorpus]
+
+  /** Drop the cached clean corpus for (session, dir) and unpersist both
+    * frames it holds — the mirror of Star.invalidate. Call after
+    * regenerating the underlying parquet in a live session; the cache has
+    * no implicit invalidation on data change.
+    */
+  def invalidateCorpus(s: SparkSession, dir: String): Unit =
+    corpusCache.remove((s, dir)).foreach { c =>
+      c.clean.unpersist(); c.deduped.unpersist()
+    }
 
   def cleanedCorpus(s: SparkSession, dir: String): DataFrame =
     corpusCache.getOrElseUpdate((s, dir), {
@@ -203,9 +214,10 @@ object QueryCatalog {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nearDups = Dedup.nearDupPairs(e, "doc_id", "text", shingleN = 3, threshold = 0.8)
         .select(col("doc_b"))
-      e.join(nearDups, e("doc_id") === nearDups("doc_b"), "left_anti")
+      val clean = e.join(nearDups, e("doc_id") === nearDups("doc_b"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+      CachedCorpus(e, clean)
+    }).clean
 
   /** Flagship LLM-data-pipeline composition: quality filter → exact dedup
     * (keep lowest id per canonical fingerprint) → verified near-dup removal
@@ -549,7 +561,11 @@ object QueryCatalog {
   def csvIngest(s: SparkSession, dir: String): DataFrame = {
     val src  = t(s, dir, "customer")
     val cols = src.schema.fieldNames.toSeq
-    val tmp  = s"${sys.props("user.dir")}/target/csv_ingest/${new java.io.File(dir).getName}"
+    // Staging path keyed by applicationId: concurrent sessions on the same
+    // workspace each stage under their own directory (a fixed user.dir
+    // path raced), while repeat calls within one session stay idempotent
+    // (same path, same data, overwrite semantics).
+    val tmp  = s"${sys.props("java.io.tmpdir")}/graft/${s.sparkContext.applicationId}/csv_ingest/${new java.io.File(dir).getName}"
     Tables.writeCsv(src, s"$tmp/csv", encoding = "ISO-8859-1")
     val explicit = Tables.readCsv(s, s"$tmp/csv", Some(src.schema))
     Tables.overwriteParquet(explicit, s"$tmp/parquet")
@@ -744,6 +760,130 @@ object QueryCatalog {
         count(lit(1)).over(Window.partitionBy("component")).cast("int"))
       .withColumn("is_canonical", col("doc_id") === col("component"))
       .select("doc_id", "component", "cluster_size", "is_canonical")
+  }
+
+  /** Document chunking (q55): fixed-size token windows with overlap — the
+    * context-window preparation step every pretraining pipeline runs
+    * between cleaning and tokenization. Chunk starts at token
+    * 1 + i·stride; each chunk takes `chunkTokens` tokens (the tail chunks
+    * run shorter). Pure per-row projection + explode: |chunks| rows out,
+    * no shuffle, and the slice lambda references only the bound token
+    * attribute (never re-evaluates the split — the HOF re-eval trap).
+    */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val chunkTokens = 64
+    val stride      = 48 // 16-token overlap between consecutive chunks
+    val docs = t(s, dir, "documents")
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), greatest(size(col("t")), lit(1)), lit(stride)),
+        st => struct(
+          concat_ws(" ", slice(col("t"), st, lit(chunkTokens))).as("chunk_text"),
+          least(lit(chunkTokens), size(col("t")) - st + 1).cast("int").as("n_chunk_tokens")))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+              col("col.chunk_text"), col("col.n_chunk_tokens"))
+  }
+
+  /** Sequence packing (q56): assign documents to fixed token-budget packs —
+    * the batch-construction step of a training pipeline (greedy contiguous
+    * packing in doc_id order; a doc crossing the boundary opens the pack
+    * its first token falls in). One shuffle on source (the shard key — a
+    * GLOBAL running sum would serialize the corpus through one partition
+    * at 100 TB; per-shard packing is what a real pipeline does), one
+    * running-sum window, integer math after.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("pack_id"),
+        (col("cum") - col("n_tokens") - expr(s"(cum - n_tokens) div $budget") * budget).as("pack_offset"))
+  }
+
+  /** Stratified deterministic sampling (q57): per-stratum keep rates from a
+    * content-addressed uniform — u = first 8 md5 hex chars of the id as an
+    * integer / 2^32. No RNG state: the sample is reproducible under
+    * re-partitioning, re-runs, and engine swaps (the property a training
+    * pipeline needs for auditable subsampling). Pure projection + filter.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    // rate by stratum: heavier sources downsampled harder
+    val rate = when(col("source").isin("src0", "src1", "src2"), lit(0.25))
+      .otherwise(lit(0.75))
+    t(s, dir, "documents")
+      .withColumn("u", u)
+      .withColumn("rate", rate)
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("source"), col("u"), col("rate"))
+  }
+
+  /** UNPIVOT/melt (q58): wide per-flag aggregates back to long
+    * (metric, value) form — the reshaping primitive (Spark `unpivot`,
+    * DuckDB/ANSI UNPIVOT). Values are decimal-exact sums cast to double,
+    * so the melt is hash-comparable.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+      "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
+  /** Approx-distinct contract (q59): HLL++ `approx_count_distinct` next to
+    * the exact count, driver-checked via its verified ERROR CONTRACT (the
+    * estimate is engine-specific by design, so — like q39 — the boolean
+    * contract crosses the engine boundary, not the estimate): relative
+    * error within 5σ of the configured rsd, an event with probability
+    * ~1e-6 of false-failing per group. The 100 TB story: HLL state is a
+    * few KB per group and mergeable; exact distinct shuffles every key.
+    */
+  def approxDistinctContract(s: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.02
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count_distinct(col("l_orderkey")).as("nd_exact"),
+        approx_count_distinct(col("l_orderkey"), rsd).as("nd_approx"))
+      .select(
+        col("l_returnflag"), col("nd_exact"),
+        (abs(col("nd_approx") - col("nd_exact")).cast("double") <=
+          greatest(col("nd_exact").cast("double") * lit(5 * rsd), lit(16.0))).as("sketch_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Edit-distance verification (q60): exact Levenshtein distance over LSH
+    * candidate pairs ONLY — the character-level near-dup verifier (catches
+    * small in-place edits that n-gram Jaccard smears). O(len²) DP per
+    * pair is affordable precisely because banding already shrank the pair
+    * space; both engines implement the classic Wagner-Fischer distance.
+    */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs  = t(s, dir, "documents")
+    val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    val texts = docs.select(col("doc_id"), col("text"))
+    cands
+      .join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), Seq("doc_a"))
+      .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+        (levenshtein(col("text_a"), col("text_b")).cast("double") /
+          greatest(greatest(length(col("text_a")), length(col("text_b"))).cast("double"), lit(1.0))).as("edit_frac"))
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---- checks engine as a query ------------------------------------------

@@ -26,12 +26,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap for forked run/test JVMs: local[N] runs all execution in one JVM,
+// and GC pressure under 32 concurrent task threads showed up as
+// multi-second per-query stalls at 8g on the 128 GiB bench box — but a
+// hardcoded 32g fails to start (or invites the OOM-killer) on smaller
+// machines, so the default is derived from physical RAM (quarter of it,
+// clamped to [2g, 32g]). SPARK_DRIVER_MEM always wins.
+val driverHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val memTotalGb: Long =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal"))
+      .map(_.filter(_.isDigit).toLong / (1024L * 1024L)).getOrElse(8L)
+    catch { case _: Throwable => 8L } // non-Linux: conservative
+  s"${(memTotalGb / 4).max(2L).min(32L)}g"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32g default: local[32] runs all execution in this one JVM, and GC
-  // pressure under 32 concurrent task threads showed up as multi-second
-  // per-query stalls at 8g in shared-box bench runs. Override with
-  // SPARK_DRIVER_MEM where the box is smaller.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx$driverHeap",
 )

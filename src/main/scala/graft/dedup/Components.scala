@@ -65,21 +65,19 @@ object Components {
       .union(vertices.select(col(idCol).as("src"), col(idCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val sc = edges.sparkSession.sparkContext
-    // localCheckpoint is EAGER: the frame's blocks are persisted by the
-    // time the call returns, so diffing getPersistentRDDs around it yields
-    // exactly the RDD ids backing that frame. Tracking them lets each
-    // round free its predecessor's blocks explicitly instead of leaving
-    // O(rounds) checkpointed frames to the ContextCleaner (the blocks of a
-    // truncated-lineage frame are NOT recomputable, so a frame is only
-    // released once nothing downstream can reference it again).
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.diff(before).toSet)
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // localCheckpoint truncates lineage to a LogicalRDD over the persisted
+    // internal-row RDD; collecting that RDD from the returned frame's OWN
+    // plan identifies exactly the blocks backing it. (Diffing
+    // sc.getPersistentRDDs around the call — the previous implementation —
+    // captures RDDs persisted by CONCURRENT jobs on the shared context into
+    // the diff, and release() would later unpersist a stranger's
+    // non-recomputable checkpoint blocks.) Tracking lets each round free
+    // its predecessor's blocks explicitly instead of leaving O(rounds)
+    // checkpointed frames to the ContextCleaner.
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
+      Checkpoints.tracked(df)
+    def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      Checkpoints.release(rdds)
 
     var (labels, labelIds) = checkpointTracked(
       vertices.select(col(idCol).as("id"), col(idCol).as("label")))

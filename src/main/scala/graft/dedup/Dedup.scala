@@ -119,86 +119,120 @@ object Dedup {
     (banded, sigDf)
   }
 
+  /** Triangle-block salting — the poison-bucket guard shared by the MinHash
+    * and SimHash candidate paths. Docs in a bucket of size s get one of
+    * g = ceil(s / maxBucket) salts; a doc with salt x replicates into the g
+    * blocks {(min(x,t), max(x,t)) : t < g} — exactly the blocks covering
+    * pairs that involve salt x. Every pair (salts x, y) lands in block
+    * (min,max) together, so recall is preserved (capped == uncapped after
+    * distinct); block population is ≤ 2·maxBucket docs, so no task ever
+    * materializes an O(bucket²) expansion or an O(bucket) array row.
+    * Replication is g rows per doc ≈ bucket/maxBucket — proportional to the
+    * inherent pair work, never the corpus. Bucket size comes from a count
+    * window over the SAME bucket-column partitioning (exchange reused),
+    * before any array materializes. maxBucket == Int.MaxValue ⇒ one block
+    * per bucket (the oracle-checked default).
+    */
+  private def triangleBlocked(banded: DataFrame, bucketCols: Seq[String],
+                              idCol: String, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue)
+      banded.withColumn("__blk", lit(0L))
+    else {
+      val g = ceil(
+        count(lit(1)).over(Window.partitionBy(bucketCols.map(col): _*))
+          .cast("double") / maxBucket).cast("int")
+      banded.withColumn("__g", g)
+        .withColumn("__salt", pmod(crc32(col(idCol).cast("string")), col("__g")).cast("int"))
+        .withColumn("__blk", explode(transform(
+          sequence(lit(0), col("__g") - 1),
+          t => least(col("__salt"), t).cast("long") * 1000000 + greatest(col("__salt"), t))))
+        .drop("__g", "__salt")
+    }
+
   /** Candidate near-dup pairs from LSH buckets. NOT a bucket self-join
     * (which would evaluate the signature pipeline once per join side):
     * one signature pass, one shuffle on (band, band_key), then in-bucket
     * pair expansion with array ops. Cost ≈ |docs|·bands + Σ bucket²,
     * never |docs|².
     *
+    * EAGER: the pair set is materialized (localCheckpoint) at call time —
+    * not when the caller first consumes it — so the |docs|-sized signature
+    * cache can be released immediately instead of accumulating one
+    * persisted frame per invocation. The returned frame's own (small:
+    * bounded by true near-dup density) checkpoint blocks live until the
+    * frame is driver-GC'd and ContextCleaner reaps them; callers that fully
+    * consume the pairs and want deterministic release should use
+    * [[minhashCandidatePairsTracked]].
+    *
     * @param maxBucket poison-bucket guard for huge corpora: buckets larger
-    *   than this (boilerplate-heavy shingle profiles) are SALTED — split
-    *   into triangle blocks of bounded size (see below) so every pair is
-    *   still produced but no single task materializes an O(bucket²)
-    *   expansion or an O(bucket) array row. Default unlimited — one block
+    *   than this (boilerplate-heavy shingle profiles) are SALTED into
+    *   triangle blocks (see [[triangleBlocked]]) so every pair is still
+    *   produced with bounded per-task state. Default unlimited — one block
     *   per bucket, which the oracle checks; at 100 TB set it to a few
     *   hundred. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
-                            maxBucket: Int = Int.MaxValue): DataFrame = {
+                            maxBucket: Int = Int.MaxValue): DataFrame =
+    minhashCandidatePairsTracked(docs, idCol, textCol, shingleN, k, rowsPerBand, maxBucket)._1
+
+  /** [[minhashCandidatePairs]] plus the checkpoint blocks backing the
+    * returned frame, for callers that materialize their own derivative and
+    * can then release the pair set deterministically
+    * ([[Checkpoints.release]]) instead of waiting for ContextCleaner GC.
+    */
+  private[graft] def minhashCandidatePairsTracked(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = Int.MaxValue): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val (b, sigDf) = lshBandsWithSig(docs, idCol, textCol, shingleN, k, rowsPerBand)
-    val blocked =
-      if (maxBucket == Int.MaxValue)
-        b.withColumn("__blk", lit(0L))
-      else {
-        // Triangle-block salting: docs in a bucket of size s get one of
-        // g = ceil(s / maxBucket) salts; a doc with salt x replicates into
-        // the g blocks {(min(x,t), max(x,t)) : t < g} — exactly the blocks
-        // covering pairs that involve salt x. Every pair (salts x, y) lands
-        // in block (min,max) together, so recall is preserved (capped ==
-        // uncapped after distinct); block population is ≤ 2·maxBucket docs.
-        // Replication is g rows per doc ≈ bucket/maxBucket — proportional
-        // to the inherent pair work, never the corpus. Bucket size comes
-        // from a count window over the SAME (band, band_key) partitioning
-        // (exchange reused), before any array materializes.
-        val g = ceil(
-          count(lit(1)).over(Window.partitionBy("band", "band_key"))
-            .cast("double") / maxBucket).cast("int")
-        b.withColumn("__g", g)
-          .withColumn("__salt", pmod(crc32(col("doc_id").cast("string")), col("__g")).cast("int"))
-          .withColumn("__blk", explode(transform(
-            sequence(lit(0), col("__g") - 1),
-            t => least(col("__salt"), t).cast("long") * 1000000 + greatest(col("__salt"), t))))
-          .drop("__g", "__salt")
-      }
+    val blocked = triangleBlocked(b, Seq("band", "band_key"), "doc_id", maxBucket)
     val buckets = blocked
       .groupBy("band", "band_key", "__blk")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    // ordered pairs (ids[i], ids[j]) for i < j; ids sorted ⇒ doc_a < doc_b
+    // ordered pairs (ids[i], ids[j]) for i < j; ids sorted ⇒ doc_a ≤ doc_b,
+    // with equality only under duplicate input ids — filtered below to
+    // match the oracle's strict doc_a < doc_b join.
     val pairs = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         y => struct(x.as("doc_a"), y.as("doc_b")))))
-    // Eager-materialize the (small: bounded by true near-dup density) pair
-    // set so the |docs|-sized signature cache can be released NOW rather
-    // than accumulating one persisted frame per invocation until
-    // ContextCleaner GC. localCheckpoint doubles as the lineage barrier —
+    // Eager-materialize (localCheckpoint) so the signature cache can be
+    // released NOW; the checkpoint doubles as the lineage barrier —
     // downstream consumers (Jaccard verification, components) replan
     // against a flat scan of the pairs.
-    val out = buckets
+    val (out, blocks) = Checkpoints.tracked(buckets
       .select(explode(pairs).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
-      .localCheckpoint()
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct())
     sigDf.unpersist()
-    out
+    (out, blocks)
   }
 
   /** Verified near-dup pairs: LSH candidates re-scored with true n-gram
     * Jaccard, thresholded. The expensive exact measure runs ONLY on
     * candidates (≈0 when the corpus is clean) — never on the full pair space.
+    *
+    * EAGER (like [[minhashCandidatePairs]]): the verified pair set — even
+    * smaller than the candidate set — is materialized at call time, which
+    * lets this method release the candidate checkpoint deterministically
+    * instead of leaving it to ContextCleaner GC.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.8,
                    k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val cands = minhashCandidatePairs(docs, idCol, textCol, shingleN, k, rowsPerBand)
+    val (cands, candBlocks) =
+      minhashCandidatePairsTracked(docs, idCol, textCol, shingleN, k, rowsPerBand)
     val sets  = docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
-    cands
+    val (out, _) = Checkpoints.tracked(cands
       .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        graft.ops.CoreOps.roundPortable(col("jaccard"), 6).as("jaccard"))
+        graft.ops.CoreOps.roundPortable(col("jaccard"), 6).as("jaccard")))
+    Checkpoints.release(candBlocks)
+    out
   }
 
   /** Jaccard similarity of two pre-distinct arrays. */
@@ -231,7 +265,8 @@ object Dedup {
     * both engines spell the same way.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4 bands give exact recall only for hamming <= 3")
     // One simhash pass, one shuffle on (band, key), in-bucket pair
     // expansion — the same single-aggregation shape as
@@ -239,7 +274,10 @@ object Dedup {
     // simhash projection twice and historically leaked a persisted frame
     // per invocation). Buckets group docs agreeing on one 16-bit band:
     // tiny when the corpus is clean, and the (doc_id, h) structs they
-    // collect are 16 bytes/doc.
+    // collect are 16 bytes/doc. A degenerate band value (boilerplate-heavy
+    // corpora hash many docs to the same 16-bit band) is guarded by the
+    // same triangle-block salting as the MinHash path — set maxBucket at
+    // scale to bound per-task collect/expansion state.
     val banded = docs
       .select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("h"))
       .select(col("doc_id"), col("h"), explode(array((0 until 4).map { b =>
@@ -247,11 +285,13 @@ object Dedup {
                shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
-    val buckets = banded
-      .groupBy("band", "key")
+    val buckets = triangleBlocked(banded, Seq("band", "key"), "doc_id", maxBucket)
+      .groupBy("band", "key", "__blk")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("h")))).as("ds"))
       .filter(size(col("ds")) > 1)
-    // ordered pairs (ds[i], ds[j]) for i < j; structs sort by doc_id first
+    // ordered pairs (ds[i], ds[j]) for i < j; structs sort by doc_id first.
+    // doc_a ≤ doc_b with equality only under duplicate input ids — the
+    // =!= filter below keeps the oracle's strict doc_a < doc_b semantics.
     val pairs = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + 2, size(col("ds"))),
         y => struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
@@ -259,6 +299,7 @@ object Dedup {
     buckets
       .select(explode(pairs).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+      .filter(col("doc_a") =!= col("doc_b"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -549,6 +549,14 @@ object QueryCatalog {
       .orderBy("col_name")
   }
 
+  private val stagingCleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** S2→S5→S11 end-to-end as a driver-checked query (the reference's
     * primary entry path, dags/online_retail.py:36,83-93): customer →
     * CSV (header, ISO-8859-1) → read back with the explicit schema AND
@@ -564,8 +572,14 @@ object QueryCatalog {
     // Staging path keyed by applicationId: concurrent sessions on the same
     // workspace each stage under their own directory (a fixed user.dir
     // path raced), while repeat calls within one session stay idempotent
-    // (same path, same data, overwrite semantics).
-    val tmp  = s"${sys.props("java.io.tmpdir")}/graft/${s.sparkContext.applicationId}/csv_ingest/${new java.io.File(dir).getName}"
+    // (same path, same data, overwrite semantics). The application's
+    // staging root is deleted on JVM exit — without the hook every Spark
+    // application left a csv+parquet copy of the table in /tmp forever.
+    val stagingRoot = s"${sys.props("java.io.tmpdir")}/graft/${s.sparkContext.applicationId}"
+    if (stagingCleanupRegistered.add(stagingRoot))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(stagingRoot))))
+    val tmp  = s"$stagingRoot/csv_ingest/${new java.io.File(dir).getName}"
     Tables.writeCsv(src, s"$tmp/csv", encoding = "ISO-8859-1")
     val explicit = Tables.readCsv(s, s"$tmp/csv", Some(src.schema))
     Tables.overwriteParquet(explicit, s"$tmp/parquet")
@@ -874,16 +888,19 @@ object QueryCatalog {
     */
   def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
     val docs  = t(s, dir, "documents")
-    val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    val (cands, candBlocks) = Dedup.minhashCandidatePairsTracked(docs, "doc_id", "text")
     val texts = docs.select(col("doc_id"), col("text"))
-    cands
+    // Materialize the (tiny) verified result, then release the candidate
+    // checkpoint deterministically — the nearDupPairs lifecycle pattern.
+    val (out, _) = graft.dedup.Checkpoints.tracked(cands
       .join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), Seq("doc_a"))
       .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
         (levenshtein(col("text_a"), col("text_b")).cast("double") /
-          greatest(greatest(length(col("text_a")), length(col("text_b"))).cast("double"), lit(1.0))).as("edit_frac"))
-      .orderBy("doc_a", "doc_b")
+          greatest(greatest(length(col("text_a")), length(col("text_b"))).cast("double"), lit(1.0))).as("edit_frac")))
+    graft.dedup.Checkpoints.release(candBlocks)
+    out.orderBy("doc_a", "doc_b")
   }
 
   // ---- checks engine as a query ------------------------------------------

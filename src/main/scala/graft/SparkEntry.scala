@@ -110,7 +110,23 @@ object SparkEntry {
     "q58_unpivot"             -> (Q.unpivotMetrics(_, _)),
     // sketch contracts + candidate verification
     "q59_approx_distinct"     -> (Q.approxDistinctContract(_, _)),
-    "q60_edit_distance"       -> (Q.editDistancePairs(_, _))
+    "q60_edit_distance"       -> (Q.editDistancePairs(_, _)),
+    // semi-structured extraction from a STORED json column
+    "q61_props_extract"       -> (Q.propsExtract(_, _)),
+    // corpus-level n-gram frequency table (occurrences + doc freq, top-100)
+    "q62_ngram_counts"        -> (Q.ngramCounts(_, _)),
+    // profiling: equal-width histogram over a global min/max
+    "q63_value_histogram"     -> (Q.valueHistogram(_, _)),
+    // native session_window (streaming-capable) vs independent island oracle
+    "q64_session_window"      -> (Q.sessionWindows(_, _)),
+    // skew-salted join checked against the plain-join oracle
+    "q65_salted_join"         -> (Q.saltedJoinAgg(_, _)),
+    // quality-weighted deterministic (content-addressed) sampling
+    "q66_weighted_sample"     -> (Q.weightedSample(_, _)),
+    // per-label embedding centroids (quantized-exact portable means)
+    "q67_label_centroids"     -> (Q.labelCentroids(_, _)),
+    // IVF ANN over 1-iteration Lloyd-trained centroids (oracle replays training)
+    "q68_ivf_trained"         -> (Q.ivfTrainedTopK(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

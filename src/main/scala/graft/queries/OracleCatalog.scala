@@ -73,6 +73,13 @@ object OracleCatalog {
   private val toksLower = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
   private val toksRaw   = raw"regexp_split_to_array(trim(text), '\s+')"
 
+  /** ALL n-gram shingle occurrences over column t (mirrors Dedup.shingles —
+    * no distinct; q62 counts occurrences). */
+  private def shingleAllSqlN(n: Int): String =
+    s"CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE [concat_ws(' ', ${(0 until n).map(k => if (k == 0) "t[i]" else s"t[i+$k]").mkString(", ")}) " +
+      s"for i in generate_series(1, len(t) - ${n - 1})] END"
+
   /** Distinct n-gram shingle list over column t (mirrors Dedup.shingleSet). */
   private def shingleSqlN(n: Int): String =
     s"list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
@@ -837,6 +844,136 @@ object OracleCatalog {
          |FROM cand JOIN documents a ON cand.doc_a = a.doc_id
          |          JOIN documents b ON cand.doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // k re-extracted independently via regexp (the Spark side parses real
+    // JSON twice — get_json_object + from_json — and certifies agreement)
+    "q61_props_extract" ->
+      raw"""WITH k AS (SELECT event_type,
+           |  CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS INTEGER) AS k FROM events)
+           |SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+           |  min(k) AS min_k, max(k) AS max_k,
+           |  count(DISTINCT k) AS n_distinct_k,
+           |  true AS parse_agree
+           |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q62_ngram_counts" ->
+      s"""WITH $tkCte,
+         |g AS (SELECT doc_id, unnest(${shingleAllSqlN(3)}) AS gram FROM tk)
+         |SELECT gram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+         |FROM g GROUP BY gram
+         |ORDER BY n_occurrences DESC, gram ASC LIMIT 100""".stripMargin,
+
+    "q63_value_histogram" ->
+      s"""WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+         |b AS (SELECT CASE WHEN hi = lo THEN 0
+         |        ELSE CAST(least(floor((value - lo) / ((hi - lo) / 20.0)), 19.0) AS INTEGER) END AS bucket,
+         |        lo, hi
+         |      FROM events CROSS JOIN s),
+         |g AS (SELECT bucket, lo, hi, count(*) AS n FROM b GROUP BY bucket, lo, hi)
+         |SELECT bucket,
+         |  floor((lo + CAST(bucket AS DOUBLE) * ((hi - lo) / 20.0)) * 1000000.0 + 0.5) / 1000000.0 AS bucket_lo,
+         |  floor((lo + CAST(bucket + 1 AS DOUBLE) * ((hi - lo) / 20.0)) * 1000000.0 + 0.5) / 1000000.0 AS bucket_hi,
+         |  n
+         |FROM g ORDER BY bucket""".stripMargin,
+
+    // independent construction: lag + running-sum islands. session_window
+    // boundary semantics (pinned by Round5Spec on synthetic gaps, and by a
+    // real 1800s gap in sf0.1): an event exactly gap after its predecessor
+    // MERGES into the session (windows touching at the boundary count as
+    // overlapping) ⇒ new session only when diff > 1800 — the same boundary
+    // as q31's manual islands; window end = last event + gap.
+    "q64_session_window" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, date_trunc('second', ts) AS ts_sec FROM events),
+         |f AS (SELECT user_id, event_id, value, ts_sec,
+         |        CASE WHEN lag(ts_sec) OVER w IS NULL
+         |               OR (epoch(ts_sec) - epoch(lag(ts_sec) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
+         |g AS (SELECT user_id, value, ts_sec,
+         |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |      FROM f)
+         |SELECT user_id, ${fmtTs("min(ts_sec)")} AS session_start,
+         |  ${fmtTs("max(ts_sec) + INTERVAL 30 MINUTE")} AS session_end,
+         |  count(*) AS n_events, ${sumMoney("value")} AS session_value
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    // the PLAIN join — the Spark side goes through CoreOps.saltedJoin, so a
+    // hash match proves salting preserves join semantics exactly
+    "q65_salted_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n_lines,
+         | ${sumMoney("l_extendedprice * (1.0 - l_discount)")} AS net_revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // u = first 8 md5 hex chars of 'ws|'||doc_id as a 32-bit int / 2^32 —
+    // an exact binary fraction, so u and the keep_prob compare are
+    // bit-portable without rounding
+    "q66_weighted_sample" ->
+      s"""WITH ${statsCte("documents")},
+         |q AS (SELECT doc_id, $qualityExpr AS quality FROM b),
+         |h AS (SELECT doc_id, quality,
+         |  CAST(list_reduce([CAST(strpos('0123456789abcdef', substr(md5('ws|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+         |                    for i in generate_series(1, 8)], (a, x) -> a * 16 + x) AS DOUBLE) / 4294967296.0 AS u
+         |FROM q)
+         |SELECT doc_id, quality, u, 0.2 + 0.6 * quality AS keep_prob
+         |FROM h WHERE u < 0.2 + 0.6 * quality ORDER BY doc_id""".stripMargin,
+
+    // quantized-exact means: sum of integer-valued doubles is associative,
+    // so the distributed Spark sum and DuckDB's agree bit-for-bit
+    "q67_label_centroids" ->
+      """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |x AS (SELECT label,
+        |        unnest(generate_series(1, len(v))) AS pos,
+        |        unnest([floor(v[i] * 1000000.0 + 0.5) for i in generate_series(1, len(v))]) AS xq
+        |      FROM e),
+        |g AS (SELECT label, pos, count(*) AS n_vecs, sum(xq) AS sq FROM x GROUP BY label, pos)
+        |SELECT label, CAST(pos AS INTEGER) AS dim, n_vecs,
+        |  sq / (1000000.0 * CAST(n_vecs AS DOUBLE)) AS centroid
+        |FROM g ORDER BY label, dim""".stripMargin,
+
+    // full 1-iteration Lloyd replay: stride init -> assign -> quantized
+    // mean per (cell, dim) -> reassign -> probe 3 cells -> top-5
+    "q68_ivf_trained" -> {
+      def dotOf(a: String, b: String) =
+        s"list_reduce([$a[i] * $b[i] for i in generate_series(1, len($a))], (acc, x) -> acc + x)"
+      def normOf(a: String) =
+        s"sqrt(list_reduce([$a[i] * $a[i] for i in generate_series(1, len($a))], (acc, x) -> acc + x))"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, sqrt($dotSelf) AS nrm FROM e),
+         |st AS (SELECT greatest(1, count(*) // 10) AS stride FROM embeddings),
+         |init AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT stride FROM st) = 0),
+         |initn AS (SELECT cid, cv, ${normOf("cv")} AS cnrm FROM init),
+         |sims0 AS (SELECT en.vec_id, en.v, initn.cid,
+         |    CASE WHEN (en.nrm * initn.cnrm) = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE ${dotOf("en.v", "initn.cv")} / (en.nrm * initn.cnrm) END AS sim
+         |  FROM en CROSS JOIN initn),
+         |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk FROM sims0),
+         |a0 AS (SELECT vec_id, v, cid FROM r0 WHERE rk = 1),
+         |xx AS (SELECT cid,
+         |        unnest(generate_series(1, len(v))) AS pos,
+         |        unnest([floor(v[i] * 1000000.0 + 0.5) for i in generate_series(1, len(v))]) AS xq
+         |      FROM a0),
+         |mm AS (SELECT cid, pos, sum(xq) / (1000000.0 * CAST(count(*) AS DOUBLE)) AS m FROM xx GROUP BY cid, pos),
+         |cent AS (SELECT cid, list(m ORDER BY pos) AS cv FROM mm GROUP BY cid),
+         |centn AS (SELECT cid, cv, ${normOf("cv")} AS cnrm FROM cent),
+         |sims AS (SELECT en.vec_id, en.v, en.nrm, centn.cid,
+         |    CASE WHEN (en.nrm * centn.cnrm) = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE ${dotOf("en.v", "centn.cv")} / (en.nrm * centn.cnrm) END AS sim
+         |  FROM en CROSS JOIN centn),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk FROM sims),
+         |corp AS (SELECT vec_id, v, nrm, cid AS cell FROM rr WHERE rk = 1),
+         |qc AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid AS cell FROM rr WHERE vec_id < 10 AND rk <= 3),
+         |scored AS (SELECT query_id, corp.vec_id,
+         |    max(${round4(s"CASE WHEN (qc.qnrm * corp.nrm) = 0 THEN CAST(0.0 AS DOUBLE) ELSE ${dotOf("qc.qv", "corp.v")} / (qc.qnrm * corp.nrm) END")}) AS score
+         |  FROM corp JOIN qc USING (cell)
+         |  WHERE qc.query_id != corp.vec_id
+         |  GROUP BY query_id, corp.vec_id)
+         |SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    },
 
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =

@@ -903,6 +903,167 @@ object QueryCatalog {
     out.orderBy("doc_a", "doc_b")
   }
 
+  /** Semi-structured JSON extraction (q61): parse a STORED json column
+    * (events.props) two ways — path-style `get_json_object` and schema'd
+    * `from_json` — and aggregate the typed values per event_type. The
+    * `parse_agree` boolean certifies per group that both parse paths
+    * produced identical values (null-safe compare); the oracle pins the
+    * aggregated VALUES via an independent regexp extraction, so any JSON
+    * parsing drift breaks the hash. Pure projection + one aggregate.
+    */
+  def propsExtract(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev     = Tables.events(s, dir)
+    val kPath  = get_json_object(col("props"), "$.k").cast("int")
+    val kTyped = from_json(col("props"),
+      StructType(Seq(StructField("k", IntegerType)))).getField("k")
+    ev.select(col("event_type"), kPath.as("k"), (kTyped <=> kPath).as("agree"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count_distinct(col("k")).as("n_distinct_k"),
+        (min(when(col("agree"), 1L).otherwise(0L)) === 1L).as("parse_agree"))
+      .orderBy("event_type")
+  }
+
+  /** Corpus n-gram frequency table (q62): the n-gram LM / contamination-
+    * analysis primitive — every 3-gram occurrence exploded (NOT the distinct
+    * set), counted globally with document frequency, top-100. One explode +
+    * one hash-aggregate (map-side partial combine collapses repeated grams
+    * before the shuffle) + TakeOrderedAndProject: the 100 TB shape for
+    * "corpus-level vocabulary statistics".
+    */
+  def ngramCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"), count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("gram"))
+      .limit(100)
+
+  /** Equal-width histogram (q63): two passes — global min/max, then one
+    * bucketing aggregate (the profiling primitive behind every "distribution
+    * of doc lengths / scores" dashboard). The 1-row stats frame broadcasts;
+    * bucket arithmetic is plain double ops mirrored by the oracle. The
+    * degenerate hi==lo case collapses to bucket 0 on both sides.
+    */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame = {
+    val nb = 20
+    val ev = Tables.events(s, dir).select(col("value"))
+    val stats = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    def width = (col("hi") - col("lo")) / lit(nb.toDouble)
+    val bucket = when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(floor((col("value") - col("lo")) / width), lit(nb - 1.0)).cast("int"))
+    ev.crossJoin(broadcast(stats))
+      .select(bucket.as("bucket"), col("lo"), col("hi"))
+      .groupBy("bucket", "lo", "hi")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        roundPortable(col("lo") + col("bucket").cast("double") * width, 6).as("bucket_lo"),
+        roundPortable(col("lo") + (col("bucket") + 1).cast("double") * width, 6).as("bucket_hi"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
+  /** Native session windows (q64): Spark's `session_window` (the streaming-
+    * capable gap-session operator — the same call works under readStream
+    * with a watermark) in batch mode, checked against an INDEPENDENT oracle
+    * construction (lag + running-sum islands). Boundary semantics (verified
+    * empirically — a real 1800s gap in sf0.1 caught the wrong guess, and
+    * Round5Spec pins it on synthetic gaps): an event exactly `gap` after
+    * its predecessor MERGES into the session — windows touching at the
+    * boundary count as overlapping, the same boundary as q31's
+    * `diff > gap`. Window end = last event + gap.
+    */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_sec", date_trunc("second", col("ts")))
+    ev.groupBy(col("user_id"), session_window(col("ts_sec"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("session_value"))
+      .select(col("user_id"),
+        formatTimestampSeconds(col("sw.start")).as("session_start"),
+        formatTimestampSeconds(col("sw.end")).as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Skew-salted join parity (q65): CoreOps.saltedJoin (big side salted by a
+    * high-cardinality discriminator, small side replicated per salt) driven
+    * end-to-end through an aggregate, oracle-checked against the PLAIN join
+    * — proving the salting mechanics preserve join semantics exactly. The
+    * explicit tool for keys so hot AQE's skew splitting isn't enough (the
+    * 100 TB null-key / boilerplate-doc case).
+    */
+  def saltedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+      col("l_extendedprice"), col("l_discount"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+    saltedJoin(li, o, "o_orderkey",
+        concat_ws("-", col("o_orderkey"), col("l_linenumber")), salts = 8)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Quality-weighted deterministic sampling (q66): keep probability rises
+    * with the document quality score (0.2 + 0.6·quality); the uniform is
+    * content-addressed (first 8 md5 hex chars of a salted id / 2^32 — an
+    * exact binary fraction, so the division is bit-portable). No RNG state:
+    * reproducible under re-partitioning, re-runs, engine swaps — the
+    * auditable "upsample good documents" primitive. Pure projection+filter.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat_ws("|", lit("ws"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      .withColumn("keep_prob", lit(0.2) + lit(0.6) * col("quality"))
+      .withColumn("u", u)
+      .filter(col("u") < col("keep_prob"))
+      .select(col("doc_id"), col("quality"), col("u"), col("keep_prob"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-label embedding centroids (q67): the class-centroid / cluster-
+    * profile primitive (long form: one row per label × dimension). Means
+    * use the quantized-exact form — components are floored to integer-
+    * valued doubles (·1e6) so the distributed sum is associative and
+    * bit-identical under any partition order (see
+    * Similarity.kmeansCentroids quantizedMeans doc); the single final
+    * division is then portable. One posexplode + one hash-aggregate:
+    * shuffle carries labels × dims cells, never the corpus.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("xq", floor(col("x") * lit(1e6) + lit(0.5)))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("xq")).as("sq"))
+      .select(col("label"), (col("pos") + 1).cast("int").as("dim"), col("n_vecs"),
+              (col("sq") / (lit(1e6) * col("n_vecs").cast("double"))).as("centroid"))
+      .orderBy("label", "dim")
+
+  /** Trained-IVF ANN (q68): ivfTopK over centroids produced by ONE
+    * distributed Lloyd iteration (deterministic stride init, quantized
+    * portable means) instead of the raw stride sample q30 uses — the
+    * production IVF shape (train coarse quantizer, assign, probe). The
+    * oracle replays the full training iteration in SQL: init → assign →
+    * quantized mean per (cell, dim) → reassign → probe 3 cells → top-5.
+    */
+  def ivfTrainedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb   = t(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(emb, dim = 64, k = 10, iters = 1,
+      quantizedMeans = true)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3,
+      centroidsOverride = Some(cents))
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

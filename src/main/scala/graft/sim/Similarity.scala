@@ -181,10 +181,21 @@ object Similarity {
     * (cell, dim)-grouped mean — shuffle carries k×dim cells, not the
     * corpus. persist() per iteration cuts the growing lineage.
     *
+    * `quantizedMeans`: `avg(double)` sums doubles in partial-aggregation
+    * order, which differs run-to-run (and engine-to-engine) in the last
+    * ulp — fine for ML convergence, fatal for an oracle hash. The portable
+    * form quantizes each component to an integer-valued double
+    * (`floor(x·1e6 + 0.5)`) first: integer addition in doubles is exact and
+    * associative below 2^53, so the sum — and the single final division —
+    * is bit-identical under any partition order and in DuckDB. The ~1e-6
+    * component perturbation is noise relative to k-means' own sample
+    * variance.
+    *
     * Returns (cid, cv: array<double>) for use as [[ivfTopK]] centroids.
     */
   def kmeansCentroids(corpus: DataFrame, dim: Int, k: Int, iters: Int,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      quantizedMeans: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c.count()
@@ -192,6 +203,10 @@ object Similarity {
     var centroids = c.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val meanExpr =
+      if (quantizedMeans)
+        sum(floor(col("x") * lit(1e6) + lit(0.5))) / (lit(1e6) * count(lit(1)).cast("double"))
+      else avg(col("x"))
     for (_ <- 0 until iters) {
       val cents = centroids.withColumn("cnrm", norm(col("cv")))
       val assigned = c.withColumn("nrm", norm(col("v")))
@@ -203,7 +218,7 @@ object Similarity {
         .filter(col("rk") === 1)
       val next = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid", "pos").agg(meanExpr.as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("cv"))
@@ -212,6 +227,11 @@ object Similarity {
       centroids.unpersist()
       centroids = next
     }
+    // materialize the final generation, then drop the corpus cache (it was
+    // only an iteration-sharing cache; recomputable, so unpersist is safe
+    // even for the iters=0 lazy path — which is then materialized anyway)
+    centroids.count()
+    c.unpersist()
     centroids
   }
 

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{QueryCatalog => Q}
+import graft.sim.Similarity
+
+/** Properties of the round-5 operators (q61-q68). The oracle pins engine
+  * parity; these pin the semantics a consumer relies on — coverage,
+  * determinism, boundary behavior, and the exactness claims the
+  * portability contract rests on.
+  */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("propsExtract: both JSON parse paths agree, counts cover every event") {
+    val rows = Q.propsExtract(spark, sf)
+      .select("n", "parse_agree").as[(Long, Boolean)].collect()
+    assert(rows.forall(_._2), "get_json_object and from_json disagreed")
+    val total = graft.io.Tables.events(spark, sf).count()
+    assert(rows.map(_._1).sum == total, "per-type counts must partition the table")
+  }
+
+  test("ngramCounts: top-100 ordered, doc freq bounded by occurrences") {
+    val rows = Q.ngramCounts(spark, sf)
+      .select("gram", "n_occurrences", "n_docs").as[(String, Long, Long)].collect()
+    assert(rows.length <= 100)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq, "not sorted by count desc")
+    rows.foreach { case (g, occ, docs) =>
+      assert(docs >= 1 && docs <= occ, s"gram '$g': n_docs $docs vs n_occurrences $occ")
+    }
+  }
+
+  test("ngramCounts plans as TakeOrderedAndProject (no global sort)") {
+    val plan = Q.ngramCounts(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-K operator, got:\n$plan")
+  }
+
+  test("valueHistogram: buckets partition the table, bounds tile the range") {
+    val rows = Q.valueHistogram(spark, sf)
+      .select("bucket", "bucket_lo", "bucket_hi", "n")
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1)
+    val total = graft.io.Tables.events(spark, sf).count()
+    assert(rows.map(_._4).sum == total, "bucket counts must partition the table")
+    rows.foreach { case (b, lo, hi, _) =>
+      assert(b >= 0 && b < 20)
+      assert(lo < hi, s"bucket $b: empty range [$lo, $hi)")
+    }
+    rows.sliding(2).foreach {
+      case Array((b1, _, hi1, _), (b2, lo2, _, _)) if b2 == b1 + 1 =>
+        assert(math.abs(hi1 - lo2) < 1e-9, s"buckets $b1/$b2 bounds don't tile")
+      case _ => ()
+    }
+  }
+
+  test("session_window boundary: an event exactly gap-after MERGES; gap+1 splits") {
+    // pins the semantics the q64 oracle mirrors (is_new when diff > 1800):
+    // windows touching at the boundary merge. A=t0, B=t0+1800s (merges with
+    // A), C=B+1801s (new session). merge-at-boundary => sizes {2,1};
+    // split-at-boundary would give {1,1,1}. A real 1800s gap in sf0.1
+    // disambiguated this the hard way (oracle ROWS off by one).
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 7L, "click", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 01:00:01"), 7L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sessions = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect().sorted
+    assert(sessions.toSeq == Seq(1L, 2L),
+      s"expected sessions {A,B} and {C} (exact-gap merges, gap+1 splits), got $sessions")
+  }
+
+  test("sessionWindows covers every event; end = last event + gap") {
+    val out = Q.sessionWindows(spark, sf)
+      .select("n_events", "session_start", "session_end")
+      .as[(Long, String, String)].collect()
+    val total = graft.io.Tables.events(spark, sf).count()
+    assert(out.map(_._1).sum == total, "session event counts must partition the table")
+    out.foreach { case (_, st, en) =>
+      assert(st < en, "session_end must trail session_start by at least the gap")
+    }
+  }
+
+  test("saltedJoinAgg equals the plain-join aggregate row-for-row") {
+    val li = graft.io.Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = graft.io.Tables.table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    val plain = li.join(o, "o_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        graft.ops.CoreOps.sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_revenue"))
+      .orderBy("o_orderstatus")
+      .as[(String, Long, Double)].collect().toSeq
+    val salted = Q.saltedJoinAgg(spark, sf).as[(String, Long, Double)].collect().toSeq
+    assert(salted == plain, "salting changed join semantics")
+  }
+
+  test("weightedSample: deterministic, u < keep_prob, higher quality keeps more") {
+    val a = Q.weightedSample(spark, sf).as[(Long, Double, Double, Double)].collect().toSeq
+    val b = Q.weightedSample(spark, sf).as[(Long, Double, Double, Double)].collect().toSeq
+    assert(a == b, "re-run changed the sample")
+    a.foreach { case (_, q, u, p) =>
+      assert(q >= 0.0 && q <= 1.0)
+      assert(p == 0.2 + 0.6 * q)
+      assert(u >= 0.0 && u < p)
+    }
+  }
+
+  test("labelCentroids: every label has all 64 dims; mean matches a local replay") {
+    val rows = Q.labelCentroids(spark, sf)
+      .select("label", "dim", "n_vecs", "centroid")
+      .as[(Int, Int, Long, Double)].collect()
+    val byLabel = rows.groupBy(_._1)
+    byLabel.foreach { case (l, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to 64), s"label $l missing dims")
+      assert(g.map(_._3).distinct.length == 1, s"label $l inconsistent n_vecs")
+    }
+    // bit-exact local replay of the quantized mean for one label, dim 1
+    val l0 = byLabel.keys.min
+    val vecs = graft.io.Tables.table(spark, sf, "embeddings")
+      .filter(col("label") === l0)
+      .select(element_at(col("embedding"), 1).cast("double"))
+      .as[Double].collect()
+    val expect = vecs.map(x => math.floor(x * 1e6 + 0.5)).sum / (1e6 * vecs.length)
+    val got = rows.find(r => r._1 == l0 && r._2 == 1).get._4
+    assert(got == expect, s"label $l0 dim 1: $got != $expect (quantized mean must be exact)")
+  }
+
+  test("quantized k-means: k centroids of full dimension, partition-order independent") {
+    val emb = graft.io.Tables.table(spark, sf, "embeddings")
+    val c1 = Similarity.kmeansCentroids(emb, dim = 64, k = 10, iters = 1, quantizedMeans = true)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val c2 = Similarity.kmeansCentroids(emb.repartition(7), dim = 64, k = 10, iters = 1,
+        quantizedMeans = true)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(c1.map(_._1) == c2.map(_._1))
+    assert(c1.forall(_._2.length == 64))
+    // THE portability claim: repartitioning must not move a single bit
+    assert(c1 == c2, "quantized means changed under repartitioning")
+  }
+
+  test("ivfTrainedTopK: 5 contiguous ranks per query, deterministic") {
+    val out = Q.ivfTrainedTopK(spark, sf)
+      .select("query_id", "rank").as[(Long, Int)].collect()
+    out.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length), s"query $q ranks not contiguous")
+      assert(g.length <= 5)
+    }
+    val again = Q.ivfTrainedTopK(spark, sf)
+      .select("query_id", "rank").as[(Long, Int)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+}

@@ -980,11 +980,10 @@ object QueryCatalog {
     */
   def sessionWindows(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).withColumn("ts_sec", date_trunc("second", col("ts")))
-    ev.groupBy(col("user_id"), session_window(col("ts_sec"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("session_value"))
+    EventStreams.gapSessions(ev, tsCol = "ts_sec")
       .select(col("user_id"),
-        formatTimestampSeconds(col("sw.start")).as("session_start"),
-        formatTimestampSeconds(col("sw.end")).as("session_end"),
+        formatTimestampSeconds(col("session_start")).as("session_start"),
+        formatTimestampSeconds(col("session_end")).as("session_end"),
         col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
   }

@@ -37,6 +37,30 @@ object EventStreams {
               col("window.end").as("window_end"),
               col("event_type"), col("n_events"), col("total_value"))
 
+  /** Gap-based sessions via the NATIVE `session_window` operator — the
+    * declarative alternative to [[sessionize]]'s custom state: Spark's
+    * session-window state store merges touching [ts, ts+gap) intervals per
+    * key, state bounded by open sessions once a watermark is set. The same
+    * call runs in batch (watermark = None; EliminateEventTimeWatermark
+    * drops the node) and under readStream (pass a watermark; Append mode
+    * emits each session once it closes). Boundary semantics: an event
+    * exactly `gap` after its predecessor MERGES (touching windows count as
+    * overlapping) — pinned by Round5Spec and the q64 oracle.
+    */
+  def gapSessions(events: DataFrame, tsCol: String = "ts",
+                  gap: String = "30 minutes",
+                  watermark: Option[String] = None): DataFrame = {
+    val base = watermark.fold(events)(events.withWatermark(tsCol, _))
+    base
+      .groupBy(col("user_id"), session_window(col(tsCol), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.ops.CoreOps.sumMoney(col("value")).as("session_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("n_events"), col("session_value"))
+  }
+
   /** Per-user session aggregation via mapGroupsWithState: custom state
     * keyed by user; state is one small case class per live user — bounded
     * by active users, not by stream length.

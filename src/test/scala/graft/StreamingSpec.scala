@@ -174,6 +174,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gapSessions under readStream: watermark closes sessions, Append emits them once") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams.gapSessions(source.toDF(), watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("gap_sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 7: two events 10 min apart (one session), then one 80 min
+      // later (second session); user 8: one event
+      source.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 7, "click", 2.0),
+        Event(3, ts("2024-01-01 01:30:00"), 7, "click", 4.0),
+        Event(4, ts("2024-01-01 00:05:00"), 8, "view", 8.0))
+      q.processAllAvailable()
+      // push the watermark far past every session end so they all close
+      source.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, session_start, session_end, n_events, session_value
+          |FROM gap_sess_test ORDER BY user_id, session_start""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+      assert(rows.toSeq == Seq(
+        (7L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:40:00"), 2L, 3.0),
+        (7L, ts("2024-01-01 01:30:00"), ts("2024-01-01 02:00:00"), 1L, 4.0),
+        (8L, ts("2024-01-01 00:05:00"), ts("2024-01-01 00:35:00"), 1L, 8.0)),
+        s"got ${rows.toSeq}")
+      // the watermark-advancing event's own session is still open: not emitted
+      assert(!rows.exists(_._1 == 9L), "open session leaked into Append output")
+    } finally q.stop()
+  }
+
   test("sessionize maintains per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]

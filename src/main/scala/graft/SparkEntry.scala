@@ -126,7 +126,9 @@ object SparkEntry {
     // per-label embedding centroids (quantized-exact portable means)
     "q67_label_centroids"     -> (Q.labelCentroids(_, _)),
     // IVF ANN over 1-iteration Lloyd-trained centroids (oracle replays training)
-    "q68_ivf_trained"         -> (Q.ivfTrainedTopK(_, _))
+    "q68_ivf_trained"         -> (Q.ivfTrainedTopK(_, _)),
+    // native TypedImperativeAggregate t-digest, verified rank-error contract
+    "q69_tdigest_percentiles" -> (Q.tdigestPercentiles(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

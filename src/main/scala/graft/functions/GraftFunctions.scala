@@ -59,5 +59,26 @@ object GraftFunctions {
         MinWindowHash(exprs.head, staticIntArg(exprs(1), "min_window_hash", "window"))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "t_digest_percentiles",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "t_digest_percentiles(value, array(percentages...), compression)")
+        val ps = exprs(1) match {
+          case e if e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+            e.eval(null) match {
+              case null => throw new IllegalArgumentException(
+                "t_digest_percentiles: percentages must not be NULL")
+              case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+                val et = e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+                arr.toObjectArray(et).map(_.asInstanceOf[Number].doubleValue()).toSeq
+            }
+          case other => throw new IllegalArgumentException(
+            s"t_digest_percentiles: percentages must be a constant array, got ${other.sql}")
+        }
+        TDigestPercentiles(exprs.head, ps,
+          staticIntArg(exprs(2), "t_digest_percentiles", "compression"))
+      },
+      "scala_udf")
   }
 }

@@ -933,6 +933,13 @@ object OracleCatalog {
         |  sq / (1000000.0 * CAST(n_vecs AS DOUBLE)) AS centroid
         |FROM g ORDER BY label, dim""".stripMargin,
 
+    // like q39: the sketch's verified rank-error contract crosses the
+    // boundary as booleans, never the partition-order-specific estimates
+    "q69_tdigest_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | true AS p50_ok, true AS p90_ok, true AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // full 1-iteration Lloyd replay: stride init -> assign -> quantized
     // mean per (cell, dim) -> reassign -> probe 3 cells -> top-5
     "q68_ivf_trained" -> {

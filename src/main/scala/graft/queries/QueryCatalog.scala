@@ -1048,6 +1048,44 @@ object QueryCatalog {
               (col("sq") / (lit(1e6) * col("n_vecs").cast("double"))).as("centroid"))
       .orderBy("label", "dim")
 
+  /** Native t-digest percentiles (q69): the graft TypedImperativeAggregate
+    * ([[graft.functions.TDigestPercentiles]] — O(compression) mergeable
+    * centroid state per group) driven through the SQL registry and checked
+    * like q39: sketch VALUES are partition-order-specific by design, so
+    * the driver-checked output is the verified rank-error contract.
+    * Error bound: the k1 asin scale caps a centroid's q-span at π/δ;
+    * interpolation + one re-cluster per merge keeps observed rank error
+    * well inside the asserted 6/compression (3% for δ=200).
+    */
+  def tdigestPercentiles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val li = t(s, dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+    val comp = 200
+    val td = li.groupBy("l_returnflag").agg(
+      expr(s"t_digest_percentiles(l_quantity, array(0.5D, 0.9D), $comp)").as("tq"),
+      expr(s"t_digest_percentiles(l_extendedprice, array(0.99D), $comp)").as("tp"))
+      .select(col("l_returnflag"),
+        element_at(col("tq"), 1).as("a50"),
+        element_at(col("tq"), 2).as("a90"),
+        element_at(col("tp"), 1).as("a99"))
+    def okExpr(value: Column, approx: Column, p: Double): Column = {
+      val n   = count(lit(1))
+      val lo  = sum(when(value < approx, 1L).otherwise(0L))
+      val hi  = sum(when(value <= approx, 1L).otherwise(0L))
+      val eps = n.cast("double") * lit(6.0 / comp)
+      val tgt = n.cast("double") * p
+      (lo.cast("double") + 1 <= tgt + eps + 1) && (hi.cast("double") >= tgt - eps - 1)
+    }
+    li.join(broadcast(td), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        okExpr(col("l_quantity"), col("a50"), 0.5).as("p50_ok"),
+        okExpr(col("l_quantity"), col("a90"), 0.9).as("p90_ok"),
+        okExpr(col("l_extendedprice"), col("a99"), 0.99).as("p99_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** Trained-IVF ANN (q68): ivfTopK over centroids produced by ONE
     * distributed Lloyd iteration (deterministic stride init, quantized
     * portable means) instead of the raw stride sample q30 uses — the

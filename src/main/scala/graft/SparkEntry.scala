@@ -128,7 +128,9 @@ object SparkEntry {
     // IVF ANN over 1-iteration Lloyd-trained centroids (oracle replays training)
     "q68_ivf_trained"         -> (Q.ivfTrainedTopK(_, _)),
     // native TypedImperativeAggregate t-digest, verified rank-error contract
-    "q69_tdigest_percentiles" -> (Q.tdigestPercentiles(_, _))
+    "q69_tdigest_percentiles" -> (Q.tdigestPercentiles(_, _)),
+    // vocab-coverage diagnostic: per-doc OOV fraction vs top-K corpus vocab
+    "q70_oov_rate"            -> (Q.oovRate(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -129,4 +129,35 @@ object CheckSuite {
     if (failures.nonEmpty) throw CheckFailedException(failures)
     results
   }
+
+  /** Evaluate several (table, checks) suites CONCURRENTLY: each table still
+    * fuses to one aggregation pass, but the per-table collect jobs run
+    * simultaneously on the shared scheduler instead of serializing on the
+    * driver thread — locally that overlaps the 5 small gate jobs of a
+    * pipeline run; on a cluster it also overlaps their scans. Results keep
+    * the input order. SparkSession job submission is thread-safe; the pool
+    * is bounded and torn down before returning.
+    */
+  def evaluateAll(suites: Seq[(DataFrame, Seq[Check])]): Seq[Seq[CheckResult]] = {
+    if (suites.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(suites.length, 8))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Seq[CheckResult]]] =
+        suites.map { case (df, cs) =>
+          (() => evaluate(df, cs)): java.util.concurrent.Callable[Seq[CheckResult]]
+        }
+      pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+    } finally pool.shutdown()
+  }
+
+  /** [[run]] over several suites concurrently: all failures across all
+    * tables are collected into ONE exception (a pipeline gate wants the
+    * full failure list, not the first table's). */
+  def runAll(suites: Seq[(DataFrame, Seq[Check])]): Seq[Seq[CheckResult]] = {
+    val results  = evaluateAll(suites)
+    val failures = results.flatten.filterNot(_.passed)
+    if (failures.nonEmpty) throw CheckFailedException(failures)
+    results
+  }
 }

@@ -933,6 +933,18 @@ object OracleCatalog {
         |  sq / (1000000.0 * CAST(n_vecs AS DOUBLE)) AS centroid
         |FROM g ORDER BY label, dim""".stripMargin,
 
+    "q70_oov_rate" ->
+      raw"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+           |vocab AS (SELECT tok, true AS in_vocab FROM (
+           |  SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+           |  ORDER BY cnt DESC, tok ASC LIMIT 16)),
+           |j AS (SELECT t.doc_id, v.in_vocab FROM tok t LEFT JOIN vocab v USING (tok))
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |  CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS oov_frac
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // like q39: the sketch's verified rank-error contract crosses the
     // boundary as booleans, never the partition-order-specific estimates
     "q69_tdigest_percentiles" ->

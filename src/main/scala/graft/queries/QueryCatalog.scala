@@ -1086,6 +1086,29 @@ object QueryCatalog {
       .orderBy("l_returnflag")
   }
 
+  /** Per-document OOV rate (q70): fraction of tokens outside the top-K
+    * corpus vocabulary — the vocab-coverage diagnostic run before
+    * committing to a tokenizer. Two aggregations over one token explode:
+    * the vocabulary (global top-K by frequency, deterministic tie-break,
+    * TakeOrderedAndProject) broadcasts back against the token stream.
+    * Shuffle carries distinct tokens (map-side combine), never the corpus.
+    */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok")).limit(16)
+    toks
+      .join(broadcast(vocab.select(col("tok"), lit(true).as("in_vocab"))), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Trained-IVF ANN (q68): ivfTopK over centroids produced by ONE
     * distributed Lloyd iteration (deterministic stride init, quantized
     * portable means) instead of the raw stride sample q30 uses — the

@@ -195,7 +195,8 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, dim: Int, k: Int, iters: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      quantizedMeans: Boolean = false): DataFrame = {
+                      quantizedMeans: Boolean = false,
+                      moveTol: Option[Double] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c.count()
@@ -207,7 +208,9 @@ object Similarity {
       if (quantizedMeans)
         sum(floor(col("x") * lit(1e6) + lit(0.5))) / (lit(1e6) * count(lit(1)).cast("double"))
       else avg(col("x"))
-    for (_ <- 0 until iters) {
+    var iter = 0
+    var converged = false
+    while (iter < iters && !converged) {
       val cents = centroids.withColumn("cnrm", norm(col("cv")))
       val assigned = c.withColumn("nrm", norm(col("v")))
         .join(broadcast(cents))
@@ -224,8 +227,20 @@ object Similarity {
         .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("cv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before unpersisting the previous generation
+      // movement-threshold early exit: max |component delta| across
+      // centroids — one k-row aggregate per round (a centroid whose cell
+      // emptied drops out of the inner join and doesn't block convergence)
+      converged = moveTol.exists { tol =>
+        val move = next.as("n")
+          .join(centroids.select(col("cid"), col("cv").as("pcv")), Seq("cid"))
+          .select(aggregate(zip_with(col("cv"), col("pcv"), (a, b) => abs(a - b)),
+            lit(0.0), (acc, d) => greatest(acc, d)).as("mv"))
+          .agg(max(col("mv"))).head().getDouble(0)
+        move <= tol
+      }
       centroids.unpersist()
       centroids = next
+      iter += 1
     }
     // materialize the final generation, then drop the corpus cache (it was
     // only an iteration-sharing cache; recomputable, so unpersist is safe

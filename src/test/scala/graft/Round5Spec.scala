@@ -140,6 +140,51 @@ class Round5Spec extends SparkSpec {
     assert(c1 == c2, "quantized means changed under repartitioning")
   }
 
+  test("oovRate: fractions in [0,1], tokens partition the stream, vocab covers top terms") {
+    val rows = Q.oovRate(spark, sf)
+      .select("doc_id", "n_tokens", "n_oov", "oov_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (id, n, oov, f) =>
+      assert(oov >= 0 && oov <= n, s"doc $id: n_oov outside [0, n_tokens]")
+      assert(f == oov.toDouble / n.toDouble, s"doc $id: oov_frac not the exact division")
+    }
+    // 16-of-31 vocab over near-uniform frequencies: OOV must be non-trivial
+    assert(rows.exists(_._3 > 0), "no OOV at all — vocab cutoff not exercised")
+    assert(rows.exists(r => r._3 < r._2), "everything OOV — vocab join broken")
+  }
+
+  test("evaluateAll matches per-table evaluate and runAll collects every failure") {
+    import graft.checks._
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val li   = graft.io.Tables.table(spark, sf, "lineitem")
+    val suites = Seq(
+      docs -> Seq[Check](NoMissing("doc_id"), NoDuplicates("doc_id")),
+      li   -> Seq[Check](NoMissing("l_orderkey"), MinAtLeast("l_quantity", 1.0)))
+    val concurrent = CheckSuite.evaluateAll(suites)
+    val sequential = suites.map { case (df, cs) => CheckSuite.evaluate(df, cs) }
+    assert(concurrent == sequential, "concurrent evaluation changed results")
+    // runAll aggregates failures ACROSS tables into one exception
+    val failing = Seq(
+      docs -> Seq[Check](NoFailedRows("all_docs", lit(true))),
+      li   -> Seq[Check](NoFailedRows("all_lines", lit(true))))
+    val ex = intercept[CheckFailedException](CheckSuite.runAll(failing))
+    assert(ex.failures.map(_.check).toSet ==
+      Set("failed_rows[all_docs]", "failed_rows[all_lines]"))
+  }
+
+  test("kmeansCentroids early exit: moveTol=inf stops after one round, result = iters=1") {
+    val emb = graft.io.Tables.table(spark, sf, "embeddings")
+    val one = Similarity.kmeansCentroids(emb, dim = 64, k = 10, iters = 1,
+        quantizedMeans = true)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    // a huge tolerance declares convergence after round 1 even with iters=5
+    val early = Similarity.kmeansCentroids(emb, dim = 64, k = 10, iters = 5,
+        quantizedMeans = true, moveTol = Some(Double.MaxValue))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(early == one, "early exit must stop after the first round")
+  }
+
   test("ivfTrainedTopK: 5 contiguous ranks per query, deterministic") {
     val out = Q.ivfTrainedTopK(spark, sf)
       .select("query_id", "rank").as[(Long, Int)].collect()

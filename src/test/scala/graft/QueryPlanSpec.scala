@@ -64,4 +64,28 @@ class QueryPlanSpec extends SparkSpec {
     assert(lines(expandIdx - 1).contains("HashAggregate"),
       s"Expand must feed a HashAggregate, got: ${lines(expandIdx - 1)}")
   }
+
+  test("q65 salted join: the salt rides an equi join, never a nested loop") {
+    val plan = executedPlan(QueryCatalog.saltedJoinAgg(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"salted join must stay equi on (key, salt):\n${plan.take(1500)}")
+  }
+
+  test("q70 OOV: vocab is a top-K (TakeOrdered) that broadcasts back against the tokens") {
+    val plan = executedPlan(QueryCatalog.oovRate(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cutoff must be a top-K, not a global sort:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 16-row vocab must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), s"no cross join:\n${plan.take(1500)}")
+  }
+
+  test("q63 histogram: only the deliberate 1-row stats broadcast crosses") {
+    val plan = executedPlan(QueryCatalog.valueHistogram(spark, sf))
+    // crossJoin(broadcast(1-row min/max)) IS a BroadcastNestedLoopJoin —
+    // that one is the design; any second one is a regression
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nested <= 1, s"unexpected nested-loop joins ($nested):\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), s"stats side must broadcast:\n${plan.take(1500)}")
+  }
 }

@@ -130,7 +130,9 @@ object SparkEntry {
     // native TypedImperativeAggregate t-digest, verified rank-error contract
     "q69_tdigest_percentiles" -> (Q.tdigestPercentiles(_, _)),
     // vocab-coverage diagnostic: per-doc OOV fraction vs top-K corpus vocab
-    "q70_oov_rate"            -> (Q.oovRate(_, _))
+    "q70_oov_rate"            -> (Q.oovRate(_, _)),
+    // balanced eval sets: exact per-stratum quota, content-addressed order
+    "q71_quota_sample"        -> (Q.quotaSample(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

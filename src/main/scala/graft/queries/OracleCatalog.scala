@@ -933,6 +933,16 @@ object OracleCatalog {
         |  sq / (1000000.0 * CAST(n_vecs AS DOUBLE)) AS centroid
         |FROM g ORDER BY label, dim""".stripMargin,
 
+    "q71_quota_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  list_reduce([CAST(strpos('0123456789abcdef', substr(md5('qs|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |               for i in generate_series(1, 8)], (a, x) -> a * 16 + x) AS h
+        |FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS INTEGER) AS rk
+        |      FROM h)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+
     "q70_oov_rate" ->
       raw"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
            |vocab AS (SELECT tok, true AS in_vocab FROM (

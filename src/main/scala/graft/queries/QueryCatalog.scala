@@ -1109,6 +1109,26 @@ object QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Fixed-quota stratified sample (q71): exactly N documents per stratum
+    * (all, when the stratum is smaller) — the balanced-eval-set primitive
+    * beside q57's rate-based sample. Selection order is a content-addressed
+    * hash (salted md5), so the quota picks the same documents under
+    * re-partitioning, re-runs, and engine swaps; one shuffle on the
+    * stratum key, rank, filter.
+    */
+  def quotaSample(s: SparkSession, dir: String): DataFrame = {
+    val quota = 20
+    val h = conv(substring(md5(concat_ws("|", lit("qs"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(asc("h"), asc("doc_id"))))
+      .filter(col("rk") <= quota)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
   /** Trained-IVF ANN (q68): ivfTopK over centroids produced by ONE
     * distributed Lloyd iteration (deterministic stride init, quantized
     * portable means) instead of the raw stride sample q30 uses — the

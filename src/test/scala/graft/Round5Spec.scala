@@ -185,6 +185,21 @@ class Round5Spec extends SparkSpec {
     assert(early == one, "early exit must stop after the first round")
   }
 
+  test("quotaSample: exactly min(quota, stratum size) per source, deterministic") {
+    val rows = Q.quotaSample(spark, sf)
+      .select("doc_id", "source", "rk").as[(Long, String, Int)].collect()
+    val sizes = graft.io.Tables.table(spark, sf, "documents")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val expect = math.min(20L, sizes(src))
+      assert(g.length == expect, s"source $src: ${g.length} != $expect")
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length), s"source $src ranks not contiguous")
+    }
+    val again = Q.quotaSample(spark, sf)
+      .select("doc_id", "source", "rk").as[(Long, String, Int)].collect()
+    assert(rows.sortBy(r => (r._2, r._3)).toSeq == again.sortBy(r => (r._2, r._3)).toSeq)
+  }
+
   test("ivfTrainedTopK: 5 contiguous ranks per query, deterministic") {
     val out = Q.ivfTrainedTopK(spark, sf)
       .select("query_id", "rank").as[(Long, Int)].collect()

@@ -132,7 +132,13 @@ object SparkEntry {
     // vocab-coverage diagnostic: per-doc OOV fraction vs top-K corpus vocab
     "q70_oov_rate"            -> (Q.oovRate(_, _)),
     // balanced eval sets: exact per-stratum quota, content-addressed order
-    "q71_quota_sample"        -> (Q.quotaSample(_, _))
+    "q71_quota_sample"        -> (Q.quotaSample(_, _)),
+    // time-based RANGE window frames (trailing hour per user)
+    "q72_range_frame"         -> (Q.rangeFrameCounts(_, _)),
+    // double-fire suppression: gap-filter debounce per (user, type)
+    "q73_debounce"            -> (Q.debounceEvents(_, _)),
+    // ratio_to_report: revenue share within flag and of grand total
+    "q74_revenue_share"       -> (Q.revenueShare(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -933,6 +933,35 @@ object OracleCatalog {
         |  sq / (1000000.0 * CAST(n_vecs AS DOUBLE)) AS centroid
         |FROM g ORDER BY label, dim""".stripMargin,
 
+    "q72_range_frame" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, date_trunc('second', ts) AS ts_sec,
+         |             epoch(date_trunc('second', ts)) AS ep FROM events)
+         |SELECT user_id, event_id, ${fmtTs("ts_sec")} AS ts_s,
+         |  count(*) OVER w AS n_last_hour,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_last_hour
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ep
+         |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q73_debounce" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id, date_trunc('second', ts) AS ts_sec,
+         |             epoch(date_trunc('second', ts)) AS ep FROM events),
+         |l AS (SELECT *, lag(ep) OVER (PARTITION BY user_id, event_type
+         |                              ORDER BY ep ASC, event_id ASC) AS prev_ep FROM e)
+         |SELECT user_id, event_type, event_id, ${fmtTs("ts_sec")} AS ts_s
+         |FROM l WHERE prev_ep IS NULL OR ep - prev_ep >= 60
+         |ORDER BY user_id, event_type, event_id""".stripMargin,
+
+    "q74_revenue_share" ->
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
+        |             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev_dec
+        |           FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS share_of_flag,
+        |  CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE) AS share_of_total
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q71_quota_sample" ->
       """WITH h AS (SELECT doc_id, source,
         |  list_reduce([CAST(strpos('0123456789abcdef', substr(md5('qs|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)

@@ -1109,6 +1109,64 @@ object QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Time-based RANGE window frames (q72): per event, count/sum over the
+    * trailing hour of the SAME user — the "events in the last N minutes"
+    * analytic q41's ROWS frames can't express (a RANGE frame bounds by
+    * VALUE distance, so equal-timestamp rows share a frame and gaps count
+    * as time, not rows). One shuffle on user_id; sums ride DECIMAL so the
+    * sliding-frame implementations agree bit-for-bit.
+    */
+  def rangeFrameCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withColumn("epoch", unix_timestamp(col("ts_sec")))
+    val w = Window.partitionBy("user_id").orderBy(col("epoch")).rangeBetween(-3599L, 0L)
+    ev.select(
+      col("user_id"), col("event_id"),
+      formatTimestampSeconds(col("ts_sec")).as("ts_s"),
+      count(lit(1)).over(w).as("n_last_hour"),
+      sum(col("value").cast("decimal(18,4)")).over(w).cast("double").as("value_last_hour"))
+  }
+
+  /** Event debouncing (q73): drop events of the same (user, type) arriving
+    * within 60s of their PREDECESSOR — the double-fire suppression step of
+    * an event pipeline (lag-based gap filter: deterministic, one window,
+    * one shuffle; the stateful previous-KEPT variant is the streaming
+    * `mapGroupsWithState` job, this is the batch shape).
+    */
+  def debounceEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withColumn("epoch", unix_timestamp(col("ts_sec")))
+    val w = Window.partitionBy("user_id", "event_type").orderBy(asc("epoch"), asc("event_id"))
+    ev.withColumn("prev_epoch", lag(col("epoch"), 1).over(w))
+      .filter(col("prev_epoch").isNull || col("epoch") - col("prev_epoch") >= 60L)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        formatTimestampSeconds(col("ts_sec")).as("ts_s"))
+      .orderBy("user_id", "event_type", "event_id")
+  }
+
+  /** Share-of-total ratios (q74): per (returnflag, linestatus) revenue as a
+    * fraction of its flag's total and of the grand total — ratio_to_report.
+    * Group sums ride DECIMAL (exact, associative); the two window totals
+    * reuse the grouped result (window over |groups| rows, not the fact);
+    * shares are one double division each, mirrored exactly.
+    */
+  def revenueShare(s: SparkSession, dir: String): DataFrame = {
+    val grouped = t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).as("rev_dec"))
+    val wAll  = Window.partitionBy()
+    val wFlag = Window.partitionBy("l_returnflag")
+    grouped
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("rev_dec").cast("double") / sum(col("rev_dec")).over(wFlag).cast("double")).as("share_of_flag"),
+        (col("rev_dec").cast("double") / sum(col("rev_dec")).over(wAll).cast("double")).as("share_of_total"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** Fixed-quota stratified sample (q71): exactly N documents per stratum
     * (all, when the stratum is smaller) — the balanced-eval-set primitive
     * beside q57's rate-based sample. Selection order is a content-addressed

@@ -200,6 +200,50 @@ class Round5Spec extends SparkSpec {
     assert(rows.sortBy(r => (r._2, r._3)).toSeq == again.sortBy(r => (r._2, r._3)).toSeq)
   }
 
+  test("rangeFrameCounts: trailing-hour counts match a brute-force replay for one user") {
+    val rows = Q.rangeFrameCounts(spark, sf)
+      .select("user_id", "event_id", "ts_s", "n_last_hour")
+      .as[(Long, Long, String, Long)].collect()
+    val u = rows.map(_._1).min
+    val evs = rows.filter(_._1 == u).map(r => (r._2, java.sql.Timestamp.valueOf(r._3).getTime / 1000, r._4))
+    evs.foreach { case (id, ep, n) =>
+      val expect = evs.count { case (_, ep2, _) => ep2 >= ep - 3599 && ep2 <= ep }
+      assert(n == expect, s"user $u event $id: $n != $expect")
+    }
+  }
+
+  test("debounceEvents: kept events are >= 60s after their predecessor, firsts survive") {
+    val kept = Q.debounceEvents(spark, sf)
+      .select("user_id", "event_type", "ts_s").as[(Long, String, String)].collect()
+      .groupBy(r => (r._1, r._2))
+    val all = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), date_trunc("second", col("ts")).cast("long").as("ep"), col("event_id"))
+      .as[(Long, String, Long, Long)].collect().groupBy(r => (r._1, r._2))
+    assert(kept.keySet == all.keySet, "every (user, type) group must keep at least its first event")
+    // no kept PREDECESSOR pair violates the gap (the filter is vs the raw
+    // predecessor, so kept-to-kept gaps can only be larger)
+    kept.values.foreach { g =>
+      val eps = g.map(r => java.sql.Timestamp.valueOf(r._3).getTime / 1000).sorted
+      eps.sliding(2).foreach {
+        case Array(a, b) => assert(b - a >= 60, s"kept events $a,$b closer than the debounce gap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("revenueShare: shares sum to 1 within each flag and overall") {
+    val rows = Q.revenueShare(spark, sf)
+      .select("l_returnflag", "revenue", "share_of_flag", "share_of_total")
+      .as[(String, Double, Double, Double)].collect()
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, "grand-total shares must sum to 1")
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._3).sum - 1.0) < 1e-9, "per-flag shares must sum to 1")
+    }
+    rows.foreach { case (_, rev, sf_, st) =>
+      assert(rev > 0 && sf_ > 0 && sf_ <= 1.0 && st > 0 && st <= 1.0)
+    }
+  }
+
   test("ivfTrainedTopK: 5 contiguous ranks per query, deterministic") {
     val out = Q.ivfTrainedTopK(spark, sf)
       .select("query_id", "rank").as[(Long, Int)].collect()

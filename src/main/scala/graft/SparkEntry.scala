@@ -138,7 +138,10 @@ object SparkEntry {
     // double-fire suppression: gap-filter debounce per (user, type)
     "q73_debounce"            -> (Q.debounceEvents(_, _)),
     // ratio_to_report: revenue share within flag and of grand total
-    "q74_revenue_share"       -> (Q.revenueShare(_, _))
+    "q74_revenue_share"       -> (Q.revenueShare(_, _)),
+    // format breadth: JSON-lines ingest + ORC round-trip vs the original table
+    "q75_json_ingest"         -> (Q.jsonIngest(_, _)),
+    "q76_orc_roundtrip"       -> (Q.orcRoundtrip(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -71,6 +71,29 @@ object Tables {
   def overwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** JSON-lines sink/source — the interchange format of most crawl/corpus
+    * drops. Explicit schema on read (same no-inference stance as CSV);
+    * doubles survive the text round-trip because Spark writes the
+    * shortest decimal repr, which parses back to the identical bits.
+    */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJsonLines(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None    => spark.read.json(path)
+    }
+
+  /** ORC sink/source — the other columnar warehouse format Spark ships
+    * natively; same truncate-and-replace semantics as parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Partitioned overwrite for scale: at 100 TB a fact table must be
     * partition-pruned on its dominant filter key (date). Dynamic partition
     * overwrite keeps idempotent-rebuild semantics per partition instead of

@@ -933,6 +933,14 @@ object OracleCatalog {
         |  sq / (1000000.0 * CAST(n_vecs AS DOUBLE)) AS centroid
         |FROM g ORDER BY label, dim""".stripMargin,
 
+    // round-trip ingests: the oracle is the ORIGINAL table — any format
+    // drift (text doubles, escaping, nulls, column types) breaks the hash
+    "q75_json_ingest" ->
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part ORDER BY p_partkey",
+
+    "q76_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+
     "q72_range_frame" ->
       s"""WITH e AS (SELECT user_id, event_id, value, date_trunc('second', ts) AS ts_sec,
          |             epoch(date_trunc('second', ts)) AS ep FROM events)

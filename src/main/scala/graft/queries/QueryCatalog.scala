@@ -557,6 +557,42 @@ object QueryCatalog {
     f.delete(): Unit
   }
 
+  /** Staging path for ingest round-trip queries: keyed by applicationId
+    * (concurrent sessions don't race, repeat calls stay idempotent), the
+    * whole root deleted by a shutdown hook so no Spark application leaves
+    * table copies in /tmp.
+    */
+  private def stagingDir(s: SparkSession, dir: String, sub: String): String = {
+    val stagingRoot = s"${sys.props("java.io.tmpdir")}/graft/${s.sparkContext.applicationId}"
+    if (stagingCleanupRegistered.add(stagingRoot))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(stagingRoot))))
+    s"$stagingRoot/$sub/${new java.io.File(dir).getName}"
+  }
+
+  /** JSON-lines ingest (q75): table → JSON-lines → schema'd read → sorted
+    * output, oracle-compared against the ORIGINAL table — text-format
+    * round-trip fidelity (shortest-repr doubles, escaping, nulls) on the
+    * interchange format most corpus drops arrive in.
+    */
+  def jsonIngest(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "part")
+    val tmp = stagingDir(s, dir, "json_ingest")
+    Tables.writeJsonLines(src, s"$tmp/json")
+    Tables.readJsonLines(s, s"$tmp/json", Some(src.schema)).orderBy("p_partkey")
+  }
+
+  /** ORC round-trip (q76): table → ORC → read → sorted output vs the
+    * original — the other native columnar warehouse format, same
+    * truncate-and-replace semantics as the parquet path.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "supplier")
+    val tmp = stagingDir(s, dir, "orc_roundtrip")
+    Tables.writeOrc(src, s"$tmp/orc")
+    Tables.readOrc(s, s"$tmp/orc").orderBy("s_suppkey")
+  }
+
   /** S2→S5→S11 end-to-end as a driver-checked query (the reference's
     * primary entry path, dags/online_retail.py:36,83-93): customer →
     * CSV (header, ISO-8859-1) → read back with the explicit schema AND
@@ -569,17 +605,7 @@ object QueryCatalog {
   def csvIngest(s: SparkSession, dir: String): DataFrame = {
     val src  = t(s, dir, "customer")
     val cols = src.schema.fieldNames.toSeq
-    // Staging path keyed by applicationId: concurrent sessions on the same
-    // workspace each stage under their own directory (a fixed user.dir
-    // path raced), while repeat calls within one session stay idempotent
-    // (same path, same data, overwrite semantics). The application's
-    // staging root is deleted on JVM exit — without the hook every Spark
-    // application left a csv+parquet copy of the table in /tmp forever.
-    val stagingRoot = s"${sys.props("java.io.tmpdir")}/graft/${s.sparkContext.applicationId}"
-    if (stagingCleanupRegistered.add(stagingRoot))
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        deleteRecursively(new java.io.File(stagingRoot))))
-    val tmp  = s"$stagingRoot/csv_ingest/${new java.io.File(dir).getName}"
+    val tmp  = stagingDir(s, dir, "csv_ingest")
     Tables.writeCsv(src, s"$tmp/csv", encoding = "ISO-8859-1")
     val explicit = Tables.readCsv(s, s"$tmp/csv", Some(src.schema))
     Tables.overwriteParquet(explicit, s"$tmp/parquet")

@@ -141,7 +141,9 @@ object SparkEntry {
     "q74_revenue_share"       -> (Q.revenueShare(_, _)),
     // format breadth: JSON-lines ingest + ORC round-trip vs the original table
     "q75_json_ingest"         -> (Q.jsonIngest(_, _)),
-    "q76_orc_roundtrip"       -> (Q.orcRoundtrip(_, _))
+    "q76_orc_roundtrip"       -> (Q.orcRoundtrip(_, _)),
+    // join-type completion: FULL OUTER with both unmatched sides tagged
+    "q77_full_outer"          -> (Q.fullOuterOrders(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -941,6 +941,21 @@ object OracleCatalog {
     "q76_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
 
+    "q77_full_outer" ->
+      s"""WITH seg AS (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'),
+         |oa AS (SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+         |         ${sumMoney("o_totalprice")} AS total_spend
+         |       FROM orders GROUP BY o_custkey)
+         |SELECT c_custkey,
+         |  coalesce(c_name, '_no_customer_') AS customer_name,
+         |  coalesce(n_orders, 0) AS n_orders,
+         |  coalesce(total_spend, 0.0) AS total_spend,
+         |  CASE WHEN c_name IS NULL THEN 'order_only'
+         |       WHEN n_orders IS NULL THEN 'customer_only'
+         |       ELSE 'both' END AS side
+         |FROM seg FULL OUTER JOIN oa USING (c_custkey)
+         |ORDER BY c_custkey""".stripMargin,
+
     "q72_range_frame" ->
       s"""WITH e AS (SELECT user_id, event_id, value, date_trunc('second', ts) AS ts_sec,
          |             epoch(date_trunc('second', ts)) AS ep FROM events)

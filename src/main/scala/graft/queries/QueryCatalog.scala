@@ -1135,6 +1135,31 @@ object QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** FULL OUTER join (q77): one market segment's customers against the
+    * per-customer order rollup — both unmatched sides survive and are
+    * tagged (customers with no orders, orders outside the segment).
+    * Completes the join-type surface (inner/left/semi/anti/cross/asof/
+    * range/salted/full); plans as a shuffle join preserving both sides.
+    */
+  def fullOuterOrders(s: SparkSession, dir: String): DataFrame = {
+    val custSeg = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val orderAgg = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("total_spend"))
+    custSeg.join(orderAgg, Seq("c_custkey"), "full_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("c_name"), lit("_no_customer_")).as("customer_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spend"), lit(0.0)).as("total_spend"),
+        when(col("c_name").isNull, "order_only")
+          .when(col("n_orders").isNull, "customer_only")
+          .otherwise("both").as("side"))
+      .orderBy("c_custkey")
+  }
+
   /** Time-based RANGE window frames (q72): per event, count/sum over the
     * trailing hour of the SAME user — the "events in the last N minutes"
     * analytic q41's ROWS frames can't express (a RANGE frame bounds by

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{Components, Dedup}
+
+/** Degenerate-input behavior of the operator library: empty corpora,
+  * empty edge sets, constant columns, empty documents. At 100 TB these
+  * aren't hypothetical — a partition, a tenant, or a day WILL be empty,
+  * and an operator that NPEs or returns the wrong shape on empty input
+  * fails the whole job.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("dedup family on an empty corpus: empty results, correct schemas, no failure") {
+    assert(Dedup.exactDedup(emptyDocs, "doc_id", "text").count() == 0)
+    val pairs = Dedup.minhashCandidatePairs(emptyDocs, "doc_id", "text")
+    assert(pairs.columns.toSeq == Seq("doc_a", "doc_b") && pairs.count() == 0)
+    assert(Dedup.nearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashNearDups(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("connectedComponents with no edges: every vertex is its own singleton component") {
+    val vertices = Seq(1L, 2L, 3L).toDF("id")
+    val edges    = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val comp = Components.connectedComponents(edges, "src", "dst", vertices, "id")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(comp.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("connectedComponents with no vertices at all: empty result, no iteration blowup") {
+    val vertices = Seq.empty[Long].toDF("id")
+    val edges    = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Components.connectedComponents(edges, "src", "dst", vertices, "id").count() == 0)
+  }
+
+  test("empty and whitespace-only documents flow through shingles/signature/quality") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a b c d")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    // short docs collapse to the single whole-text shingle
+    assert(sh(3L) == Seq("one"))
+    assert(sh(4L) == Seq("a b c", "b c d"))
+    val sig = docs.select(Dedup.minhashSignature(col("text"), 3, 16)).collect()
+    assert(sig.length == 4, "signature must not fail on empty text")
+    val q = docs.select(graft.text.TextOps.qualityScore(col("text"))).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("histogram of a constant column collapses to bucket 0 with the full count") {
+    // mirrors q63's hi==lo guard: width would be 0 — every row lands in
+    // bucket 0 instead of dividing by zero
+    val const = Seq.fill(100)(7.5).toDF("value")
+    val stats = const.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val bucket = when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / lit(20.0))), lit(19.0)).cast("int"))
+    val rows = const.crossJoin(broadcast(stats))
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect()
+    assert(rows.toSeq == Seq((0, 100L)))
+  }
+
+  test("TopKAgg over fewer rows than k returns all of them, ranked") {
+    val corpus  = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.sim.Similarity.bruteForceTopKAgg(corpus, queries, k = 5)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(out.map(_._2).toSeq == Seq(10L, 11L))
+    assert(out.map(_._3).toSeq == Seq(1, 2))
+  }
+
+  test("asofJoin with an empty right side keeps every left row with null payload") {
+    val left  = Seq((1L, 100L), (2L, 200L)).toDF("k", "ts")
+    val right = Seq.empty[(Long, Long, Long)].toDF("k", "rts", "payload")
+    val out = graft.ops.CoreOps.asofJoin(left, right, "k", "ts", "rts", "payload", Seq("payload"))
+    assert(out.count() == 2)
+    assert(out.filter(col("payload").isNotNull).count() == 0)
+  }
+}

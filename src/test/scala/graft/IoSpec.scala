@@ -53,6 +53,25 @@ class IoSpec extends SparkSpec {
       "partition filter must prune year=2023")
   }
 
+  test("nested-schema pruning: selecting one struct field reads ONLY that subfield") {
+    // the multimodal/metadata pattern: wide structs in parquet; a scan
+    // that reads the whole struct for a one-field projection multiplies
+    // I/O at 100 TB. Catalyst's nestedSchemaPruning (on by default) must
+    // push the subfield into ReadSchema.
+    val dir = tmpDir() + "/nested"
+    Seq((1L, ("img", 1024, "deadbeef")), (2L, ("aud", 2048, "cafebabe")))
+      .toDF("id", "meta")
+      .select(col("id"), col("meta._1").as("kind"), col("meta._2").as("n_bytes"), col("meta._3").as("digest"))
+      .select(col("id"), struct(col("kind"), col("n_bytes"), col("digest")).as("meta"))
+      .write.mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).select(col("id"), col("meta.n_bytes"))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema"), s"no scan found:\n$scan")
+    assert(!scan.contains("digest"),
+      s"struct must be pruned to the selected subfield:\n$scan")
+    assert(pruned.as[(Long, Int)].collect().sortBy(_._1).toSeq == Seq((1L, 1024), (2L, 2048)))
+  }
+
   test("S6-S10: DDL analogs — database, seed table, drop, rename") {
     spark.sql("CREATE DATABASE IF NOT EXISTS retail") // S6
     // S7/S8: static seed built from a Seq with explicit schema

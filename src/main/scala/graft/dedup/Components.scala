@@ -84,31 +84,35 @@ object Components {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // propagate: min over own label (via self-loop) and neighbors' labels;
-      // checkpointed because the jump self-join reads it twice — the
-      // barrier both dedups the propagate work and keeps the plan flat
-      val (prop, propIds) = checkpointTracked(sym
+      // propagate: min over own label (via self-loop) and neighbors' labels
+      val prop = sym
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .select(col("dst").as("id"), col("label"))
-        .groupBy("id").agg(min("label").as("label")))
+        .groupBy("id").agg(min("label").as("label"))
       // jump: adopt the label of the vertex the label points at. Labels
       // always name live vertices (min of vertex ids), so the join is a
-      // left join only as belt-and-braces.
-      val (next, nextIds) = checkpointTracked(prop.as("a")
+      // left join only as belt-and-braces. The self-join reads `prop`
+      // twice, but both sides canonicalize to the SAME shuffle subtree, so
+      // ReuseExchange materializes the propagate shuffle once (pinned in
+      // ComponentsSpec) — no second checkpoint needed to dedup the work.
+      val jumped = prop.as("a")
         .join(prop.select(col("id").as("pid"), col("label").as("plabel")),
               col("a.label") === col("pid"), "left")
         .select(col("a.id").as("id"),
-                coalesce(col("plabel"), col("a.label")).as("label")))
-      // convergence check against the previous round's labels
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
-        .filter(col("label") =!= col("prev"))
-        .count()
-      // `next` is materialized; the propagate frame and the previous
-      // round's labels can never be referenced again — free their blocks
-      release(propIds)
+                coalesce(col("plabel"), col("a.label")).as("label"))
+      // One checkpoint per round, with the PREVIOUS round's label carried
+      // alongside: the convergence count then scans the already-persisted
+      // blocks (no join job), so each round costs exactly one
+      // materializing job plus a block-local count — not the three jobs
+      // (propagate checkpoint, jump checkpoint, count-join) of the naive
+      // structure, whose fixed job overhead dominated on fast rounds.
+      val (next, nextIds) = checkpointTracked(jumped
+        .join(labels.select(col("id"), col("label").as("prev")), Seq("id")))
+      val changed = next.filter(col("label") =!= col("prev")).count()
+      // `next` is materialized; the previous round's labels can never be
+      // referenced again — free their blocks
       release(labelIds)
-      labels = next
+      labels = next.select("id", "label")
       labelIds = nextIds
       converged = changed == 0
       iter += 1

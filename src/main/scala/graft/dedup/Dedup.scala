@@ -223,6 +223,22 @@ object Dedup {
                    k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val (cands, candBlocks) =
       minhashCandidatePairsTracked(docs, idCol, textCol, shingleN, k, rowsPerBand)
+    val out = nearDupPairsFrom(cands, docs, idCol, textCol, shingleN, threshold)
+    Checkpoints.release(candBlocks)
+    out
+  }
+
+  /** The Jaccard-verification stage of [[nearDupPairs]] over a PREBUILT
+    * candidate-pair frame (doc_a, doc_b) — for callers that amortize one
+    * candidate materialization across several consumers (pairs report,
+    * cluster building, edit-distance verification) instead of re-running
+    * the signature→band→bucket pipeline per consumer. Does NOT release the
+    * candidate frame's blocks: the caller owns that lifecycle. EAGER like
+    * [[nearDupPairs]] (the verified set is checkpointed at call time).
+    */
+  def nearDupPairsFrom(cands: DataFrame, docs: DataFrame, idCol: String,
+                       textCol: String, shingleN: Int = 3,
+                       threshold: Double = 0.8): DataFrame = {
     val sets  = docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
     val (out, _) = Checkpoints.tracked(cands
       .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
@@ -231,7 +247,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         graft.ops.CoreOps.roundPortable(col("jaccard"), 6).as("jaccard")))
-    Checkpoints.release(candBlocks)
     out
   }
 

@@ -154,8 +154,34 @@ object QueryCatalog {
       col("doc_id"),
       concat_ws("|", Dedup.minhashSignature(col("text"), 3, 16)).as("sig"))
 
+  /** Session-scoped default MinHash candidate pairs over `documents` —
+    * q19 (pairs report), q54 (cluster building), and q60 (edit-distance
+    * verification) all consume the SAME signature→band→bucket pipeline, so
+    * it runs once per (session, dir), like [[Star.build]] and
+    * [[cleanedCorpus]]. The frame is already eagerly checkpointed by
+    * [[Dedup.minhashCandidatePairs]]; consumers must NOT release its
+    * blocks — [[invalidateCandidatePairs]] owns that.
+    */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def docCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir),
+      Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text"))
+
+  /** Drop the cached candidate pairs for (session, dir) and free their
+    * checkpoint blocks (non-recomputable — only safe once no consumer can
+    * re-evaluate a frame derived from them).
+    */
+  def invalidateCandidatePairs(s: SparkSession, dir: String): Unit =
+    pairsCache.remove((s, dir)).foreach { df =>
+      df.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.foreach(_.unpersist(false))
+    }
+
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
+    docCandidatePairs(s, dir)
 
   /** n-gram Jaccard between consecutive docs (by id) within each source —
     * a linear, oracle-checkable slice of the pairwise similarity operator.
@@ -792,7 +818,8 @@ object QueryCatalog {
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs  = t(s, dir, "documents")
-    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.8)
+    val pairs = Dedup.nearDupPairsFrom(docCandidatePairs(s, dir), docs,
+      "doc_id", "text", shingleN = 3, threshold = 0.8)
     val comp  = graft.dedup.Components.connectedComponents(
       pairs, "doc_a", "doc_b", docs.select("doc_id"), "doc_id")
     comp
@@ -914,10 +941,10 @@ object QueryCatalog {
     */
   def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
     val docs  = t(s, dir, "documents")
-    val (cands, candBlocks) = Dedup.minhashCandidatePairsTracked(docs, "doc_id", "text")
+    // the session-cached candidate set (shared with q19/q54) — do NOT
+    // release its blocks; invalidateCandidatePairs owns that lifecycle
+    val cands = docCandidatePairs(s, dir)
     val texts = docs.select(col("doc_id"), col("text"))
-    // Materialize the (tiny) verified result, then release the candidate
-    // checkpoint deterministically — the nearDupPairs lifecycle pattern.
     val (out, _) = graft.dedup.Checkpoints.tracked(cands
       .join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), Seq("doc_a"))
       .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), Seq("doc_b"))
@@ -925,7 +952,6 @@ object QueryCatalog {
         levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
         (levenshtein(col("text_a"), col("text_b")).cast("double") /
           greatest(greatest(length(col("text_a")), length(col("text_b"))).cast("double"), lit(1.0))).as("edit_frac")))
-    graft.dedup.Checkpoints.release(candBlocks)
     out.orderBy("doc_a", "doc_b")
   }
 

@@ -25,8 +25,10 @@ object Probe {
 
     // time a noop WRITE, not count() — a bare count lets Catalyst prune
     // projection work, so count-timings understate projection-heavy
-    // queries (same fix as Bench)
-    def time(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+    // queries (same fix as Bench). `df` is BY-NAME so frame construction is
+    // timed too: eager queries (localCheckpoint rounds in q54/q19) do most
+    // of their work before any action, and Bench times construction.
+    def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"[probe] $label time=${(System.nanoTime() - t0) / 1e9}%.2fs")

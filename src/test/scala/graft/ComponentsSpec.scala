@@ -45,6 +45,29 @@ class ComponentsSpec extends SparkSpec {
     assert(got(9L) == 2L && got(14L) == 11L && got(30L) == 25L)
   }
 
+  test("jump self-join reuses the propagate shuffle (ReusedExchange)") {
+    // One round's plan: propagate (join+min-agg) feeds BOTH sides of the
+    // pointer-jump self-join. Both sides canonicalize to the same exchange
+    // subtree, so the physical plan must materialize the propagate shuffle
+    // once and reuse it — the property that let Components drop its second
+    // per-round checkpoint. Reproduce the round-body shape and pin it.
+    val labels = (1L to 50L).toDF("id").select(col("id"), col("id").as("label")).localCheckpoint()
+    val e = (1L until 50L).map(i => (i, i + 1)).toDF("src", "dst")
+    val sym = e.union(e.select(col("dst"), col("src")))
+    val prop = sym
+      .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+      .select(col("dst").as("id"), col("label"))
+      .groupBy("id").agg(min("label").as("label"))
+    val jumped = prop.as("a")
+      .join(prop.select(col("id").as("pid"), col("label").as("plabel")),
+            col("a.label") === col("pid"), "left")
+    jumped.collect() // AQE stage reuse is only visible in the FINAL plan
+    val plan = jumped.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
+      s"expected the jump self-join to reuse the propagate exchange:\n$plan")
+    labels.unpersist()
+  }
+
   test("random graphs match union-find") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 3) {

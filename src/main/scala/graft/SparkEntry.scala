@@ -143,7 +143,19 @@ object SparkEntry {
     "q75_json_ingest"         -> (Q.jsonIngest(_, _)),
     "q76_orc_roundtrip"       -> (Q.orcRoundtrip(_, _)),
     // join-type completion: FULL OUTER with both unmatched sides tagged
-    "q77_full_outer"          -> (Q.fullOuterOrders(_, _))
+    "q77_full_outer"          -> (Q.fullOuterOrders(_, _)),
+    // SCD Type-2 snapshot: change-compressed validity intervals per user
+    "q78_scd2_snapshot"       -> (Q.scd2Snapshot(_, _)),
+    // date-spine resample + forward fill (LOCF) per user
+    "q79_gap_fill"            -> (Q.gapFill(_, _)),
+    // bloom-filter decontamination: the no-false-negative scale path of q44
+    "q80_bloom_decontam"      -> (Q.bloomDecontamination(_, _)),
+    // exact Pearson correlations from scaled-integer power sums
+    "q81_corr_profile"        -> (Q.corrProfile(_, _)),
+    // C4-style cross-document boilerplate chunk removal
+    "q82_boilerplate"         -> (Q.boilerplateStrip(_, _)),
+    // int8 embedding quantization with verified reconstruction-error bound
+    "q83_int8_quant"          -> (Q.int8Quant(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1056,6 +1056,133 @@ object OracleCatalog {
          |WHERE rank <= 5""".stripMargin
     },
 
+    "q78_scd2_snapshot" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts_sec,
+         |             epoch(date_trunc('second', ts)) AS ep FROM events),
+         |l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+         |               AS prev_state FROM e),
+         |c AS (SELECT * FROM l WHERE prev_state IS NULL OR prev_state != event_type)
+         |SELECT user_id, event_type AS state,
+         |  CAST(row_number() OVER w AS INTEGER) AS version,
+         |  ${fmtTs("ts_sec")} AS valid_from,
+         |  ${fmtTs("lead(ts_sec) OVER w")} AS valid_to,
+         |  (lead(ts_sec) OVER w) IS NULL AS is_current
+         |FROM c
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)""".stripMargin,
+
+    "q79_gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |                 sum(CAST(value AS DECIMAL(18,4))) AS dv
+        |               FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+        |spine AS (SELECT user_id,
+        |            CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |                                        INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM bounds)
+        |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day_s,
+        |  CAST(dv AS DOUBLE) AS day_value,
+        |  CAST(last_value(dv IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value,
+        |  dv IS NULL AS is_gap
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+
+    // the bloom CONTRACT: no false negatives => every exactly-contaminated
+    // train doc is bloom-flagged => bloom_ok is true on EVERY row. The
+    // oracle derives the exact set; `true` is the pinned contract value.
+    "q80_bloom_decontam" ->
+      s"""WITH tk AS (SELECT doc_id, $toksLower AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+         |    THEN 'heldout' ELSE 'train' END AS split,
+         |  ${shingleSqlN(8)} AS sh FROM tk),
+         |g AS (SELECT doc_id, split, md5(unnest(sh)) AS gh FROM sh),
+         |hg AS (SELECT DISTINCT gh FROM g WHERE split = 'heldout'),
+         |ex AS (SELECT DISTINCT doc_id FROM g JOIN hg USING (gh) WHERE split = 'train')
+         |SELECT t.doc_id,
+         |  (ex.doc_id IS NOT NULL) AS exact_contaminated,
+         |  true AS bloom_ok
+         |FROM (SELECT DISTINCT doc_id FROM g WHERE split = 'train') t
+         |LEFT JOIN ex USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // scaled-integer power sums (exact, associative) -> decimal cross
+    // terms sized under 38 digits in both engines -> ONE scale-0
+    // decimal->double conversion each -> identical IEEE divide/sqrt
+    "q81_corr_profile" -> {
+      // width-19 casts force int128 storage (a 17-digit decimal multiplies
+      // in int64 and physically overflows); the post-multiply downcast to
+      // 30 digits is exact and keeps the subtraction width under 38
+      def nTimes(s2: String) =
+        s"CAST(CAST(n AS DECIMAL(9,0)) * CAST($s2 AS DECIMAL(26,0)) AS DECIMAL(35,0))"
+      def prodOf(a: String, b: String) =
+        s"CAST(CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0)) AS DECIMAL(30,0))"
+      def corrOf(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+        s"""(CAST(${nTimes(sxy)} - ${prodOf(sx, sy)} AS DOUBLE)
+           | / (sqrt(CAST(${nTimes(sxx)} - ${prodOf(sx, sx)} AS DOUBLE))
+           |    * sqrt(CAST(${nTimes(syy)} - ${prodOf(sy, sy)} AS DOUBLE))))""".stripMargin
+      s"""WITH b AS (SELECT CAST(l_quantity AS DECIMAL(9,0)) AS q,
+         |             CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(13,0)) AS p,
+         |             CAST(floor(l_discount * 100.0 + 0.5) AS DECIMAL(13,0)) AS d
+         |           FROM lineitem),
+         |a AS (SELECT CAST(count(*) AS DECIMAL(9,0)) AS n,
+         |        sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+         |        sum(q*q) AS sqq, sum(p*p) AS spp, sum(d*d) AS sdd,
+         |        sum(q*p) AS sqp, sum(q*d) AS sqd, sum(p*d) AS spd FROM b)
+         |SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, CAST(n AS BIGINT) AS n,
+         |  ${corrOf("sq", "sp", "sqq", "spp", "sqp")} AS corr FROM a
+         |UNION ALL
+         |SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+         |  ${corrOf("sq", "sd", "sqq", "sdd", "sqd")} FROM a
+         |UNION ALL
+         |SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+         |  ${corrOf("sp", "sd", "spp", "sdd", "spd")} FROM a""".stripMargin
+    },
+
+    "q82_boilerplate" ->
+      s"""WITH w AS (SELECT doc_id, $toksRaw AS words FROM documents),
+         |ix AS (SELECT doc_id, words,
+         |         unnest(generate_series(0, CAST(floor((len(words) - 1) / 10.0) AS BIGINT))) AS ci
+         |       FROM w),
+         |c AS (SELECT doc_id, ci AS chunk_idx,
+         |        array_to_string(words[(ci*10+1):(ci*10+10)], ' ') AS chunk,
+         |        md5(array_to_string(words[(ci*10+1):(ci*10+10)], ' ')) AS ch
+         |      FROM ix),
+         |boiler AS (SELECT ch FROM c GROUP BY ch HAVING count(DISTINCT doc_id) >= 3),
+         |kept AS (SELECT doc_id,
+         |           string_agg(chunk, ' ' ORDER BY chunk_idx ASC) AS clean_text,
+         |           count(*) AS n_chunks_kept
+         |         FROM c WHERE ch NOT IN (SELECT ch FROM boiler)
+         |         GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(floor((len(words) - 1) / 10.0) + 1 AS BIGINT) AS n_chunks FROM w)
+         |SELECT t.doc_id,
+         |  coalesce(k.clean_text, '') AS clean_text,
+         |  coalesce(k.n_chunks_kept, 0) AS n_chunks_kept,
+         |  t.n_chunks - coalesce(k.n_chunks_kept, 0) AS n_chunks_dropped
+         |FROM tot t LEFT JOIN kept k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // left fold from a prepended 0.0 == Spark's aggregate(errs, 0.0, +):
+    // 0.0 + e1 is exactly e1, so both engines run the identical op chain
+    "q83_int8_quant" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings),
+        |m AS (SELECT *, list_max(list_transform(xs, x -> abs(x))) AS max_abs FROM e),
+        |sc AS (SELECT *, CASE WHEN max_abs = 0 THEN CAST(1.0 AS DOUBLE)
+        |                      ELSE 127.0 / max_abs END AS scale FROM m),
+        |qq AS (SELECT *, list_transform(xs,
+        |         x -> greatest(CAST(-127.0 AS DOUBLE),
+        |                       least(CAST(127.0 AS DOUBLE), floor(x * scale + 0.5)))) AS qs
+        |       FROM sc),
+        |er AS (SELECT *, [abs(xs[i] - qs[i] / scale) for i in generate_series(1, len(xs))] AS errs
+        |       FROM qq)
+        |SELECT vec_id, label, CAST(len(xs) AS INTEGER) AS n_dims, max_abs,
+        |  CAST(list_min(qs) AS INTEGER) AS q_min,
+        |  CAST(list_max(qs) AS INTEGER) AS q_max,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), errs), (a, x) -> a + x) AS sum_abs_err,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), errs), (a, x) -> a + x)
+        |    <= CAST(len(xs) AS DOUBLE) * 0.5 / scale AS err_bound_ok
+        |FROM er""".stripMargin,
+
     "q23_checks_report" -> {
       def dup(table: String, key: String, name: String) =
         s"""SELECT '$name' AS check_name,

@@ -505,6 +505,28 @@ object QueryCatalog {
     when(substring(md5(id.cast("string")), 1, 1).isin("0", "1"), lit("heldout"))
       .otherwise(lit("train"))
 
+  /** Session-cached (doc_id, split, gh) 8-gram table — the shared prefix
+    * of q44 (exact decontamination join) and q80 (bloom scale path): the
+    * shingling scan is the dominant cost of both, so it runs once per
+    * (session, dir) like [[Star.build]]. At 100 TB this is the gram table
+    * a pipeline materializes to parquet once and reads many times; the
+    * in-memory persist is the local analog.
+    */
+  private val gramsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def splitGrams(s: SparkSession, dir: String): DataFrame =
+    gramsCache.getOrElseUpdate((s, dir),
+      t(s, dir, "documents")
+        .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
+          explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
+        .select(col("doc_id"), col("split"), md5(col("gram")).as("gh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop the cached gram table for (session, dir) and unpersist it. */
+  def invalidateSplitGrams(s: SparkSession, dir: String): Unit =
+    gramsCache.remove((s, dir)).foreach(_.unpersist())
+
   /** Train/heldout decontamination — the standard pre-training hygiene
     * check: a heldout doc is contaminated if it shares any exact
     * 8-token-gram with any train doc. Grams are md5-hashed so the shuffle
@@ -513,11 +535,7 @@ object QueryCatalog {
     * |docs|·grams rows, one equi-join on the hash, never doc×doc.
     */
   def decontamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val grams = docs.select(
-        col("doc_id"), splitCol(col("doc_id")).as("split"),
-        explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
-      .select(col("doc_id"), col("split"), md5(col("gram")).as("gh"))
+    val grams = splitGrams(s, dir)
     val trainGrams = grams.filter(col("split") === "train").select("gh").distinct()
     grams.filter(col("split") === "heldout")
       .join(trainGrams, Seq("gh"))
@@ -1277,6 +1295,211 @@ object QueryCatalog {
       quantizedMeans = true)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3,
       centroidsOverride = Some(cents))
+  }
+
+  /** SCD Type-2 snapshot (q78): compress each user's event-type stream into
+    * validity intervals — the dbt-snapshot / dimension-history operator
+    * (the reference's dbt models materialize current state only; this is
+    * the history-preserving variant a warehouse runs beside them,
+    * dbt-core snapshots \"check\" strategy). Change detection = lag over
+    * (user, time); interval close = lead over the CHANGED rows only; both
+    * windows share ONE shuffle on user_id. Output is |changes| rows, not
+    * |events| — the compression happens before the second window.
+    */
+  def scd2Snapshot(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("epoch"), asc("event_id"))
+    Tables.events(s, dir)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withColumn("epoch", unix_timestamp(col("ts_sec")))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .withColumn("valid_to_ts", lead(col("ts_sec"), 1).over(w))
+      .select(
+        col("user_id"),
+        col("event_type").as("state"),
+        row_number().over(w).cast("int").as("version"),
+        formatTimestampSeconds(col("ts_sec")).as("valid_from"),
+        formatTimestampSeconds(col("valid_to_ts")).as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
+
+  /** Date-spine gap fill + forward fill (q79): resample each user's events
+    * to a daily series between their first and last active day, carrying
+    * the last observed daily value across gap days — the time-series
+    * regularization step (LOCF). The spine generates from a per-user
+    * 2-column aggregate (|users| rows, not |events|); daily sums ride
+    * DECIMAL; the fill is one `last(ignoreNulls)` running window — spine
+    * join and window share the user_id shuffle.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("day_value_dec"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy(asc("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("day_value_dec").cast("double").as("day_value"),
+        last(col("day_value_dec"), ignoreNulls = true).over(w).cast("double").as("filled_value"),
+        col("day_value_dec").isNull.as("is_gap"))
+  }
+
+  /** Bloom-filter decontamination (q80): the SCALE path next to q44's exact
+    * join. The heldout 8-gram set (small side) builds ONE bloom filter —
+    * Spark's own `BloomFilterAggregate`, a single-row driver fetch of
+    * ~numBits/8 bytes — which then rides the train-side scan as a literal:
+    * the big side is never shuffled into a join. Output is the per-doc
+    * CONTRACT: `bloom_ok` = (not exactly contaminated) OR bloom-flagged —
+    * a bloom filter has NO false negatives, so the oracle expects `true`
+    * on every row; false positives only cost extra drops (rate asserted
+    * in ScalaTest, not oracle-checked — it is filter-parameter-specific).
+    */
+  def bloomDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = splitGrams(s, dir)
+    val heldout = grams.filter(col("split") === "heldout").select("gh").distinct()
+    val bytes = graft.functions.BloomFilters.build(
+      heldout, col("gh"), expectedItems = 1L << 20, numBits = 1L << 23)
+    val train = grams.filter(col("split") === "train")
+    val flagged = train.groupBy("doc_id")
+      .agg(max(when(graft.functions.BloomFilters.mightContain(bytes, col("gh")), 1)
+        .otherwise(0)).as("bloom_hit"))
+    val exact = train.join(heldout, Seq("gh")).select("doc_id").distinct()
+      .withColumn("exact_hit", lit(true))
+    flagged.join(exact, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("exact_hit"), lit(false)).as("exact_contaminated"),
+        (!coalesce(col("exact_hit"), lit(false)) || col("bloom_hit") === 1).as("bloom_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact correlation profile (q81): Pearson correlation across lineitem
+    * column pairs from SCALED-INTEGER power sums — `corr()` itself is a
+    * streaming double aggregate whose value depends on partition merge
+    * order, so it can never hash-match across engines. Instead: quantity /
+    * price-cents / discount-basis-points are exact integers, their
+    * decimal(…,0) power sums are associative (bit-identical under any
+    * partitioning), and scale-0 decimal→double is ONE correctly-rounded
+    * conversion in both engines (a scaled decimal would round twice).
+    * Pearson is scale-invariant, so cents in = the true correlation out.
+    * One aggregation pass; the operand casts are sized so every product
+    * stays inside decimal(38) in BOTH engines' type rules.
+    */
+  def corrProfile(s: SparkSession, dir: String): DataFrame = {
+    def cents(c: Column): Column =
+      floor(c * lit(100.0) + lit(0.5)).cast("decimal(13,0)")
+    val li = t(s, dir, "lineitem").select(
+      col("l_quantity").cast("decimal(9,0)").as("q"),
+      cents(col("l_extendedprice")).as("p"),
+      cents(col("l_discount")).as("d"))
+    val agg = li.agg(
+      count(lit(1)).cast("decimal(9,0)").as("n"),
+      sum(col("q")).as("sq"), sum(col("p")).as("sp"), sum(col("d")).as("sd"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("p") * col("p")).as("spp"),
+      sum(col("d") * col("d")).as("sdd"), sum(col("q") * col("p")).as("sqp"),
+      sum(col("q") * col("d")).as("sqd"), sum(col("p") * col("d")).as("spd"))
+    // n·Σxy − Σx·Σy in decimal (exact); double only for the final divide.
+    def nTimes(sum2: Column): Column =
+      (col("n").cast("decimal(9,0)") * sum2.cast("decimal(26,0)")).cast("decimal(36,0)")
+    def prod(sx: Column, sy: Column): Column =
+      (sx.cast("decimal(17,0)") * sy.cast("decimal(17,0)")).cast("decimal(35,0)")
+    def corrOf(sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column): Column = {
+      val cov = (nTimes(sxy) - prod(sx, sy)).cast("double")
+      val vx  = (nTimes(sxx) - prod(sx, sx)).cast("double")
+      val vy  = (nTimes(syy) - prod(sy, sy)).cast("double")
+      cov / (sqrt(vx) * sqrt(vy))
+    }
+    def pair(nx: String, ny: String, c: Column): Column =
+      struct(lit(nx).as("col_x"), lit(ny).as("col_y"),
+        col("n").cast("long").as("n"), c.as("corr"))
+    agg.select(explode(array(
+        pair("l_quantity", "l_extendedprice",
+          corrOf(col("sq"), col("sp"), col("sqq"), col("spp"), col("sqp"))),
+        pair("l_quantity", "l_discount",
+          corrOf(col("sq"), col("sd"), col("sqq"), col("sdd"), col("sqd"))),
+        pair("l_extendedprice", "l_discount",
+          corrOf(col("sp"), col("sd"), col("spp"), col("sdd"), col("spd"))))).as("c"))
+      .select(col("c.*"))
+  }
+
+  /** Cross-document boilerplate removal (q82): the C4-style corpus cleanup —
+    * split each doc into fixed 10-word chunks, count per-chunk document
+    * frequency over the WHOLE corpus, drop chunks appearing in ≥3 docs,
+    * reassemble surviving chunks in order. Chunk keys shuffle as md5
+    * (fixed width); reassembly sorts (idx, chunk) structs inside the
+    * aggregate — collect order under shuffle is undefined, array_sort
+    * makes it deterministic. Never doc×doc: the frequency table is the
+    * same |docs|·chunks → groupBy shape as the dedup family.
+    */
+  def boilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val nWords = 10
+    val minDocs = 3
+    val docs = t(s, dir, "documents")
+    val words = split(trim(col("text")), "\\s+")
+    val chunks = docs
+      .select(col("doc_id"), words.as("words"))
+      .select(col("doc_id"), size(col("words")).as("n_words"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("words")) - 1) / nWords).cast("int")),
+          i => array_join(slice(col("words"), i * nWords + 1, lit(nWords)), " "))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"), md5(col("col")).as("ch"), col("col").as("chunk"))
+    val boiler = chunks.groupBy("ch")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("ch")
+    val kept = chunks.join(boiler, Seq("ch"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("clean_text"),
+        count(lit(1)).as("n_chunks_kept"))
+    docs.select(col("doc_id"),
+        (floor((size(split(trim(col("text")), "\\s+")) - 1) / nWords) + 1).cast("long").as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_chunks_kept"), lit(0L)).as("n_chunks_kept"),
+        (col("n_chunks") - coalesce(col("n_chunks_kept"), lit(0L))).as("n_chunks_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** Int8 embedding quantization (q83): per-vector symmetric quantization
+    * (scale = 127/max|x|) with a verified reconstruction-error contract —
+    * the storage/bandwidth step before shipping embeddings to an ANN
+    * index. Everything is per-row array math (no shuffle); the error sum
+    * folds the array LEFT-TO-RIGHT in both engines (same IEEE op order),
+    * and the bound `Σ|x−q/scale| ≤ d·0.5/scale` is exact arithmetic on
+    * both sides. NOTE the deliberate O(d²)/row: `scale` references the
+    * max-fold and CollapseProject inlines it into each lambda element —
+    * at d=64 that is noise; at d≥1k materialize max_abs first (SCALE.md).
+    */
+  def int8Quant(s: SparkSession, dir: String): DataFrame = {
+    val xs = transform(col("embedding"), _.cast("double"))
+    val maxAbs = array_max(transform(xs, abs(_)))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), xs.as("xs"), maxAbs.as("max_abs"))
+      .withColumn("scale", when(col("max_abs") === 0.0, lit(1.0))
+        .otherwise(lit(127.0) / col("max_abs")))
+      .withColumn("qs", transform(col("xs"),
+        x => greatest(lit(-127.0), least(lit(127.0), floor(x * col("scale") + lit(0.5))))))
+      .select(
+        col("vec_id"), col("label"),
+        size(col("xs")).as("n_dims"),
+        col("max_abs"),
+        array_min(col("qs")).cast("int").as("q_min"),
+        array_max(col("qs")).cast("int").as("q_max"),
+        aggregate(zip_with(col("xs"), col("qs"), (x, q) => abs(x - q / col("scale"))),
+          lit(0.0), (a, e) => a + e).as("sum_abs_err"),
+        (aggregate(zip_with(col("xs"), col("qs"), (x, q) => abs(x - q / col("scale"))),
+          lit(0.0), (a, e) => a + e)
+          <= size(col("xs")).cast("double") * lit(0.5) / col("scale")).as("err_bound_ok"))
   }
 
   // ---- checks engine as a query ------------------------------------------

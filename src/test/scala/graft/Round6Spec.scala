@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{QueryCatalog => Q}
+import graft.functions.BloomFilters
+
+/** Properties of the round-6 operators (q78-q83). The oracle pins engine
+  * parity; these pin the semantics a consumer relies on — interval
+  * tiling, fill completeness, the bloom no-false-negative guarantee,
+  * numerical agreement with naive reference computations, and the
+  * reconstruction contracts.
+  */
+class Round6Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q78 SCD2 -----------------------------------------------------------
+
+  test("scd2Snapshot: intervals tile, one open row per user, states change") {
+    val rows = Q.scd2Snapshot(spark, sf)
+      .select("user_id", "state", "version", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Int, String, Option[String], Boolean)].collect()
+      .groupBy(_._1)
+    rows.foreach { case (uid, hist0) =>
+      val hist = hist0.sortBy(_._3)
+      assert(hist.map(_._3).toSeq == (1 to hist.length), s"user $uid: versions not dense")
+      assert(hist.count(_._6) == 1 && hist.last._6, s"user $uid: open row must be the last version")
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $uid: v${a._3} valid_to != v${b._3} valid_from")
+          assert(a._2 != b._2, s"user $uid: consecutive versions share state ${a._2}")
+        case _ => ()
+      }
+      assert(hist.last._5.isEmpty, s"user $uid: current row must have NULL valid_to")
+    }
+  }
+
+  test("scd2Snapshot compresses: row count = state changes, not events") {
+    val nEvents = graft.io.Tables.events(spark, sf).count()
+    val nRows = Q.scd2Snapshot(spark, sf).count()
+    assert(nRows < nEvents, s"snapshot ($nRows) should be smaller than the event log ($nEvents)")
+  }
+
+  // ---- q79 gap fill -------------------------------------------------------
+
+  test("gapFill: per-user days contiguous, fill is last observed value") {
+    val rows = Q.gapFill(spark, sf)
+      .select("user_id", "day_s", "day_value", "filled_value", "is_gap")
+      .as[(Long, String, Option[Double], Option[Double], Boolean)].collect()
+      .groupBy(_._1)
+    rows.foreach { case (uid, days0) =>
+      val days = days0.sortBy(_._2)
+      // contiguous: n rows == span between first and last day
+      val d0 = java.time.LocalDate.parse(days.head._2)
+      val d1 = java.time.LocalDate.parse(days.last._2)
+      assert(days.length == java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1,
+        s"user $uid: spine has holes")
+      assert(!days.head._5, s"user $uid: first spine day must be an active day")
+      var lastSeen: Option[Double] = None
+      days.foreach { case (_, d, dv, fv, gap) =>
+        assert(gap == dv.isEmpty, s"user $uid $d: is_gap mislabeled")
+        if (dv.isDefined) lastSeen = dv
+        assert(fv == lastSeen, s"user $uid $d: filled_value not last observed")
+      }
+    }
+  }
+
+  // ---- q80 bloom ----------------------------------------------------------
+
+  test("BloomFilters: zero false negatives; bounded false-positive rate") {
+    val members = (0 until 2000).map(i => s"member_$i").toDF("k")
+    val bytes = BloomFilters.build(members, col("k"), expectedItems = 10000, numBits = 1 << 17)
+    val fn = members.filter(!BloomFilters.mightContain(bytes, col("k"))).count()
+    assert(fn == 0, s"bloom filter produced $fn false negatives")
+    val others = (0 until 20000).map(i => s"other_$i").toDF("k")
+    val fp = others.filter(BloomFilters.mightContain(bytes, col("k"))).count()
+    assert(fp < 1000, s"false-positive rate ${fp / 20000.0} above 5% design bound")
+  }
+
+  test("bloomDecontamination: contract holds and flags are deterministic") {
+    val rows = Q.bloomDecontamination(spark, sf)
+      .select("doc_id", "exact_contaminated", "bloom_ok")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3), "bloom_ok must hold on every row (no false negatives)")
+    val again = Q.bloomDecontamination(spark, sf)
+      .select("doc_id", "exact_contaminated", "bloom_ok")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "rerun must be identical")
+  }
+
+  // ---- q81 correlation ----------------------------------------------------
+
+  test("corrProfile: agrees with naive double computation, values in [-1,1]") {
+    val rows = Q.corrProfile(spark, sf)
+      .select("col_x", "col_y", "n", "corr").as[(String, String, Long, Double)].collect()
+    assert(rows.length == 3)
+    val li = graft.io.Tables.table(spark, sf, "lineitem")
+      .select("l_quantity", "l_extendedprice", "l_discount")
+      .as[(Double, Double, Double)].collect()
+    def naive(xs: Array[Double], ys: Array[Double]): Double = {
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val vx = xs.map(x => (x - mx) * (x - mx)).sum
+      val vy = ys.map(y => (y - my) * (y - my)).sum
+      cov / (math.sqrt(vx) * math.sqrt(vy))
+    }
+    val byPair = rows.map(r => (r._1, r._2) -> r._4).toMap
+    val q = li.map(_._1); val p = li.map(_._2); val d = li.map(_._3)
+    assert(math.abs(byPair(("l_quantity", "l_extendedprice")) - naive(q, p)) < 1e-9)
+    assert(math.abs(byPair(("l_quantity", "l_discount")) - naive(q, d)) < 1e-9)
+    assert(math.abs(byPair(("l_extendedprice", "l_discount")) - naive(p, d)) < 1e-9)
+    rows.foreach(r => assert(r._4 >= -1.0 && r._4 <= 1.0))
+    rows.foreach(r => assert(r._3 == li.length))
+  }
+
+  // ---- q82 boilerplate ----------------------------------------------------
+
+  test("boilerplateStrip: chunk accounting, untouched docs round-trip") {
+    val out = Q.boilerplateStrip(spark, sf)
+      .select("doc_id", "clean_text", "n_chunks_kept", "n_chunks_dropped")
+      .as[(Long, String, Long, Long)].collect()
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.length == docs.size, "one output row per document")
+    out.foreach { case (id, clean, kept, dropped) =>
+      val words = docs(id).trim.split("\\s+")
+      val total = (words.length - 1) / 10 + 1
+      assert(kept + dropped == total, s"doc $id: chunk accounting broken")
+      if (dropped == 0)
+        assert(clean == words.mkString(" "), s"doc $id: untouched doc must round-trip")
+      else
+        assert(clean.isEmpty || docs(id).contains(clean.split("\\s+").head),
+          s"doc $id: kept text must come from the doc")
+    }
+    assert(out.exists(_._4 == 0), "fixture should contain untouched docs")
+  }
+
+  // ---- q83 int8 quantization ----------------------------------------------
+
+  test("int8Quant: bound holds, range saturated by the max element") {
+    val rows = Q.int8Quant(spark, sf)
+      .select("vec_id", "n_dims", "max_abs", "q_min", "q_max", "sum_abs_err", "err_bound_ok")
+      .as[(Long, Int, Double, Int, Int, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, d, maxAbs, qMin, qMax, err, ok) =>
+      assert(ok, s"vec $id: error bound violated")
+      assert(qMin >= -127 && qMax <= 127, s"vec $id: q range out of int8")
+      assert(err >= 0.0 && err <= d * maxAbs / 254.0 + 1e-9, s"vec $id: err $err above d*maxAbs/254")
+      // the max-|x| element quantizes to exactly +/-127
+      assert(qMax == 127 || qMin == -127, s"vec $id: scale must saturate one end")
+    }
+  }
+}

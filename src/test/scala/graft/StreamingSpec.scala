@@ -207,6 +207,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gapSessions survives a checkpointed restart: emit-once across runs, rows match batch") {
+    // The production shape: file source -> session windows -> file sink,
+    // with a checkpoint carrying watermark + session state across process
+    // restarts. Two runs over four time-ordered file chunks; Append mode
+    // must emit every closed session exactly once ACROSS runs, and each
+    // emitted row must equal the batch gapSessions result bit-for-bit.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("gap_ckpt_").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    val ev = graft.io.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val Array(t0, t1) = ev.agg(min(col("ts")), max(col("ts"))).head()
+      .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+    // four time-range chunks written as one file each, in order (the file
+    // source processes by modification time; one file per microbatch so
+    // the watermark advances between batches)
+    def chunk(i: Int): org.apache.spark.sql.DataFrame = {
+      val lo = t0 + (t1 - t0) * i / 4; val hi = t0 + (t1 - t0) * (i + 1) / 4
+      ev.filter(unix_millis(col("ts")) >= lo && (if (i == 3) lit(true) else unix_millis(col("ts")) < hi))
+    }
+    def writeChunk(i: Int): Unit = {
+      chunk(i).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(1100) // distinct mtimes => deterministic file order
+    }
+    val schema = ev.schema
+    def runOnce(): Unit = {
+      val q = EventStreams.gapSessions(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+          watermark = Some("10 minutes"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not finish in time")
+    }
+    writeChunk(0); writeChunk(1)
+    runOnce()
+    val afterRun1 = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(afterRun1.nonEmpty, "first run should emit sessions closed by the watermark")
+    writeChunk(2); writeChunk(3)
+    runOnce()
+    val afterRun2 = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSeq
+    // emit-once across the restart: run 2 only appends, never re-emits
+    assert(afterRun2.size == afterRun2.toSet.size, "duplicate sessions emitted")
+    assert(afterRun1.toSet.subsetOf(afterRun2.toSet), "restart re-emitted or lost run-1 sessions")
+    assert(afterRun2.size > afterRun1.size, "second run should close more sessions")
+    // every emitted session equals its batch-mode counterpart exactly
+    val batch = EventStreams.gapSessions(ev).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSet
+    val leaked = afterRun2.filterNot(batch.contains)
+    assert(leaked.isEmpty, s"streamed sessions diverge from batch: ${leaked.take(3)}")
+  }
+
   test("sessionize maintains per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]

@@ -155,7 +155,9 @@ object SparkEntry {
     // C4-style cross-document boilerplate chunk removal
     "q82_boilerplate"         -> (Q.boilerplateStrip(_, _)),
     // int8 embedding quantization with verified reconstruction-error bound
-    "q83_int8_quant"          -> (Q.int8Quant(_, _))
+    "q83_int8_quant"          -> (Q.int8Quant(_, _)),
+    // pure-SQL surface: the gap_sessions TVF registered by GraftSql
+    "q84_sql_tvf_sessions"    -> (Q.sqlTvfSessions(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -93,6 +93,25 @@ object OracleCatalog {
   private val tkCte = tkCteFrom("documents")
   private val shCte = s"sh AS (SELECT doc_id, source, text, t, $shingle3 AS sh FROM tk)"
 
+  /** Gap sessions (30 min) via lag + running-sum islands — the shared
+    * oracle of q64 (native session_window) and q84 (SQL TVF surface).
+    */
+  private val sessionIslandSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, value, date_trunc('second', ts) AS ts_sec FROM events),
+       |f AS (SELECT user_id, event_id, value, ts_sec,
+       |        CASE WHEN lag(ts_sec) OVER w IS NULL
+       |               OR (epoch(ts_sec) - epoch(lag(ts_sec) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
+       |g AS (SELECT user_id, value, ts_sec,
+       |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |      FROM f)
+       |SELECT user_id, ${fmtTs("min(ts_sec)")} AS session_start,
+       |  ${fmtTs("max(ts_sec) + INTERVAL 30 MINUTE")} AS session_end,
+       |  count(*) AS n_events, ${sumMoney("value")} AS session_value
+       |FROM g GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   /** Raw (unrounded) Jaccard between two distinct shingle lists a/b. */
   private def jaccardSql(a: String, b: String): String =
     s"""CASE WHEN (len($a) + len($b) - len(list_intersect($a, $b))) = 0 THEN CAST(0.0 AS DOUBLE)
@@ -883,21 +902,11 @@ object OracleCatalog {
     // MERGES into the session (windows touching at the boundary count as
     // overlapping) ⇒ new session only when diff > 1800 — the same boundary
     // as q31's manual islands; window end = last event + gap.
-    "q64_session_window" ->
-      s"""WITH e AS (SELECT user_id, event_id, value, date_trunc('second', ts) AS ts_sec FROM events),
-         |f AS (SELECT user_id, event_id, value, ts_sec,
-         |        CASE WHEN lag(ts_sec) OVER w IS NULL
-         |               OR (epoch(ts_sec) - epoch(lag(ts_sec) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
-         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
-         |g AS (SELECT user_id, value, ts_sec,
-         |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
-         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-         |      FROM f)
-         |SELECT user_id, ${fmtTs("min(ts_sec)")} AS session_start,
-         |  ${fmtTs("max(ts_sec) + INTERVAL 30 MINUTE")} AS session_end,
-         |  count(*) AS n_events, ${sumMoney("value")} AS session_value
-         |FROM g GROUP BY user_id, sid
-         |ORDER BY user_id, session_start""".stripMargin,
+    "q64_session_window" -> sessionIslandSql,
+
+    // q84 drives the SQL TVF surface (GraftSql gap_sessions) — same
+    // semantics, same oracle
+    "q84_sql_tvf_sessions" -> sessionIslandSql,
 
     // the PLAIN join — the Spark side goes through CoreOps.saltedJoin, so a
     // hash match proves salting preserves join semantics exactly

@@ -1502,6 +1502,17 @@ object QueryCatalog {
           <= size(col("xs")).cast("double") * lit(0.5) / col("scale")).as("err_bound_ok"))
   }
 
+  /** SQL-surface TVF (q84): the `gap_sessions` table function registered by
+    * [[GraftSql]] driven end-to-end under the oracle — proof the pure-SQL
+    * surface computes exactly what the Column API does (GraftSqlSpec pins
+    * twin equality per macro; this pins the TVF path under the driver
+    * gate). Same oracle SQL as q64.
+    */
+  def sqlTvfSessions(s: SparkSession, dir: String): DataFrame = {
+    GraftSql.register(s, dir)
+    s.sql("SELECT * FROM gap_sessions(1800) ORDER BY user_id, session_start")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

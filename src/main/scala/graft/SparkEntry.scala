@@ -157,7 +157,9 @@ object SparkEntry {
     // int8 embedding quantization with verified reconstruction-error bound
     "q83_int8_quant"          -> (Q.int8Quant(_, _)),
     // pure-SQL surface: the gap_sessions TVF registered by GraftSql
-    "q84_sql_tvf_sessions"    -> (Q.sqlTvfSessions(_, _))
+    "q84_sql_tvf_sessions"    -> (Q.sqlTvfSessions(_, _)),
+    // dataset mixture: per-source rates with epoch repetition + fractional top-up
+    "q85_source_mixture"      -> (Q.sourceMixture(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

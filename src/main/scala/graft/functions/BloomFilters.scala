@@ -31,7 +31,9 @@ object BloomFilters {
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())
 
   /** Build the filter over `df`'s `keyCol` and return its serialized bytes.
-    * One aggregation job + a single-row driver fetch.
+    * One aggregation job + a single-row driver fetch. Returns NULL when
+    * `df` has no rows (Spark's BloomFilterAggregate yields null over zero
+    * input) — [[mightContain]] treats that as the empty set.
     */
   def build(df: DataFrame, keyCol: Column, expectedItems: Long, numBits: Long): Array[Byte] =
     df.agg(bloomAgg(keyCol, expectedItems, numBits).as("bf"))
@@ -39,9 +41,11 @@ object BloomFilters {
 
   /** Probe: true if `c` MIGHT be in the filter (no false negatives; false
     * positives at the filter's design rate). `bytes` rides the plan as a
-    * literal — Catalyst broadcasts it with the task binary.
+    * literal — Catalyst broadcasts it with the task binary. A null
+    * `bytes` (empty build side) matches nothing.
     */
   def mightContain(bytes: Array[Byte], c: Column): Column =
-    GraftShim.column(BloomFilterMightContain(
+    if (bytes == null) lit(false)
+    else GraftShim.column(BloomFilterMightContain(
       Literal(bytes), GraftShim.expression(xxhash64(c))))
 }

@@ -908,6 +908,21 @@ object OracleCatalog {
     // semantics, same oracle
     "q84_sql_tvf_sessions" -> sessionIslandSql,
 
+    "q85_source_mixture" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(CASE CAST(substr(source, 4) AS INT) % 3
+        |      WHEN 0 THEN 0.5 WHEN 1 THEN 1.0 ELSE 2.5 END AS DOUBLE) AS rate,
+        |    CAST(list_reduce([CAST(strpos('0123456789abcdef', substr(md5('mx|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |                      for i in generate_series(1, 8)], (a, x) -> a * 16 + x) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, rate,
+        |        CAST(floor(rate) AS INT)
+        |          + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS copies
+        |      FROM r)
+        |SELECT doc_id, source, rate, CAST(unnest(generate_series(1, copies)) AS INT) AS rep
+        |FROM c WHERE copies >= 1
+        |ORDER BY doc_id, rep""".stripMargin,
+
     // the PLAIN join — the Spark side goes through CoreOps.saltedJoin, so a
     // hash match proves salting preserves join semantics exactly
     "q65_salted_join" ->

@@ -1502,6 +1502,32 @@ object QueryCatalog {
           <= size(col("xs")).cast("double") * lit(0.5) / col("scale")).as("err_bound_ok"))
   }
 
+  /** Dataset mixture (q85): re-weight sources to target sampling rates —
+    * the data-recipe operator of a pre-training pipeline (down-sample
+    * over-represented sources, repeat under-represented ones across
+    * epochs). rate < 1 keeps a content-addressed fraction; rate ≥ 1
+    * emits floor(rate) full copies plus a fractional top-up copy, all
+    * deterministic (md5 uniform, the q66 trick — stable under re-runs
+    * and re-partitioning, no RNG state). Pure projection + explode: no
+    * shuffle; the replication factor is the rate, never a join.
+    */
+  def sourceMixture(s: SparkSession, dir: String): DataFrame = {
+    // target rates by source group: thirds of sources get 0.5x / 1x / 2.5x
+    val m = pmod(substring(col("source"), 4, 10).cast("int"), lit(3))
+    val rate = when(m === 0, lit(0.5)).when(m === 1, lit(1.0)).otherwise(lit(2.5))
+    val u = conv(substring(md5(concat_ws("|", lit("mx"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), rate.as("rate"), u.as("u"))
+      .withColumn("copies",
+        floor(col("rate")).cast("int")
+          + when(col("u") < col("rate") - floor(col("rate")), 1).otherwise(0))
+      .filter(col("copies") >= 1)
+      .select(col("doc_id"), col("source"), col("rate"),
+        explode(sequence(lit(1), col("copies"))).as("rep"))
+      .orderBy("doc_id", "rep")
+  }
+
   /** SQL-surface TVF (q84): the `gap_sessions` table function registered by
     * [[GraftSql]] driven end-to-end under the oracle — proof the pure-SQL
     * surface computes exactly what the Column API does (GraftSqlSpec pins

@@ -23,6 +23,17 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.simhashNearDups(emptyDocs, "doc_id", "text").count() == 0)
   }
 
+  test("bloom filter over an empty build side: flags nothing, never errors") {
+    val bytes = graft.functions.BloomFilters.build(
+      emptyDocs, col("text"), expectedItems = 1000, numBits = 1 << 13)
+    // Spark's BloomFilterAggregate yields NULL over zero rows; the API
+    // contract is that a null filter behaves as the empty set
+    assert(bytes == null)
+    val probe = Seq((1L, "anything")).toDF("doc_id", "text")
+    assert(probe.filter(graft.functions.BloomFilters.mightContain(bytes, col("text"))).count() == 0,
+      "an empty filter must not flag any probe")
+  }
+
   test("connectedComponents with no edges: every vertex is its own singleton component") {
     val vertices = Seq(1L, 2L, 3L).toDF("id")
     val edges    = Seq.empty[(Long, Long)].toDF("src", "dst")

@@ -136,6 +136,31 @@ class Round6Spec extends SparkSpec {
     assert(out.exists(_._4 == 0), "fixture should contain untouched docs")
   }
 
+  // ---- q85 dataset mixture --------------------------------------------------
+
+  test("sourceMixture: rate 1.0 passes through, 2.5x repeats 2-3x, 0.5x halves") {
+    val out = Q.sourceMixture(spark, sf)
+      .select("doc_id", "source", "rate", "rep").as[(Long, String, Double, Int)].collect()
+    val bySrc = out.groupBy(_._2)
+    val origCounts = graft.io.Tables.table(spark, sf, "documents")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    origCounts.foreach { case (src, n) =>
+      val rows = bySrc.getOrElse(src, Array.empty)
+      val m = src.drop(3).toInt % 3
+      m match {
+        case 0 => // 0.5x: strict subset, single copies
+          assert(rows.length < n && rows.forall(_._4 == 1), s"$src: expected down-sample")
+        case 1 => // 1.0x: exact pass-through
+          assert(rows.length == n && rows.forall(_._4 == 1), s"$src: expected pass-through")
+        case _ => // 2.5x: every doc 2 or 3 copies, dense rep indices
+          val perDoc = rows.groupBy(_._1).values.map(_.map(_._4).sorted.toSeq)
+          assert(perDoc.forall(r => r == (1 to r.length) && (r.length == 2 || r.length == 3)),
+            s"$src: expected 2-3 dense copies per doc")
+          assert(rows.length > 2 * n && rows.length < 3 * n, s"$src: got ${rows.length} of $n docs")
+      }
+    }
+  }
+
   // ---- q83 int8 quantization ----------------------------------------------
 
   test("int8Quant: bound holds, range saturated by the max element") {

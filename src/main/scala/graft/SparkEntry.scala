@@ -159,7 +159,9 @@ object SparkEntry {
     // pure-SQL surface: the gap_sessions TVF registered by GraftSql
     "q84_sql_tvf_sessions"    -> (Q.sqlTvfSessions(_, _)),
     // dataset mixture: per-source rates with epoch repetition + fractional top-up
-    "q85_source_mixture"      -> (Q.sourceMixture(_, _))
+    "q85_source_mixture"      -> (Q.sourceMixture(_, _)),
+    // graph centrality: quantized-portable PageRank over the near-dup graph
+    "q86_pagerank"            -> (Q.pagerankDocs(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

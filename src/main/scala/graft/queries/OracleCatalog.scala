@@ -908,6 +908,41 @@ object OracleCatalog {
     // semantics, same oracle
     "q84_sql_tvf_sessions" -> sessionIslandSql,
 
+    // 2 unrolled PageRank iterations over the q19 candidate-pair graph.
+    // Contributions quantize to BIGINT before each sum (associative =>
+    // partition-order-free on the Spark side, exactly replayable here);
+    // the teleport/init terms spell the identical IEEE op order
+    // ((1.0 - 0.85)/n, 1.0/n) the Scala literals compute.
+    "q86_pagerank" -> {
+      def iterCtes(i: Int, prev: String) =
+        s"""c$i AS (SELECT sym.dst AS id,
+           |        CAST(floor($prev.rank / CAST(deg.deg AS DOUBLE) * CAST(0.85 AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS cq
+           |      FROM sym JOIN deg USING (src) JOIN $prev ON $prev.id = sym.src),
+           |s$i AS (SELECT id, sum(cq) AS sq FROM c$i GROUP BY id),
+           |r$i AS (SELECT d.doc_id AS id,
+           |          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           |              / (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+           |            + CAST(coalesce(s$i.sq, 0) AS DOUBLE) / 1e12 AS rank
+           |        FROM documents d LEFT JOIN s$i ON s$i.id = d.doc_id)""".stripMargin
+      s"""WITH $tkCte, $shCte,
+         |sig AS (SELECT doc_id, $sigCols FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, ${bandKey(b)} AS band_key FROM sig")
+              .mkString("\n UNION ALL ")}),
+         |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |          FROM bands l JOIN bands r
+         |          ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |r0 AS (SELECT doc_id AS id,
+         |         CAST(1.0 AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS rank
+         |       FROM documents),
+         |${iterCtes(1, "r0")},
+         |${iterCtes(2, "r1")}
+         |SELECT id AS doc_id, rank FROM r2 ORDER BY doc_id""".stripMargin
+    },
+
     "q85_source_mixture" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(CASE CAST(substr(source, 4) AS INT) % 3

@@ -1528,6 +1528,18 @@ object QueryCatalog {
       .orderBy("doc_id", "rep")
   }
 
+  /** Near-dup graph centrality (q86): 2-iteration quantized-portable
+    * PageRank over the LSH candidate-pair graph (shared [[pairsCache]]
+    * pipeline with q19/q54/q60) — the "which document is the canonical
+    * one" signal ranked by connectivity rather than min-id. Isolated
+    * docs sit at the teleport rank; clustered docs rise with degree.
+    */
+  def pagerankDocs(s: SparkSession, dir: String): DataFrame =
+    graft.graph.PageRank.pagerank(
+      docCandidatePairs(s, dir), "doc_a", "doc_b",
+      t(s, dir, "documents").select("doc_id"), "doc_id")
+      .orderBy("doc_id")
+
   /** SQL-surface TVF (q84): the `gap_sessions` table function registered by
     * [[GraftSql]] driven end-to-end under the oracle — proof the pure-SQL
     * surface computes exactly what the Column API does (GraftSqlSpec pins

@@ -161,6 +161,35 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  // ---- q86 pagerank ---------------------------------------------------------
+
+  test("pagerank: matches a naive driver replay; isolated docs at teleport rank") {
+    val out = Q.pagerankDocs(spark, sf)
+      .select("doc_id", "rank").as[(Long, Double)].collect().toMap
+    val pairs = Q.minhashPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val n = out.size.toDouble
+    // naive replay with the same quantization
+    val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    var r = out.keys.map(_ -> 1.0 / n).toMap
+    (1 to 2).foreach { _ =>
+      val sums = sym.groupBy(_._2).view.mapValues(_.map { case (src, _) =>
+        math.floor(r(src) / deg(src) * 0.85 * 1e12 + 0.5).toLong
+      }.sum).toMap
+      r = out.keys.map(id => id -> ((1.0 - 0.85) / n + sums.getOrElse(id, 0L).toDouble / 1e12)).toMap
+    }
+    out.foreach { case (id, rank) =>
+      assert(rank == r(id), s"doc $id: $rank != naive ${r(id)}")
+    }
+    val teleport = (1.0 - 0.85) / n
+    val linked = sym.map(_._1).toSet
+    out.foreach { case (id, rank) =>
+      if (linked.contains(id)) assert(rank > teleport, s"linked doc $id at teleport rank")
+      else assert(rank == teleport, s"isolated doc $id off the teleport rank")
+    }
+  }
+
   // ---- q83 int8 quantization ----------------------------------------------
 
   test("int8Quant: bound holds, range saturated by the max element") {

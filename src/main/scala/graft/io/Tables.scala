@@ -120,4 +120,23 @@ object Tables {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Range-clustered parquet layout: repartitionByRange + sortWithin-
+    * Partitions on `sortCol`, so every output file covers a DISJOINT
+    * value range (asserted in IoSpec) and row groups inside a file are
+    * ordered. Parquet footer min/max stats then prune whole files and
+    * row groups for range predicates on that column — the 1-dimension
+    * clustering story (data skipping): at 100 TB this is the difference
+    * between scanning a day and scanning a year. Range partitioning
+    * samples the column to build balanced boundaries, so skew in
+    * `sortCol` spreads across files instead of hot-spotting one.
+    */
+  def overwriteSorted(df: DataFrame, path: String, sortCol: String,
+                      partitions: Int = 0): Unit = {
+    val ranged =
+      if (partitions > 0)
+        df.repartitionByRange(partitions, org.apache.spark.sql.functions.col(sortCol))
+      else df.repartitionByRange(org.apache.spark.sql.functions.col(sortCol))
+    ranged.sortWithinPartitions(sortCol).write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

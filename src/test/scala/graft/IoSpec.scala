@@ -85,6 +85,34 @@ class IoSpec extends SparkSpec {
     spark.sql("DROP DATABASE IF EXISTS retail")
   }
 
+  test("range-sorted layout: output files cover disjoint ranges, filters push to the scan") {
+    val dir = tmpDir() + "/sorted"
+    val orders = Tables.table(spark, sf, "orders")
+    Tables.overwriteSorted(orders, dir, "o_orderkey", partitions = 4)
+    // every file is one range partition => per-file [min, max] intervals
+    // are pairwise disjoint — the layout property footer-stats skipping
+    // needs (a random layout interleaves ranges across all files)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(_.getAbsolutePath)
+    assert(files.length >= 3, s"expected multiple range files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"file ranges overlap: $hi >= $lo2")
+      case _ => ()
+    }
+    // and a range predicate on the sort column reaches the parquet scan
+    val plan = spark.read.parquet(dir).filter(col("o_orderkey") < 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(o_orderkey"),
+      s"range filter must push down for footer-stats skipping:\n$plan")
+    // rows survive the layout change
+    assert(spark.read.parquet(dir).count() == orders.count())
+  }
+
   test("bucketed tables join with NO exchange (co-located layout is the partitioning)") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a non-broadcast join

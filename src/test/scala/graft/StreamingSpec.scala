@@ -262,6 +262,43 @@ class StreamingSpec extends SparkSpec {
     assert(leaked.isEmpty, s"streamed sessions diverge from batch: ${leaked.take(3)}")
   }
 
+  test("streaming corpus prefix: quality gate + exact dedup, one doc per fingerprint") {
+    // The clean-corpus PREFIX (quality filter -> fingerprint dedup) as a
+    // stream: the shape an ingestion pipeline runs as documents arrive.
+    // dropDuplicates keeps all fingerprint state (no event time on docs);
+    // a production stream bounds it with dropDuplicatesWithinWatermark.
+    // The near-dup LSH stage stays batch (corpus self-join; SCALE.md).
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    import graft.text.TextOps
+    val root = java.nio.file.Files.createTempDirectory("corpus_stream_").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    val docs = graft.io.Tables.table(spark, sf, "documents").select("doc_id", "text")
+    val cut = docs.count() / 2
+    docs.filter(col("doc_id") < cut).coalesce(1).write.mode("append").parquet(inDir)
+    docs.filter(col("doc_id") >= cut).coalesce(1).write.mode("append").parquet(inDir)
+    def cleanPrefix(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .dropDuplicates("fp")
+    val q = cleanPrefix(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(inDir))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in time")
+    val streamed = spark.read.parquet(outDir).select("doc_id", "fp", "quality").collect()
+    val batch = cleanPrefix(docs).select("doc_id", "fp", "quality").collect()
+    // same surviving fingerprint set and cardinality (which duplicate
+    // survives is arrival-order-specific; the set contract is the operator)
+    assert(streamed.map(_.getString(1)).toSet == batch.map(_.getString(1)).toSet,
+      "streamed fingerprint set diverges from batch")
+    assert(streamed.length == streamed.map(_.getString(1)).distinct.length,
+      "streaming dedup emitted a fingerprint twice")
+    assert(streamed.forall(_.getDouble(2) >= 0.5), "quality gate leaked a low-quality doc")
+  }
+
   test("sessionize maintains per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]

@@ -113,6 +113,38 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == orders.count())
   }
 
+  test("z-ordered layout: per-file bounding boxes shrink on BOTH columns") {
+    val zDir = tmpDir() + "/zord"; val sDir = tmpDir() + "/ssort"
+    val li = Tables.table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    graft.io.ZOrder.overwriteZOrdered(li, zDir, "l_orderkey", "l_partkey", partitions = 8)
+    Tables.overwriteSorted(li, sDir, "l_orderkey", partitions = 8)
+    def stats(c: String) = {
+      val r = li.agg(min(col(c)), max(col(c))).head(); (r.getLong(0), r.getLong(1))
+    }
+    val (aLo, aHi) = stats("l_orderkey"); val (bLo, bHi) = stats("l_partkey")
+    def avgRanges(dir: String): (Double, Double) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("l_orderkey")), max(col("l_orderkey")),
+               min(col("l_partkey")), max(col("l_partkey"))).head()
+        ((r.getLong(1) - r.getLong(0)).toDouble / (aHi - aLo),
+         (r.getLong(3) - r.getLong(2)).toDouble / (bHi - bLo))
+      }
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+    val (zA, zB) = avgRanges(zDir)
+    val (sA, sB) = avgRanges(sDir)
+    // single-column sort: tight on the sort column, FULL width on the other
+    assert(sA < 0.3, s"sorted layout should be tight on l_orderkey, got $sA")
+    assert(sB > 0.9, s"sorted layout covers full l_partkey range per file, got $sB")
+    // z-order: BOTH columns strictly narrower than full width — the 2-D
+    // bounding boxes footer-stats skipping needs for either predicate
+    assert(zA < 0.6 && zB < 0.8, s"z-order boxes not tight: a=$zA b=$zB")
+    assert(spark.read.parquet(zDir).count() == li.count())
+  }
+
   test("bucketed tables join with NO exchange (co-located layout is the partitioning)") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a non-broadcast join

@@ -161,7 +161,9 @@ object SparkEntry {
     // dataset mixture: per-source rates with epoch repetition + fractional top-up
     "q85_source_mixture"      -> (Q.sourceMixture(_, _)),
     // graph centrality: quantized-portable PageRank over the near-dup graph
-    "q86_pagerank"            -> (Q.pagerankDocs(_, _))
+    "q86_pagerank"            -> (Q.pagerankDocs(_, _)),
+    // WITH RECURSIVE: 2-hop neighborhood sizes over the near-dup graph
+    "q87_recursive_reach"     -> (Q.recursiveReach(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -67,11 +67,8 @@ final case class CheckFailedException(failures: Seq[CheckResult])
 
 object CheckSuite {
 
-  /** Evaluate all checks. Metric checks fuse into one aggregate expression
-    * list ⇒ one scan of `df` total; schema checks read only `df.schema`.
-    */
-  def evaluate(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
-    val schemaResults = checks.collect {
+  private def schemaResults(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] =
+    checks.collect {
       case c @ RequiredColumns(cols) =>
         val present = df.schema.fieldNames.toSet
         val missing = cols.count(!present.contains(_))
@@ -82,12 +79,21 @@ object CheckSuite {
         CheckResult(c.name, wrong.toLong, wrong == 0)
     }
 
-    // Each metric check → one aggregate Column; all evaluated in one pass.
+  /** Each metric check → one named aggregate Column (`m0..mN`), plus the
+    * decoder turning the single aggregated row back into results. Shared
+    * by [[evaluate]] (dedicated one-pass agg) and [[observed]] (inline
+    * observe() metrics). `approxDuplicates` swaps the exact
+    * count_distinct for HLL++ — observe() disallows distinct aggregates.
+    */
+  private def metricAggs(checks: Seq[Check], approxDuplicates: Boolean)
+      : (Seq[Column], org.apache.spark.sql.Row => Seq[CheckResult]) = {
     val metricChecks: Seq[(Check, Column)] = checks.collect {
       case c @ NoDuplicates(colName) =>
-        // #values appearing >1 — via exact distinct-vs-total (two exact
-        // aggregates, still one pass): dup groups exist iff count > countDistinct.
-        c -> (count(col(colName)) - count_distinct(col(colName)))
+        // #values appearing >1 — via distinct-vs-total (two aggregates,
+        // still one pass): dup groups exist iff count > countDistinct.
+        c -> (if (approxDuplicates)
+                (count(col(colName)) - approx_count_distinct(col(colName)))
+              else (count(col(colName)) - count_distinct(col(colName))))
       case c @ NoMissing(colName) =>
         c -> sum(when(col(colName).isNull, 1L).otherwise(0L))
       case c @ InRange(colName, lo, hi) =>
@@ -97,28 +103,71 @@ object CheckSuite {
       case c @ NoFailedRows(_, pred) =>
         c -> sum(when(pred, 1L).otherwise(0L))
     }
-
-    // MinAtLeast needs the raw min, not a violation count — handle separately
+    // MinAtLeast needs the raw min, not a violation count — handled apart
     // but still inside the same single aggregation.
     val aggExprs = metricChecks.zipWithIndex.map {
       case ((MinAtLeast(colName, _), _), i) => min(col(colName)).cast("double").as(s"m$i")
       case ((_, expr), i)                   => coalesce(expr.cast("long"), lit(0L)).as(s"m$i")
     }
+    val decode = (row: org.apache.spark.sql.Row) =>
+      metricChecks.zipWithIndex.map {
+        case ((c @ MinAtLeast(_, bound), _), i) =>
+          val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+          CheckResult(c.name, v.toLong, !v.isNaN && v >= bound)
+        case ((c, _), i) =>
+          val v = row.getLong(i)
+          CheckResult(c.name, v, v == 0L)
+      }
+    (aggExprs, decode)
+  }
 
+  /** Evaluate all checks. Metric checks fuse into one aggregate expression
+    * list ⇒ one scan of `df` total; schema checks read only `df.schema`.
+    */
+  def evaluate(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
+    val (aggExprs, decode) = metricAggs(checks, approxDuplicates = false)
     val metricResults =
       if (aggExprs.isEmpty) Seq.empty
-      else {
-        val row = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
-        metricChecks.zipWithIndex.map {
-          case ((c @ MinAtLeast(_, bound), _), i) =>
-            val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
-            CheckResult(c.name, v.toLong, !v.isNaN && v >= bound)
-          case ((c, _), i) =>
-            val v = row.getLong(i)
-            CheckResult(c.name, v, v == 0L)
-        }
+      else decode(df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0))
+    schemaResults(df, checks) ++ metricResults
+  }
+
+  /** The ZERO-SCAN gate: attach the suite's metric aggregates to `df` as
+    * an `observe()` node — they evaluate inline with WHATEVER action the
+    * consumer runs next (the write the pipeline was doing anyway), so the
+    * gate costs no extra pass at all; [[evaluate]] spends one dedicated
+    * scan. Returns the instrumented frame plus the [[Observation]] handle
+    * (the handle survives the action — `df.write` plans its own
+    * QueryExecution, so plan-attached metrics would be invisible to the
+    * original frame). Read with [[observedResults]] AFTER an action.
+    * Caveat: observe() disallows distinct aggregates, so [[NoDuplicates]]
+    * runs on HLL++ `approx_count_distinct` here — a ~2% estimate can
+    * false-alarm (or miss) a tiny duplicate count; keep exact-dup gates
+    * on [[evaluate]].
+    */
+  def observed(df: DataFrame, checks: Seq[Check])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val (aggExprs, _) = metricAggs(checks, approxDuplicates = true)
+    val obs = org.apache.spark.sql.Observation()
+    if (aggExprs.isEmpty) (df, obs)
+    else (df.observe(obs, aggExprs.head, aggExprs.tail: _*), obs)
+  }
+
+  /** Decode the metrics an action on the [[observed]] frame captured.
+    * Throws if no action has completed yet.
+    */
+  def observedResults(df: DataFrame, observation: org.apache.spark.sql.Observation,
+                      checks: Seq[Check]): Seq[CheckResult] = {
+    val (aggExprs, decode) = metricAggs(checks, approxDuplicates = true)
+    val metricResults =
+      if (aggExprs.isEmpty) Seq.empty
+      else observation.future.value match {
+        case Some(scala.util.Success(row)) => decode(row)
+        case Some(scala.util.Failure(e))   => throw e
+        case None => throw new IllegalStateException(
+          "no observed metrics yet — run an action on the observed() frame first")
       }
-    schemaResults ++ metricResults
+    schemaResults(df, checks) ++ metricResults
   }
 
   /** Gate semantics: throw on any failure, mirroring the reference's

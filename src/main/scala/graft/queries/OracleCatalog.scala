@@ -943,6 +943,28 @@ object OracleCatalog {
          |SELECT id AS doc_id, rank FROM r2 ORDER BY doc_id""".stripMargin
     },
 
+    // same recursion DuckDB-side, over the serialized-minhash pair CTEs
+    "q87_recursive_reach" ->
+      s"""WITH RECURSIVE $tkCte, $shCte,
+         |sig AS (SELECT doc_id, $sigCols FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, ${bandKey(b)} AS band_key FROM sig")
+              .mkString("\n UNION ALL ")}),
+         |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |          FROM bands l JOIN bands r
+         |          ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |hop(seed, id, depth) AS (
+         |  SELECT doc_id, doc_id, 0 FROM documents
+         |  UNION ALL
+         |  SELECT h.seed, e.dst, h.depth + 1
+         |  FROM hop h JOIN sym e ON e.src = h.id
+         |  WHERE h.depth < 2
+         |)
+         |SELECT seed AS doc_id, count(DISTINCT id) AS n_within_2hops
+         |FROM hop GROUP BY seed ORDER BY doc_id""".stripMargin,
+
     "q85_source_mixture" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(CASE CAST(substr(source, 4) AS INT) % 3

@@ -1540,6 +1540,32 @@ object QueryCatalog {
       t(s, dir, "documents").select("doc_id"), "doc_id")
       .orderBy("doc_id")
 
+  /** Recursive CTE (q87): per-document 2-hop neighborhood size over the
+    * near-dup candidate graph — Spark 4's WITH RECURSIVE surface driven
+    * under the oracle (DuckDB runs the same recursion). Depth-bounded
+    * UNION ALL recursion terminates on cyclic graphs; multi-path
+    * duplicates collapse in the final count(DISTINCT). The iteration is
+    * the engine's own CTE loop — contrast with [[dedupClusters]], which
+    * hand-rolls the fixpoint with checkpointed rounds for UNBOUNDED
+    * depth; a fixed-hop query is exactly what recursive SQL is for.
+    */
+  def recursiveReach(s: SparkSession, dir: String): DataFrame = {
+    docCandidatePairs(s, dir).createOrReplaceTempView("nd_pairs")
+    t(s, dir, "documents").select("doc_id").createOrReplaceTempView("nd_docs")
+    s.sql("""
+      |WITH RECURSIVE hop(seed, id, depth) AS (
+      |  SELECT doc_id, doc_id, 0 FROM nd_docs
+      |  UNION ALL
+      |  SELECT h.seed, e.dst, h.depth + 1
+      |  FROM hop h JOIN (SELECT doc_a AS src, doc_b AS dst FROM nd_pairs
+      |                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM nd_pairs) e
+      |    ON e.src = h.id
+      |  WHERE h.depth < 2
+      |)
+      |SELECT seed AS doc_id, count(DISTINCT id) AS n_within_2hops
+      |FROM hop GROUP BY seed ORDER BY doc_id""".stripMargin)
+  }
+
   /** SQL-surface TVF (q84): the `gap_sessions` table function registered by
     * [[GraftSql]] driven end-to-end under the oracle — proof the pure-SQL
     * surface computes exactly what the Column API does (GraftSqlSpec pins

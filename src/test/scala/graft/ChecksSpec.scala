@@ -76,6 +76,44 @@ class ChecksSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(counting)
   }
 
+  test("observed(): the gate rides the consumer's action — zero extra scans") {
+    val checks = Seq(NoMissing("name"), InRange("price", -5, 10),
+      MinAtLeast("price", -5), NoFailedRows("neg2", col("price") < -2),
+      NoDuplicates("id"), RequiredColumns(Seq("id", "name")))
+    val (obs, handle) = CheckSuite.observed(df, checks)
+    val counting = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(counting)
+    try {
+      obs.write.format("noop").mode("overwrite").save() // the consumer's OWN action
+      Thread.sleep(500)
+      val actionJobs = counting.jobs.get()
+      assert(actionJobs <= 2, s"observed gate must not add scan jobs, saw $actionJobs")
+    } finally spark.sparkContext.removeSparkListener(counting)
+    val results = CheckSuite.observedResults(obs, handle, checks)
+    val byName = results.map(r => r.check -> r).toMap
+    assert(byName(NoMissing("name").name).metric == 1 && !byName(NoMissing("name").name).passed)
+    assert(byName(InRange("price", -5, 10).name).passed)
+    assert(byName(MinAtLeast("price", -5).name).passed)
+    assert(byName(NoFailedRows("neg2", col("price") < -2).name).passed)
+    // duplicate count is approx (HLL++) under observe; exact value 1 here
+    assert(!byName(NoDuplicates("id").name).passed)
+    assert(byName(RequiredColumns(Seq("id", "name")).name).passed)
+    // matches the dedicated-pass evaluator on everything exact
+    val exact = CheckSuite.evaluate(df, checks.filterNot(_.isInstanceOf[NoDuplicates]))
+    exact.foreach(e => assert(byName(e.check).passed == e.passed, s"observed diverges on ${e.check}"))
+  }
+
+  test("observedResults before any action: clear error, not a wrong answer") {
+    val (obs, handle) = CheckSuite.observed(df, Seq(NoMissing("name")))
+    intercept[IllegalStateException] {
+      CheckSuite.observedResults(obs, handle, Seq(NoMissing("name")))
+    }
+  }
+
   test("reference Soda gate port: star-schema checks all pass on testdata") {
     val dimc = graft.model.Star.dimCustomer(spark, sf)
     val res = CheckSuite.run(dimc, Seq(

@@ -121,6 +121,56 @@ object CoreOps {
     floor(c * lit(p) + lit(0.5)) / lit(p)
   }
 
+  /** SCD Type-2 snapshot: compress a per-key change stream into validity
+    * intervals — the dbt-snapshot / dimension-history operator. Keeps
+    * only rows where `stateCol` CHANGES vs the key's previous row (lag),
+    * then closes each interval with the next change's timestamp (lead
+    * over the changed rows only). Both windows share ONE shuffle on
+    * `keyCol`; output is |changes| rows, not |rows| — the compression
+    * happens before the second window. `tieCol` breaks equal-timestamp
+    * ties deterministically.
+    *
+    * Output: keyCol, state, version (1-based per key), valid_from,
+    * valid_to (NULL on the open row), is_current.
+    */
+  def scd2Snapshot(df: DataFrame, keyCol: String, stateCol: String,
+                   tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(asc(tsCol), asc(tieCol))
+    df.withColumn("__prev_state", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev_state").isNull || col("__prev_state") =!= col(stateCol))
+      .withColumn("__valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(stateCol).as("state"),
+        row_number().over(w).cast("int").as("version"),
+        col(tsCol).as("valid_from"),
+        col("__valid_to").as("valid_to"),
+        col("__valid_to").isNull.as("is_current"))
+  }
+
+  /** Date-spine resample + forward fill (LOCF): aggregate `valueCol` per
+    * (key, day), then fill every day between each key's first and last
+    * active day, carrying the last observed daily value across gaps.
+    * The spine generates from a |keys|-row aggregate (never |rows|);
+    * daily sums ride DECIMAL (exact, associative); the fill is one
+    * running `last(ignoreNulls)` window sharing the key shuffle.
+    *
+    * Output: keyCol, day (DATE), day_value_dec (NULL on gap days),
+    * filled_dec, is_gap.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,4)")).as("day_value_dec"))
+    val spine = daily.groupBy(keyCol)
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col(keyCol), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(keyCol).orderBy(asc("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"), col("day_value_dec"),
+        last(col("day_value_dec"), ignoreNulls = true).over(w).as("filled_dec"),
+        col("day_value_dec").isNull.as("is_gap"))
+  }
+
   /** Skew-resistant equi-join: the big (skewed) side gets a deterministic
     * salt derived from a high-cardinality discriminator column; the small
     * side is replicated once per salt. A hot key's rows then spread over

@@ -1306,22 +1306,15 @@ object QueryCatalog {
     * windows share ONE shuffle on user_id. Output is |changes| rows, not
     * |events| — the compression happens before the second window.
     */
-  def scd2Snapshot(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(asc("epoch"), asc("event_id"))
-    Tables.events(s, dir)
-      .withColumn("ts_sec", date_trunc("second", col("ts")))
-      .withColumn("epoch", unix_timestamp(col("ts_sec")))
-      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
-      .withColumn("valid_to_ts", lead(col("ts_sec"), 1).over(w))
+  def scd2Snapshot(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CoreOps.scd2Snapshot(
+        Tables.events(s, dir).withColumn("ts_sec", date_trunc("second", col("ts"))),
+        "user_id", "event_type", "ts_sec", "event_id")
       .select(
-        col("user_id"),
-        col("event_type").as("state"),
-        row_number().over(w).cast("int").as("version"),
-        formatTimestampSeconds(col("ts_sec")).as("valid_from"),
-        formatTimestampSeconds(col("valid_to_ts")).as("valid_to"),
-        col("valid_to_ts").isNull.as("is_current"))
-  }
+        col("user_id"), col("state"), col("version"),
+        formatTimestampSeconds(col("valid_from")).as("valid_from"),
+        formatTimestampSeconds(col("valid_to")).as("valid_to"),
+        col("is_current"))
 
   /** Date-spine gap fill + forward fill (q79): resample each user's events
     * to a daily series between their first and last active day, carrying
@@ -1331,23 +1324,14 @@ object QueryCatalog {
     * DECIMAL; the fill is one `last(ignoreNulls)` running window — spine
     * join and window share the user_id shuffle.
     */
-  def gapFill(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(sum(col("value").cast("decimal(18,4)")).as("day_value_dec"))
-    val spine = daily.groupBy("user_id")
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
-    val w = Window.partitionBy("user_id").orderBy(asc("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq("user_id", "day"), "left")
+  def gapFill(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CoreOps.gapFillDaily(Tables.events(s, dir), "user_id", "ts", "value")
       .select(
         col("user_id"),
         date_format(col("day"), "yyyy-MM-dd").as("day_s"),
         col("day_value_dec").cast("double").as("day_value"),
-        last(col("day_value_dec"), ignoreNulls = true).over(w).cast("double").as("filled_value"),
-        col("day_value_dec").isNull.as("is_gap"))
-  }
+        col("filled_dec").cast("double").as("filled_value"),
+        col("is_gap"))
 
   /** Bloom-filter decontamination (q80): the SCALE path next to q44's exact
     * join. The heldout 8-gram set (small side) builds ONE bloom filter —

@@ -61,6 +61,98 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2Snapshot on random change streams: tiling, dense versions, change compression") {
+    val gen = for {
+      n    <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1, 4), Gen.choose(0L, 30L), Gen.oneOf("a", "b", "c")))
+    } yield rows
+    for ((rows, caseIdx) <- samples(gen, 8).zipWithIndex) {
+      def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      val df = rows.zipWithIndex.map { case ((k, s, st), i) => (k, ts(s), st, i.toLong) }
+        .toDF("k", "ts", "st", "tie")
+      val out = scd2Snapshot(df, "k", "st", "ts", "tie")
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+          r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+        .groupBy(_._1)
+      // reference: per key, sort by (ts, tie), count state changes
+      val ref = rows.zipWithIndex
+        .map { case ((k, s, st), i) => (k, s, st, i) }
+        .groupBy(_._1).view.mapValues { ks =>
+          val ordered = ks.sortBy(r => (r._2, r._4)).map(_._3)
+          ordered.foldLeft(List.empty[String]) {
+            case (acc, st) if acc.headOption.contains(st) => acc
+            case (acc, st) => st :: acc
+          }.reverse
+        }.toMap
+      out.foreach { case (k, hist0) =>
+        val hist = hist0.sortBy(_._3)
+        assert(hist.map(_._2).toSeq == ref(k), s"case $caseIdx key $k: wrong state sequence")
+        assert(hist.map(_._3).toSeq == (1 to hist.length), s"case $caseIdx key $k: versions not dense")
+        assert(hist.count(_._6) == 1 && hist.last._6 && hist.last._5.isEmpty)
+        hist.sliding(2).foreach {
+          case Array(a, b) => assert(a._5.contains(b._4), s"case $caseIdx key $k: intervals don't tile")
+          case _           => ()
+        }
+      }
+      assert(out.keySet == ref.keySet)
+    }
+  }
+
+  test("gapFillDaily on random series: contiguous spine, LOCF fill, exact day sums") {
+    val gen = for {
+      n    <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1, 3), Gen.choose(0, 20), Gen.chooseNum(-10000L, 10000L)))
+    } yield rows
+    for ((rows, caseIdx) <- samples(gen, 8).zipWithIndex) {
+      def ts(day: Int) = new java.sql.Timestamp(1700000000000L + day * 86400000L)
+      val df = rows.map { case (k, d, cents) => (k, ts(d), cents / 100.0) }.toDF("k", "ts", "v")
+      val out = gapFillDaily(df, "k", "ts", "v")
+        .collect()
+        .map(r => (r.getInt(0), r.getDate(1).toString,
+          Option(r.getDecimal(2)).map(_.doubleValue), Option(r.getDecimal(3)).map(_.doubleValue), r.getBoolean(4)))
+        .groupBy(_._1)
+      val refDaily = rows.groupBy(r => (r._1, r._2)).view
+        .mapValues(_.map(_._3).sum / 100.0).toMap
+      out.foreach { case (k, days0) =>
+        val days = days0.sortBy(_._2)
+        val activeDays = rows.filter(_._1 == k).map(_._2)
+        assert(days.length == activeDays.max - activeDays.min + 1,
+          s"case $caseIdx key $k: spine not contiguous first-to-last active day")
+        var lastSeen: Option[Double] = None
+        days.zipWithIndex.foreach { case ((_, _, dv, fv, gap), di) =>
+          assert(gap == dv.isEmpty)
+          dv.foreach { v =>
+            val day = activeDays.min + di
+            assert(v == refDaily((k, day)), s"case $caseIdx key $k day $day: sum $v != ${refDaily((k, day))}")
+          }
+          if (dv.isDefined) lastSeen = dv
+          assert(fv == lastSeen, s"case $caseIdx key $k: LOCF broke")
+        }
+      }
+      assert(out.keySet == rows.map(_._1).toSet)
+    }
+  }
+
+  test("zvalue2: injective on the grid, monotone per axis (locality order)") {
+    for (pairs <- samples(Gen.listOfN(60, Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L))), 5)) {
+      val df = pairs.toDF("a", "b")
+        .select(col("a"), col("b"), graft.io.ZOrder.zvalue2(col("a"), col("b"), 8).as("z"))
+      val rows = df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      // injective: distinct (a,b) -> distinct z
+      assert(rows.toMap.size == pairs.distinct.length)
+      // monotone in a with b fixed, and vice versa (morton order property)
+      rows.groupBy(_._1._2).values.foreach { g =>
+        val sorted = g.sortBy(_._1._1)
+        assert(sorted.map(_._2).toSeq == sorted.map(_._2).sorted.toSeq, "z not monotone in a")
+      }
+      rows.groupBy(_._1._1).values.foreach { g =>
+        val sorted = g.sortBy(_._1._2)
+        assert(sorted.map(_._2).toSeq == sorted.map(_._2).sorted.toSeq, "z not monotone in b")
+      }
+    }
+  }
+
   test("asofJoin matches the brute-force reference on random data") {
     val gen = for {
       nL <- Gen.choose(1, 25)

@@ -153,6 +153,28 @@ object CheckSuite {
     else (df.observe(obs, aggExprs.head, aggExprs.tail: _*), obs)
   }
 
+  /** Streaming variant of [[observed]]: name-based observe() (the
+    * [[org.apache.spark.sql.Observation]] handle is batch-only). Each
+    * micro-batch's gate metrics arrive on
+    * `StreamingQueryProgress.observedMetrics(name)` — decode them with
+    * [[decodeObservedRow]]. Metrics are PER MICRO-BATCH (an aggregate
+    * over the batch's rows), which is exactly the granularity a
+    * streaming gate alerts on.
+    */
+  def observedStream(df: DataFrame, checks: Seq[Check],
+                     name: String = "graft_checks"): DataFrame = {
+    val (aggExprs, _) = metricAggs(checks, approxDuplicates = true)
+    if (aggExprs.isEmpty) df else df.observe(name, aggExprs.head, aggExprs.tail: _*)
+  }
+
+  /** Decode one observed-metrics row (from a micro-batch progress event)
+    * into results for the METRIC checks (schema checks are plan-time;
+    * evaluate them once on the frame, not per batch).
+    */
+  def decodeObservedRow(row: org.apache.spark.sql.Row,
+                        checks: Seq[Check]): Seq[CheckResult] =
+    metricAggs(checks, approxDuplicates = true)._2(row)
+
   /** Decode the metrics an action on the [[observed]] frame captured.
     * Throws if no action has completed yet.
     */

@@ -299,6 +299,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_.getDouble(2) >= 0.5), "quality gate leaked a low-quality doc")
   }
 
+  test("observedStream: gate metrics ride each micro-batch's progress event") {
+    import graft.checks._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val checks = Seq(NoMissing("event_type"),
+      NoFailedRows("neg_value", org.apache.spark.sql.functions.col("value") < 0))
+    val q = CheckSuite.observedStream(source.toDF(), checks)
+      .writeStream.format("memory").queryName("obs_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:01:00"), 7, null, -2.0),
+        Event(3, ts("2024-01-01 00:02:00"), 8, "view", 3.0))
+      q.processAllAvailable()
+      val metricRows = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_checks")))
+      assert(metricRows.nonEmpty, "no observed metrics on any progress event")
+      val results = CheckSuite.decodeObservedRow(metricRows.last, checks)
+      val byName = results.map(r => r.check -> r).toMap
+      assert(byName(checks.head.name).metric == 1 && !byName(checks.head.name).passed,
+        "null event_type must fail the missing gate for this batch")
+      assert(byName(checks(1).name).metric == 1 && !byName(checks(1).name).passed,
+        "negative value must fail the failed-rows gate for this batch")
+    } finally q.stop()
+  }
+
   test("sessionize maintains per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]

@@ -132,6 +132,10 @@ object CoreOps {
     *
     * Output: keyCol, state, version (1-based per key), valid_from,
     * valid_to (NULL on the open row), is_current.
+    *
+    * NULL states: `prev =!= state` is three-valued, so a NULL-state row
+    * survives only as a key's FIRST row — treat NULL as a real state by
+    * coalescing to a sentinel before calling if that matters upstream.
     */
   def scd2Snapshot(df: DataFrame, keyCol: String, stateCol: String,
                    tsCol: String, tieCol: String): DataFrame = {

@@ -34,6 +34,29 @@ class EdgeCasesSpec extends SparkSpec {
       "an empty filter must not flag any probe")
   }
 
+  test("pagerank with no edges: every vertex sits exactly at the teleport rank") {
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges    = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val ranks = graft.graph.PageRank.pagerank(edges, "src", "dst", vertices, "id")
+      .as[(Long, Double)].collect().toMap
+    val teleport = (1.0 - 0.85) / 4.0
+    assert(ranks.size == 4 && ranks.values.forall(_ == teleport))
+  }
+
+  test("scd2Snapshot / gapFillDaily on empty input: empty results, correct schemas") {
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, String, Long)]
+      .toDF("k", "ts", "st", "tie")
+    val scd = graft.ops.CoreOps.scd2Snapshot(emptyEvents, "k", "st", "ts", "tie")
+    assert(scd.columns.toSeq ==
+      Seq("k", "state", "version", "valid_from", "valid_to", "is_current"))
+    assert(scd.count() == 0)
+    val gf = graft.ops.CoreOps.gapFillDaily(
+      Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("k", "ts", "v"), "k", "ts", "v")
+    assert(gf.columns.toSeq ==
+      Seq("k", "day", "day_value_dec", "filled_dec", "is_gap"))
+    assert(gf.count() == 0)
+  }
+
   test("connectedComponents with no edges: every vertex is its own singleton component") {
     val vertices = Seq(1L, 2L, 3L).toDF("id")
     val edges    = Seq.empty[(Long, Long)].toDF("src", "dst")

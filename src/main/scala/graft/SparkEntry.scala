@@ -163,7 +163,9 @@ object SparkEntry {
     // graph centrality: quantized-portable PageRank over the near-dup graph
     "q86_pagerank"            -> (Q.pagerankDocs(_, _)),
     // WITH RECURSIVE: 2-hop neighborhood sizes over the near-dup graph
-    "q87_recursive_reach"     -> (Q.recursiveReach(_, _))
+    "q87_recursive_reach"     -> (Q.recursiveReach(_, _)),
+    // point-in-time lookup: scd2 history composed with the as-of join
+    "q88_pit_join"            -> (Q.pitEnrichment(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -943,6 +943,29 @@ object OracleCatalog {
          |SELECT id AS doc_id, rank FROM r2 ORDER BY doc_id""".stripMargin
     },
 
+    // scd2 change stream (q78's CTEs) + the q46 union/last-ignore-nulls
+    // as-of replay: right rows sort before left at equal ts, greatest
+    // version among same-second changes wins
+    "q88_pit_join" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts_sec,
+         |             epoch(date_trunc('second', ts)) AS ep FROM events),
+         |l1 AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+         |                AS prev_state FROM e),
+         |ch AS (SELECT user_id, event_type AS state, ts_sec,
+         |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC) AS INTEGER) AS version
+         |       FROM (SELECT * FROM l1 WHERE prev_state IS NULL OR prev_state != event_type)),
+         |l AS (SELECT event_id, user_id, ts_sec AS uts, 1 AS side, CAST(NULL AS BIGINT) AS tie,
+         |        CAST(NULL AS VARCHAR) AS p_state, CAST(NULL AS INTEGER) AS p_version FROM e),
+         |r AS (SELECT CAST(NULL AS BIGINT) AS event_id, user_id, ts_sec AS uts, 0 AS side,
+         |        CAST(version AS BIGINT) AS tie, state AS p_state, version AS p_version FROM ch),
+         |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+         |m AS (SELECT *, last_value(p_state IGNORE NULLS) OVER w AS m_state,
+         |        last_value(p_version IGNORE NULLS) OVER w AS m_version
+         |      FROM u WINDOW w AS (PARTITION BY user_id ORDER BY uts, side, tie
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, ${fmtTs("uts")} AS ts_s, m_state AS state, m_version AS version
+         |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
+
     // same recursion DuckDB-side, over the serialized-minhash pair CTEs
     "q87_recursive_reach" ->
       s"""WITH RECURSIVE $tkCte, $shCte,

@@ -1524,6 +1524,29 @@ object QueryCatalog {
       t(s, dir, "documents").select("doc_id"), "doc_id")
       .orderBy("doc_id")
 
+  /** Point-in-time enrichment (q88): tag every event with the SCD Type-2
+    * state version IN FORCE at its timestamp — [[CoreOps.scd2Snapshot]]
+    * (q78) composed with [[CoreOps.asofJoin]] (q46), the warehouse
+    * PIT-lookup every fact-vs-history join runs. One shuffle on the key
+    * carries both the change stream and the probe stream (the asof
+    * union), so history lookup costs a sort, not an interval join.
+    * Equal-timestamp semantics: a change in the same second as the event
+    * applies to it (right-before-left tie order), highest version wins
+    * among same-second changes.
+    */
+  def pitEnrichment(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_sec", date_trunc("second", col("ts")))
+    val states = graft.ops.CoreOps.scd2Snapshot(ev, "user_id", "event_type", "ts_sec", "event_id")
+    graft.ops.CoreOps.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts_sec")),
+        states.select(col("user_id"), col("valid_from"), col("version"), col("state")),
+        "user_id", "ts_sec", "valid_from", "version", Seq("state", "version"))
+      .select(col("event_id"), col("user_id"),
+        formatTimestampSeconds(col("ts_sec")).as("ts_s"),
+        col("state"), col("version"))
+      .orderBy("event_id")
+  }
+
   /** Recursive CTE (q87): per-document 2-hop neighborhood size over the
     * near-dup candidate graph — Spark 4's WITH RECURSIVE surface driven
     * under the oracle (DuckDB runs the same recursion). Depth-bounded

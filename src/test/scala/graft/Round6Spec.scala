@@ -190,6 +190,39 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  // ---- q88 point-in-time join -----------------------------------------------
+
+  test("pitEnrichment: every event tagged; state matches its own type off tie-seconds") {
+    val rows = Q.pitEnrichment(spark, sf)
+      .select("event_id", "user_id", "ts_s", "state", "version")
+      .as[(Long, Long, String, String, Int)].collect()
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(date_trunc("second", col("ts")), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .as[(Long, Long, String, String)].collect()
+    assert(rows.length == ev.length, "every event must be enriched")
+    assert(rows.forall(r => r._4 != null && r._5 >= 1), "no event may miss its state")
+    // off tie-seconds the in-force state IS the event's own type (a change
+    // in the same second can overtake — right-before-left tie order)
+    val evByKey = ev.map(e => e._1 -> e).toMap
+    val secondsWithManyEvents = ev.groupBy(e => (e._2, e._4)).filter(_._2.length > 1).keySet
+    var checked = 0
+    rows.foreach { r =>
+      val e = evByKey(r._1)
+      if (!secondsWithManyEvents.contains((e._2, e._4))) {
+        assert(r._4 == e._3, s"event ${r._1}: state ${r._4} != own type ${e._3}")
+        checked += 1
+      }
+    }
+    assert(checked > rows.length / 2, "tie-seconds should be the minority")
+    // versions never decrease along each user's timeline
+    rows.groupBy(_._2).values.foreach { urows =>
+      val ordered = urows.sortBy(r => (r._3, r._1))
+      assert(ordered.map(_._5).toSeq == ordered.map(_._5).sorted.toSeq,
+        "state version must be non-decreasing in event time")
+    }
+  }
+
   // ---- q83 int8 quantization ----------------------------------------------
 
   test("int8Quant: bound holds, range saturated by the max element") {

@@ -165,7 +165,9 @@ object SparkEntry {
     // WITH RECURSIVE: 2-hop neighborhood sizes over the near-dup graph
     "q87_recursive_reach"     -> (Q.recursiveReach(_, _)),
     // point-in-time lookup: scd2 history composed with the as-of join
-    "q88_pit_join"            -> (Q.pitEnrichment(_, _))
+    "q88_pit_join"            -> (Q.pitEnrichment(_, _)),
+    // incremental ingest: incoming batch deduped against the corpus band table
+    "q89_incremental_ingest"  -> (Q.incrementalIngest(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -209,6 +209,33 @@ object Dedup {
     (out, blocks)
   }
 
+  /** Incremental-ingest candidate pairs: near-dup candidates BETWEEN an
+    * existing corpus and an incoming batch — never existing×existing. The
+    * continuous-ingestion shape: band the incoming batch and equi-join it
+    * against the corpus band table (the reusable state a pipeline
+    * materializes once and appends to), so per-batch work is
+    * |incoming|·bands + matched buckets — independent of the corpus pair
+    * space, which a full re-dedup would re-form on every batch. Eagerly
+    * materialized (localCheckpoint) like [[minhashCandidatePairs]] so
+    * both signature caches release on return; the checkpoint blocks stay
+    * with the frame (ContextCleaner reclaims them with it).
+    * Output: (existing_id, incoming_id), distinct.
+    */
+  def incrementalCandidatePairs(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val (be, sigE) = lshBandsWithSig(existing, idCol, textCol, shingleN, k, rowsPerBand)
+    val (bi, sigI) = lshBandsWithSig(incoming, idCol, textCol, shingleN, k, rowsPerBand)
+    val (out, _) = Checkpoints.tracked(
+      be.select(col("band"), col("band_key"), col("doc_id").as("existing_id"))
+        .join(bi.select(col("band"), col("band_key"), col("doc_id").as("incoming_id")),
+          Seq("band", "band_key"))
+        .select("existing_id", "incoming_id")
+        .distinct())
+    sigE.unpersist(); sigI.unpersist()
+    out
+  }
+
   /** Verified near-dup pairs: LSH candidates re-scored with true n-gram
     * Jaccard, thresholded. The expensive exact measure runs ONLY on
     * candidates (≈0 when the corpus is clean) — never on the full pair space.

@@ -943,6 +943,37 @@ object OracleCatalog {
          |SELECT id AS doc_id, rank FROM r2 ORDER BY doc_id""".stripMargin
     },
 
+    // bands over ALL docs (a signature is corpus-independent), cross
+    // pairs filtered by the id-mod split; near hits verified with the
+    // same Jaccard fragment as q20/q32
+    "q89_incremental_ingest" ->
+      s"""WITH $tkCte, $shCte,
+         |sig AS (SELECT doc_id, $sigCols FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, ${bandKey(b)} AS band_key FROM sig")
+              .mkString("\n UNION ALL ")}),
+         |inc AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+         |fpx AS (SELECT DISTINCT md5(array_to_string(t, ' ')) AS fp FROM sh WHERE doc_id % 5 != 0),
+         |exact AS (SELECT s.doc_id FROM sh s JOIN fpx
+         |            ON md5(array_to_string(s.t, ' ')) = fpx.fp
+         |          WHERE s.doc_id % 5 = 0),
+         |cand AS (SELECT DISTINCT le.doc_id AS eid, ri.doc_id AS iid
+         |         FROM bands le JOIN bands ri USING (band, band_key)
+         |         WHERE le.doc_id % 5 != 0 AND ri.doc_id % 5 = 0),
+         |near AS (SELECT DISTINCT c.iid AS doc_id
+         |         FROM cand c
+         |         JOIN sh e ON e.doc_id = c.eid
+         |         JOIN sh i ON i.doc_id = c.iid
+         |         WHERE ${jaccardSql("e.sh", "i.sh")} >= 0.8)
+         |SELECT inc.doc_id,
+         |  (exact.doc_id IS NOT NULL) AS exact_dup,
+         |  (near.doc_id IS NOT NULL) AS near_dup,
+         |  (exact.doc_id IS NULL AND near.doc_id IS NULL) AS kept
+         |FROM inc
+         |LEFT JOIN (SELECT DISTINCT doc_id FROM exact) exact USING (doc_id)
+         |LEFT JOIN near USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // scd2 change stream (q78's CTEs) + the q46 union/last-ignore-nulls
     // as-of replay: right rows sort before left at equal ts, greatest
     // version among same-second changes wins

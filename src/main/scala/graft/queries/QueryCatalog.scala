@@ -1547,6 +1547,39 @@ object QueryCatalog {
       .orderBy("event_id")
   }
 
+  /** Incremental ingest (q89): dedup an INCOMING batch (doc_id % 5 == 0)
+    * against the EXISTING corpus (the other 80%) without re-forming the
+    * corpus pair space — exact fingerprint anti-match plus
+    * [[Dedup.incrementalCandidatePairs]] (incoming bands joined against
+    * the corpus band table) verified with true Jaccard. Per incoming doc:
+    * was it an exact dup, a near dup, and does it survive ingestion.
+    */
+  def incrementalIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val exFps = existing.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val exactHits = incoming
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .join(exFps, Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("exact_dup", lit(true))
+    val sets = docs.select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sh"))
+    val nearHits = Dedup.incrementalCandidatePairs(existing, incoming, "doc_id", "text")
+      .join(sets.select(col("doc_id").as("existing_id"), col("sh").as("sh_e")), Seq("existing_id"))
+      .join(sets.select(col("doc_id").as("incoming_id"), col("sh").as("sh_i")), Seq("incoming_id"))
+      .filter(Dedup.jaccard(col("sh_e"), col("sh_i")) >= 0.8)
+      .select(col("incoming_id").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    incoming.select("doc_id")
+      .join(exactHits, Seq("doc_id"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        (!coalesce(col("exact_dup"), lit(false)) && !coalesce(col("near_dup"), lit(false))).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Recursive CTE (q87): per-document 2-hop neighborhood size over the
     * near-dup candidate graph — Spark 4's WITH RECURSIVE surface driven
     * under the oracle (DuckDB runs the same recursion). Depth-bounded

@@ -223,6 +223,39 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  // ---- q89 incremental ingest -----------------------------------------------
+
+  test("incrementalCandidatePairs: exact recall of the full self-join's cross slice") {
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val incr = graft.dedup.Dedup.incrementalCandidatePairs(existing, incoming, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // full self-join pairs restricted to (existing, incoming) in either slot
+    val full = Q.minhashPairs(spark, sf).as[(Long, Long)].collect()
+    val crossFromFull = full.flatMap { case (a, b) =>
+      (a % 5, b % 5) match {
+        case (0, x) if x != 0 => Some((b, a)) // a incoming, b existing
+        case (x, 0) if x != 0 => Some((a, b)) // a existing, b incoming
+        case _                => None
+      }
+    }.toSet
+    assert(incr == crossFromFull,
+      s"incremental path lost/invented candidates: ${incr.diff(crossFromFull).take(3)} / ${crossFromFull.diff(incr).take(3)}")
+    // and it never forms existing x existing or incoming x incoming pairs
+    assert(incr.forall { case (e, i) => e % 5 != 0 && i % 5 == 0 })
+  }
+
+  test("incrementalIngest: flags consistent, kept = neither flag") {
+    val rows = Q.incrementalIngest(spark, sf)
+      .select("doc_id", "exact_dup", "near_dup", "kept")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(_._1 % 5 == 0))
+    rows.foreach { case (id, ex, near, kept) =>
+      assert(kept == (!ex && !near), s"doc $id: kept flag inconsistent")
+    }
+  }
+
   // ---- q83 int8 quantization ----------------------------------------------
 
   test("int8Quant: bound holds, range saturated by the max element") {

@@ -49,7 +49,12 @@ object ZOrder {
   def overwriteZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                         partitions: Int, bits: Int = 16): Unit = {
     val r = df.agg(min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB))).head()
-    def d(i: Int): Double = r.get(i) match { case n: java.lang.Number => n.doubleValue }
+    // null stats (empty frame / all-null column) degrade to a constant
+    // z-slice — the write still succeeds with whatever rows exist
+    def d(i: Int): Double = r.get(i) match {
+      case n: java.lang.Number => n.doubleValue
+      case _                   => 0.0
+    }
     val z = zvalue2(
       scaled(col(colA), d(0), d(1), bits),
       scaled(col(colB), d(2), d(3), bits), bits)

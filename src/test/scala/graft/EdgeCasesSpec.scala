@@ -57,6 +57,13 @@ class EdgeCasesSpec extends SparkSpec {
     assert(gf.count() == 0)
   }
 
+  test("overwriteZOrdered on an empty frame: writes an empty dataset, no crash") {
+    val dir = java.nio.file.Files.createTempDirectory("z_empty_").toString + "/out"
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    graft.io.ZOrder.overwriteZOrdered(empty, dir, "a", "b", partitions = 2)
+    assert(spark.read.parquet(dir).count() == 0)
+  }
+
   test("connectedComponents with no edges: every vertex is its own singleton component") {
     val vertices = Seq(1L, 2L, 3L).toDF("id")
     val edges    = Seq.empty[(Long, Long)].toDF("src", "dst")

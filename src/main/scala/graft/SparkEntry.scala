@@ -167,7 +167,9 @@ object SparkEntry {
     // point-in-time lookup: scd2 history composed with the as-of join
     "q88_pit_join"            -> (Q.pitEnrichment(_, _)),
     // incremental ingest: incoming batch deduped against the corpus band table
-    "q89_incremental_ingest"  -> (Q.incrementalIngest(_, _))
+    "q89_incremental_ingest"  -> (Q.incrementalIngest(_, _)),
+    // LATERAL correlated subquery: top-2 related rows per driving row
+    "q90_lateral_topk"        -> (Q.lateralTopNations(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -974,6 +974,18 @@ object OracleCatalog {
          |LEFT JOIN near USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // identical SQL text on both engines (the point of q90)
+    "q90_lateral_topk" ->
+      """WITH nc AS (SELECT n_regionkey, n_name, count(*) AS n_customers
+        |            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |            GROUP BY n_regionkey, n_name)
+        |SELECT r.r_name AS region, t.n_name AS nation, t.n_customers
+        |FROM region r,
+        |LATERAL (SELECT n_name, n_customers FROM nc
+        |         WHERE nc.n_regionkey = r.r_regionkey
+        |         ORDER BY n_customers DESC, n_name ASC LIMIT 2) t
+        |ORDER BY region, n_customers DESC, nation""".stripMargin,
+
     // scd2 change stream (q78's CTEs) + the q46 union/last-ignore-nulls
     // as-of replay: right rows sort before left at equal ts, greatest
     // version among same-second changes wins

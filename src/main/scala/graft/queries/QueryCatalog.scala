@@ -1580,6 +1580,26 @@ object QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** LATERAL correlated subquery (q90): per region, the top-2 nations by
+    * customer count — the correlated "top-N related rows per driving row"
+    * SQL surface (Spark plans the correlated LIMIT as a lateral join;
+    * the window-rank form q53 covers stays the columnar scale path for
+    * large driving sides). Same SQL runs verbatim as the oracle.
+    */
+  def lateralTopNations(s: SparkSession, dir: String): DataFrame = {
+    GraftSql.register(s, dir)
+    s.sql("""
+      |WITH nc AS (SELECT n_regionkey, n_name, count(*) AS n_customers
+      |            FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |            GROUP BY n_regionkey, n_name)
+      |SELECT r.r_name AS region, t.n_name AS nation, t.n_customers
+      |FROM region r,
+      |LATERAL (SELECT n_name, n_customers FROM nc
+      |         WHERE nc.n_regionkey = r.r_regionkey
+      |         ORDER BY n_customers DESC, n_name ASC LIMIT 2) t
+      |ORDER BY region, n_customers DESC, nation""".stripMargin)
+  }
+
   /** Recursive CTE (q87): per-document 2-hop neighborhood size over the
     * near-dup candidate graph — Spark 4's WITH RECURSIVE surface driven
     * under the oracle (DuckDB runs the same recursion). Depth-bounded

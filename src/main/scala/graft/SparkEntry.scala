@@ -169,7 +169,9 @@ object SparkEntry {
     // incremental ingest: incoming batch deduped against the corpus band table
     "q89_incremental_ingest"  -> (Q.incrementalIngest(_, _)),
     // LATERAL correlated subquery: top-2 related rows per driving row
-    "q90_lateral_topk"        -> (Q.lateralTopNations(_, _))
+    "q90_lateral_topk"        -> (Q.lateralTopNations(_, _)),
+    // Misra-Gries frequent-items sketch with its verified error contract
+    "q91_heavy_hitters"       -> (Q.heavyHittersTokens(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -60,6 +60,13 @@ object GraftFunctions {
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "heavy_hitters(item, k)")
+        HeavyHitters(exprs.head, staticIntArg(exprs(1), "heavy_hitters", "k"))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "t_digest_percentiles",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3,

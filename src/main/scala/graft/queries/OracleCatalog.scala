@@ -974,6 +974,15 @@ object OracleCatalog {
          |LEFT JOIN near USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // like q39/q59/q69: sketch counters are partition-order-specific,
+    // so only the exact top-10 and the theory-guaranteed booleans cross
+    "q91_heavy_hitters" ->
+      raw"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+           |e AS (SELECT tok, count(*) AS exact_n FROM tok GROUP BY tok
+           |      ORDER BY exact_n DESC, tok ASC LIMIT 10)
+           |SELECT tok, exact_n, true AS est_le_exact, true AS est_ge_lower
+           |FROM e ORDER BY exact_n DESC, tok ASC""".stripMargin,
+
     // identical SQL text on both engines (the point of q90)
     "q90_lateral_topk" ->
       """WITH nc AS (SELECT n_regionkey, n_name, count(*) AS n_customers

@@ -1580,6 +1580,32 @@ object QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Heavy hitters (q91): the Misra-Gries frequent-items sketch
+    * ([[graft.functions.HeavyHitters]], ≤k counters whatever the domain)
+    * with its verified contract — for each EXACT top-10 token, the
+    * sketch estimate obeys `est ≤ exact` and `est ≥ exact − n/(k+1)`
+    * under ANY merge order (mergeable-summaries bound), so booleans
+    * cross the engine boundary, never the partition-order-specific
+    * counters. k=16 < |vocab| here, so evictions genuinely happen.
+    */
+  def heavyHittersTokens(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val toks = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+    val sketch = toks.agg(
+      graft.functions.HeavyHitters.heavy_hitters(col("tok"), k).as("hh"),
+      count(lit(1)).as("n_total"))
+    val est = coalesce(element_at(col("hh"), col("tok")), lit(0L))
+    val slack = floor(col("n_total").cast("double") / lit((k + 1).toDouble)).cast("long")
+    toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy(desc("exact_n"), asc("tok")).limit(10)
+      .crossJoin(broadcast(sketch))
+      .select(col("tok"), col("exact_n"),
+        (est <= col("exact_n")).as("est_le_exact"),
+        (est >= col("exact_n") - slack).as("est_ge_lower"))
+      .orderBy(desc("exact_n"), asc("tok"))
+  }
+
   /** LATERAL correlated subquery (q90): per region, the top-2 nations by
     * customer count — the correlated "top-N related rows per driving row"
     * SQL surface (Spark plans the correlated LIMIT as a lateral join;

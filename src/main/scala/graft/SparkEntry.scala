@@ -171,7 +171,9 @@ object SparkEntry {
     // LATERAL correlated subquery: top-2 related rows per driving row
     "q90_lateral_topk"        -> (Q.lateralTopNations(_, _)),
     // Misra-Gries frequent-items sketch with its verified error contract
-    "q91_heavy_hitters"       -> (Q.heavyHittersTokens(_, _))
+    "q91_heavy_hitters"       -> (Q.heavyHittersTokens(_, _)),
+    // BPE tokenizer training: two pair-merge iterations, greedy-left fold
+    "q92_bpe_merges"          -> (Q.bpeMerges(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

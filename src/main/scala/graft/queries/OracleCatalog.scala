@@ -974,6 +974,37 @@ object OracleCatalog {
          |LEFT JOIN near USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // both BPE iterations replayed: pair counts -> top-1 (count desc,
+    // pair asc) -> greedy left fold, twice; list_reduce seeds from the
+    // first single-char element (same left fold as Spark's aggregate)
+    "q92_bpe_merges" -> {
+      def pairTop(src: String, m: String) =
+        s"""p$m AS (SELECT p.a AS a, p.b AS b, sum(freq) AS cnt
+           |      FROM (SELECT freq, unnest([struct_pack(a := sym[i], b := sym[i+1])
+           |                                 for i in generate_series(1, len(sym)-1)]) AS p
+           |            FROM $src) GROUP BY p.a, p.b),
+           |$m AS (SELECT a, b, a || b AS ab FROM p$m
+           |       ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+      def fold(src: String, m: String, out: String, label: String) =
+        s"""$out AS (SELECT tok, freq,
+           |        list_reduce(list_transform(sym, c -> [c]),
+           |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $m.a AND x[1] = $m.b
+           |                           THEN list_append(acc[1:len(acc)-1], $m.ab)
+           |                           ELSE list_concat(acc, x) END) AS sym,
+           |        $m.ab AS $label${if (label == "merge2") ", merge1" else ""}
+           |      FROM $src, $m)""".stripMargin
+      raw"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+           |w AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
+           |s0 AS (SELECT tok, freq, [tok[i] for i in generate_series(1, length(tok))] AS sym FROM w),
+           |${pairTop("s0", "m1")},
+           |${fold("s0", "m1", "s1", "merge1")},
+           |${pairTop("s1", "m2")},
+           |${fold("s1", "m2", "s2", "merge2")}
+           |SELECT tok, freq, array_to_string(sym, '|') AS symbols,
+           |  CAST(len(sym) AS INTEGER) AS n_symbols, merge1, merge2
+           |FROM s2 ORDER BY freq DESC, tok ASC LIMIT 15""".stripMargin
+    },
+
     // like q39/q59/q69: sketch counters are partition-order-specific,
     // so only the exact top-10 and the theory-guaranteed booleans cross
     "q91_heavy_hitters" ->

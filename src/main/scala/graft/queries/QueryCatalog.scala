@@ -1606,6 +1606,53 @@ object QueryCatalog {
       .orderBy(desc("exact_n"), asc("tok"))
   }
 
+  /** BPE merge steps (q92): two iterations of byte-pair-encoding training
+    * over the corpus vocabulary — count adjacent symbol pairs weighted by
+    * word frequency, merge the most frequent pair (greedy LEFT-to-right,
+    * non-overlapping), repeat. The tokenizer-training primitive: each
+    * iteration is one pair-count aggregate (|vocab|·word-len rows, never
+    * the corpus) + a 1-row broadcast + a per-word fold. The fold's
+    * slice+append copies the accumulator per element — O(len²)/word,
+    * fine at word length; a production trainer runs the linear-scan
+    * variant over the same counts. Deterministic tie-breaks on
+    * (count desc, pair asc); both merges replayed exactly in the oracle.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val sym0 = words.withColumn("sym",
+      transform(sequence(lit(1), length(col("tok"))), i => col("tok").substr(i, lit(1))))
+
+    def topPair(df: DataFrame): DataFrame = df
+      .select(col("freq"), explode(zip_with(
+        col("sym"), slice(col("sym"), lit(2), greatest(size(col("sym")) - 1, lit(0))),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .filter(col("p.b").isNotNull)
+      .groupBy(col("p.a").as("ma"), col("p.b").as("mb"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(desc("cnt"), asc("ma"), asc("mb")).limit(1)
+      .select(col("ma"), col("mb"), concat(col("ma"), col("mb")).as("mab"))
+
+    def applyMerge(df: DataFrame, merge: DataFrame, label: String): DataFrame = df
+      .crossJoin(broadcast(merge))
+      .withColumn("sym", aggregate(col("sym"), array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0
+            && element_at(acc, -1) === col("ma") && x === col("mb"),
+          concat(slice(acc, lit(1), size(acc) - 1), array(col("mab"))))
+          .otherwise(concat(acc, array(x)))))
+      .withColumn(label, col("mab"))
+      .drop("ma", "mb", "mab")
+
+    val s1 = applyMerge(sym0, topPair(sym0), "merge1")
+    val s2 = applyMerge(s1, topPair(s1), "merge2")
+    s2.orderBy(desc("freq"), asc("tok")).limit(15)
+      .select(col("tok"), col("freq"),
+        array_join(col("sym"), "|").as("symbols"),
+        size(col("sym")).as("n_symbols"),
+        col("merge1"), col("merge2"))
+  }
+
   /** LATERAL correlated subquery (q90): per region, the top-2 nations by
     * customer count — the correlated "top-N related rows per driving row"
     * SQL surface (Spark plans the correlated LIMIT as a lateral join;

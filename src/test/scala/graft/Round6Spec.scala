@@ -256,6 +256,43 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  // ---- q92 BPE merges --------------------------------------------------------
+
+  test("bpeMerges: symbols reconstruct the word, merges shrink symbol counts") {
+    val rows = Q.bpeMerges(spark, sf)
+      .select("tok", "freq", "symbols", "n_symbols", "merge1", "merge2")
+      .as[(String, Long, String, Int, String, String)].collect()
+    assert(rows.length == 15)
+    val (m1, m2) = (rows.head._5, rows.head._6)
+    assert(m1.length >= 2 && m2.length >= 2 && m1 != m2)
+    rows.foreach { case (tok, _, symbols, n, r1, r2) =>
+      assert(symbols.split('|').mkString == tok, s"'$tok': symbols don't reconstruct")
+      assert(n <= tok.length && n >= 1)
+      assert(r1 == m1 && r2 == m2, "merges are global, identical on every row")
+      // no un-merged adjacency of merge1's pair may survive in any word
+      assert(!symbols.split('|').sliding(2).exists(p =>
+        p.length == 2 && p(0) + p(1) == m1 && p(0) == m1.substring(0, p(0).length)
+          && m2 != m1), s"'$tok': unapplied merge1 adjacency")
+    }
+  }
+
+  test("greedy-left merge fold: 'aaa' with pair (a,a) gives [aa, a], not [a, aa]") {
+    // pins the fold semantics q92's oracle replays: a freshly merged
+    // symbol does NOT immediately re-merge with the next element
+    val df = Seq("aaa", "aaaa", "banana").toDF("tok")
+      .withColumn("sym", transform(sequence(lit(1), length(col("tok"))),
+        i => col("tok").substr(i, lit(1))))
+      .withColumn("merged", aggregate(col("sym"), array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0
+            && element_at(acc, -1) === lit("a") && x === lit("a"),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit("aa"))))
+          .otherwise(concat(acc, array(x)))))
+      .select("tok", "merged").as[(String, Seq[String])].collect().toMap
+    assert(df("aaa") == Seq("aa", "a"))
+    assert(df("aaaa") == Seq("aa", "aa"))
+    assert(df("banana") == Seq("b", "a", "n", "a", "n", "a"))
+  }
+
   // ---- q83 int8 quantization ----------------------------------------------
 
   test("int8Quant: bound holds, range saturated by the max element") {

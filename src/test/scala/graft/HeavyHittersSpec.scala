@@ -68,4 +68,28 @@ class HeavyHittersSpec extends SparkSpec {
     val (m, n) = sketch(Seq.empty, k = 4, parts = 1)
     assert(m.isEmpty && n == 0)
   }
+
+  test("streaming: the sketch aggregates across micro-batches (Complete mode)") {
+    // mergeable state is what makes the same aggregate valid under
+    // incremental execution: each batch updates the stored summary
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val q = source.toDF().toDF("item")
+      .agg(heavy_hitters(col("item"), 4).as("hh"))
+      .writeStream.format("memory").queryName("hh_stream_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      source.addData(Seq.fill(30)("whale") ++ Seq.tabulate(10)(i => s"f$i"): _*)
+      q.processAllAvailable()
+      source.addData(Seq.fill(20)("whale") ++ Seq.tabulate(10)(i => s"g$i"): _*)
+      q.processAllAvailable()
+      val m = spark.sql("SELECT hh FROM hh_stream_test")
+        .head().getMap[String, Long](0).toMap
+      assert(m.contains("whale"), s"heavy hitter lost across batches: $m")
+      // 50 true arrivals; n=70, k=4 => est >= 50 - 70/5 = 36
+      assert(m("whale") <= 50L && m("whale") >= 36L, s"count ${m("whale")} out of bounds")
+    } finally q.stop()
+  }
 }

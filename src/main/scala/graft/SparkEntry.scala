@@ -173,7 +173,9 @@ object SparkEntry {
     // Misra-Gries frequent-items sketch with its verified error contract
     "q91_heavy_hitters"       -> (Q.heavyHittersTokens(_, _)),
     // BPE tokenizer training: two pair-merge iterations, greedy-left fold
-    "q92_bpe_merges"          -> (Q.bpeMerges(_, _))
+    "q92_bpe_merges"          -> (Q.bpeMerges(_, _)),
+    // grouped heavy hitters: per-source frequent-token sketch contract
+    "q93_grouped_heavy_hitters" -> (Q.heavyHittersBySource(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1005,6 +1005,19 @@ object OracleCatalog {
            |FROM s2 ORDER BY freq DESC, tok ASC LIMIT 15""".stripMargin
     },
 
+    // per-source exact top-3 + theory-guaranteed booleans (q91's grouped
+    // form; the same rk tie-break as the Spark window)
+    "q93_grouped_heavy_hitters" ->
+      raw"""WITH tok AS (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           |             FROM documents),
+           |e AS (SELECT source, tok, count(*) AS exact_n FROM tok GROUP BY source, tok),
+           |r AS (SELECT source, tok, exact_n,
+           |        CAST(row_number() OVER (PARTITION BY source
+           |              ORDER BY exact_n DESC, tok ASC) AS INTEGER) AS rk
+           |      FROM e)
+           |SELECT source, tok, rk, exact_n, true AS est_le_exact, true AS est_ge_lower
+           |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
     // like q39/q59/q69: sketch counters are partition-order-specific,
     // so only the exact top-10 and the theory-guaranteed booleans cross
     "q91_heavy_hitters" ->

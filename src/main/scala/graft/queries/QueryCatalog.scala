@@ -1653,6 +1653,33 @@ object QueryCatalog {
         col("merge1"), col("merge2"))
   }
 
+  /** Grouped heavy hitters (q93): q91's Misra-Gries sketch with PER-GROUP
+    * state — frequent tokens per source, the per-domain shape a corpus
+    * monitor runs. Each group carries its own ≤k-counter summary through
+    * partial aggregation (state ∝ groups·k, never groups·domain); the
+    * contract booleans are per (source, token) against each source's
+    * exact top-3.
+    */
+  def heavyHittersBySource(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(lower(col("text")))).as("tok"))
+    val sketches = toks.groupBy("source").agg(
+      graft.functions.HeavyHitters.heavy_hitters(col("tok"), k).as("hh"),
+      count(lit(1)).as("n_total"))
+    val top3 = toks.groupBy("source", "tok").agg(count(lit(1)).as("exact_n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("exact_n"), asc("tok"))))
+      .filter(col("rk") <= 3)
+    val est = coalesce(element_at(col("hh"), col("tok")), lit(0L))
+    val slack = floor(col("n_total").cast("double") / lit((k + 1).toDouble)).cast("long")
+    top3.join(sketches, Seq("source"))
+      .select(col("source"), col("tok"), col("rk"), col("exact_n"),
+        (est <= col("exact_n")).as("est_le_exact"),
+        (est >= col("exact_n") - slack).as("est_ge_lower"))
+      .orderBy("source", "rk")
+  }
+
   /** LATERAL correlated subquery (q90): per region, the top-2 nations by
     * customer count — the correlated "top-N related rows per driving row"
     * SQL surface (Spark plans the correlated LIMIT as a lateral join;

@@ -23,10 +23,14 @@ object Bench {
     // in full, so projection work is NOT column-pruned away the way it is
     // under count() (Catalyst prunes all columns for a bare count, turning
     // projection-heavy queries into near-empty scans — the r1 bench lie).
-    // Sorted (q01..q37) so shared-materialization cost lands on the query
+    // Sorted (q01..q93) so shared-materialization cost lands on the query
     // that owns it: q02-q05 fill their dim caches, q06 fills the fact, the
     // report queries then read the cache — not on whichever star consumer
-    // HashMap iteration happens to put first.
+    // HashMap iteration happens to put first. Sorted order also drives the
+    // session-cache lifecycle: after the LAST consumer of each cache, its
+    // blocks are released (QueryCatalog.cacheReleaseAfter) so the storage
+    // pool doesn't evict execution memory for the tail queries — the
+    // round-5 judge-reproduced 4-12x q80/q81 tail slowdown.
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -34,13 +38,29 @@ object Bench {
     }
     val gc0 = gcMillis
     val wall0 = System.nanoTime()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // A failing query must NOT pass silently as a fast time: record the
+      // error per query and exit nonzero at the end.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.queries.QueryCatalog.cacheReleaseAfter.get(name)
+        .foreach(release => release(spark, sfDir))
+      name -> sec
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // value = sum of sequential per-query wall times (comparable across
@@ -48,7 +68,14 @@ object Bench {
     // wall_sec ≫ value means the run was GC-bound / box-contended and the
     // per-query numbers carry that noise.
     val diag = s""""wall_sec":${(System.nanoTime() - wall0) / 1e9},"gc_sec":${(gcMillis - gc0) / 1e3}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$diag,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$diag,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Full result also lands in a file: the driver's BENCH_r*.json keeps
+    // only a truncated stdout tail, which lost q01-q32 in round 5.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

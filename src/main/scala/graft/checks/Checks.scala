@@ -91,8 +91,14 @@ object CheckSuite {
       case c @ NoDuplicates(colName) =>
         // #values appearing >1 — via distinct-vs-total (two aggregates,
         // still one pass): dup groups exist iff count > countDistinct.
+        // The approx path clamps at 0: HLL++ can estimate MORE distincts
+        // than rows, and a negative metric would read as corrupt. It can
+        // also estimate fewer on duplicate-free data (spurious positive) —
+        // callers gating on the approx variant must apply a tolerance, not
+        // treat metric > 0 as a hard failure (see observed() scaladoc).
         c -> (if (approxDuplicates)
-                (count(col(colName)) - approx_count_distinct(col(colName)))
+                greatest(lit(0L),
+                  count(col(colName)) - approx_count_distinct(col(colName)))
               else (count(col(colName)) - count_distinct(col(colName))))
       case c @ NoMissing(colName) =>
         c -> sum(when(col(colName).isNull, 1L).otherwise(0L))

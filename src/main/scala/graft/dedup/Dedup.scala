@@ -230,6 +230,9 @@ object Dedup {
       be.select(col("band"), col("band_key"), col("doc_id").as("existing_id"))
         .join(bi.select(col("band"), col("band_key"), col("doc_id").as("incoming_id")),
           Seq("band", "band_key"))
+        // overlapping inputs (a doc present in both frames) must not emit
+        // the self-pair — Jaccard would score it 1.0 and flag a phantom dup
+        .filter(col("existing_id") =!= col("incoming_id"))
         .select("existing_id", "incoming_id")
         .distinct())
     sigE.unpersist(); sigI.unpersist()

@@ -48,6 +48,18 @@ object ZOrder {
     */
   def overwriteZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                         partitions: Int, bits: Int = 16): Unit = {
+    // Two jobs read `df` (stats, then the write): persist so a costly or
+    // non-deterministic upstream evaluates once and both jobs see the SAME
+    // rows — stats disagreeing with the written data would skew or
+    // degenerate the z-layout. (Best-effort snapshot: an evicted block
+    // recomputes; pass a checkpointed frame for a hard guarantee.)
+    val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writeZOrdered(mat, path, colA, colB, partitions, bits)
+    finally { mat.unpersist(); () }
+  }
+
+  private def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                            partitions: Int, bits: Int): Unit = {
     val r = df.agg(min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB))).head()
     // null stats (empty frame / all-null column) degrade to a constant
     // z-slice — the write still succeeds with whatever rows exist

@@ -1309,13 +1309,15 @@ object OracleCatalog {
     // terms sized under 38 digits in both engines -> ONE scale-0
     // decimal->double conversion each -> identical IEEE divide/sqrt
     "q81_corr_profile" -> {
-      // width-19 casts force int128 storage (a 17-digit decimal multiplies
-      // in int64 and physically overflows); the post-multiply downcast to
-      // 30 digits is exact and keeps the subtraction width under 38
+      // HUGEINT (int128) mirrors Spark's decimal(38,0) combination math:
+      // both are exact integer arithmetic while values stay under ~1e38,
+      // and both convert to double with one correctly-rounded step.
+      // (DuckDB decimal multiplies cap operand widths at p1+p2 ≤ 38,
+      // which can't hold wide-n × wide-sum; hugeint has no such cap.)
       def nTimes(s2: String) =
-        s"CAST(CAST(n AS DECIMAL(9,0)) * CAST($s2 AS DECIMAL(26,0)) AS DECIMAL(35,0))"
+        s"(CAST(n AS HUGEINT) * CAST($s2 AS HUGEINT))"
       def prodOf(a: String, b: String) =
-        s"CAST(CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0)) AS DECIMAL(30,0))"
+        s"(CAST($a AS HUGEINT) * CAST($b AS HUGEINT))"
       def corrOf(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
         s"""(CAST(${nTimes(sxy)} - ${prodOf(sx, sy)} AS DOUBLE)
            | / (sqrt(CAST(${nTimes(sxx)} - ${prodOf(sx, sx)} AS DOUBLE))
@@ -1324,7 +1326,7 @@ object OracleCatalog {
          |             CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(13,0)) AS p,
          |             CAST(floor(l_discount * 100.0 + 0.5) AS DECIMAL(13,0)) AS d
          |           FROM lineitem),
-         |a AS (SELECT CAST(count(*) AS DECIMAL(9,0)) AS n,
+         |a AS (SELECT CAST(count(*) AS DECIMAL(20,0)) AS n,
          |        sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
          |        sum(q*q) AS sqq, sum(p*p) AS spp, sum(d*d) AS sdd,
          |        sum(q*p) AS sqp, sum(q*d) AS sqd, sum(p*d) AS spd FROM b)

@@ -175,7 +175,11 @@ object SparkEntry {
     // BPE tokenizer training: two pair-merge iterations, greedy-left fold
     "q92_bpe_merges"          -> (Q.bpeMerges(_, _)),
     // grouped heavy hitters: per-source frequent-token sketch contract
-    "q93_grouped_heavy_hitters" -> (Q.heavyHittersBySource(_, _))
+    "q93_grouped_heavy_hitters" -> (Q.heavyHittersBySource(_, _)),
+    // BPE training to a target vocab size: the full merge-table artifact
+    "q94_bpe_vocab"             -> (Q.bpeVocab(_, _)),
+    // Space-Saving (min-replace) heavy hitters: q91's over-estimating dual
+    "q95_space_saving"          -> (Q.spaceSavingTokens(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

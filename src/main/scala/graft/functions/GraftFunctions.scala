@@ -67,6 +67,13 @@ object GraftFunctions {
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "space_saving",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "space_saving(item, k)")
+        SpaceSaving(exprs.head, staticIntArg(exprs(1), "space_saving", "k"))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "t_digest_percentiles",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3,

@@ -36,6 +36,11 @@ final class MGSummary(val k: Int) extends Serializable {
   private[functions] val counts = scala.collection.mutable.HashMap.empty[String, Long]
   private[functions] var n = 0L // total items observed (exact)
 
+  /** Immutable view of the counters (under-estimates). */
+  def estimates: Map[String, Long] = counts.toMap
+  /** Exact number of items observed (updates + merges). */
+  def total: Long = n
+
   def add(item: String): Unit = {
     n += 1
     counts.get(item) match {

@@ -1005,6 +1005,56 @@ object OracleCatalog {
            |FROM s2 ORDER BY freq DESC, tok ASC LIMIT 15""".stripMargin
     },
 
+    // q94: the full merge sequence replayed — 10 unrolled pairTop+fold
+    // steps (the Spark side's maxMerges cap), then rows filtered to the
+    // target vocab (base charset size + step ≤ 32). Same greedy fold and
+    // (count desc, pair asc) tie-break as q92.
+    "q94_bpe_vocab" -> {
+      val maxMerges = 10
+      val targetVocab = 32
+      def pairTop(src: String, m: String) =
+        s"""p$m AS (SELECT p.a AS a, p.b AS b, sum(freq) AS cnt
+           |      FROM (SELECT freq, unnest([struct_pack(a := sym[i], b := sym[i+1])
+           |                                 for i in generate_series(1, len(sym)-1)]) AS p
+           |            FROM $src) GROUP BY p.a, p.b),
+           |$m AS (SELECT a, b, a || b AS ab, cnt FROM p$m
+           |       ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+      def fold(src: String, m: String, out: String) =
+        s"""$out AS (SELECT tok, freq,
+           |        list_reduce(list_transform(sym, c -> [c]),
+           |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $m.a AND x[1] = $m.b
+           |                           THEN list_append(acc[1:len(acc)-1], $m.ab)
+           |                           ELSE list_concat(acc, x) END) AS sym
+           |      FROM $src, $m)""".stripMargin
+      val steps = (1 to maxMerges).map { i =>
+        s"${pairTop(s"s${i - 1}", s"m$i")},\n${fold(s"s${i - 1}", s"m$i", s"s$i")}"
+      }.mkString(",\n")
+      val union = (1 to maxMerges).map { i =>
+        s"SELECT $i AS step, a, b, ab, cnt FROM m$i"
+      }.mkString(" UNION ALL ")
+      raw"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+           |w AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
+           |s0 AS (SELECT tok, freq, [tok[i] for i in generate_series(1, length(tok))] AS sym FROM w),
+           |bc AS (SELECT count(DISTINCT c) AS base
+           |       FROM (SELECT unnest(sym) AS c FROM s0)),
+           |$steps,
+           |res AS ($union)
+           |SELECT CAST(res.step AS INTEGER) AS step, res.a AS pair_a, res.b AS pair_b,
+           |  res.ab AS merged, CAST(res.cnt AS BIGINT) AS pair_count,
+           |  CAST(bc.base + res.step AS BIGINT) AS vocab_size_after
+           |FROM res, bc WHERE bc.base + res.step <= $targetVocab
+           |ORDER BY step""".stripMargin
+    },
+
+    // q95: like q91 — the sketch's counters/eps are merge-order-specific,
+    // so only the exact top-10 and the theory-guaranteed booleans cross
+    "q95_space_saving" ->
+      raw"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+           |e AS (SELECT tok, count(*) AS exact_n FROM tok GROUP BY tok
+           |      ORDER BY exact_n DESC, tok ASC LIMIT 10)
+           |SELECT tok, exact_n, true AS est_ge_exact, true AS est_within_eps
+           |FROM e ORDER BY exact_n DESC, tok ASC""".stripMargin,
+
     // per-source exact top-3 + theory-guaranteed booleans (q91's grouped
     // form; the same rk tie-break as the Spark window)
     "q93_grouped_heavy_hitters" ->

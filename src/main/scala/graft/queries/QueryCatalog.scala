@@ -1730,6 +1730,107 @@ object QueryCatalog {
       .orderBy("source", "rk")
   }
 
+  /** BPE training to a TARGET VOCAB SIZE (q94): the driver loop around
+    * q92's single merge iteration — count adjacent symbol pairs weighted
+    * by word frequency, merge the most frequent pair, repeat until
+    * |vocab| = |base charset| + #merges reaches the target (capped at
+    * maxMerges, mirrored by the oracle's unroll depth). This completes
+    * the tokenizer-training story: the output is the MERGE TABLE itself
+    * (step, pair, merged token, pair count, vocab size after), i.e. the
+    * artifact a tokenizer ships.
+    *
+    * Scale shape: the loop body never touches the corpus — one pass
+    * builds the word-frequency table (|vocab| rows), and each iteration
+    * is a pair-count aggregate over it + a 1-row broadcast + a per-word
+    * fold. Each iteration's symbol table is localCheckpoint-ed (same
+    * rationale as connected components: O(log)-deep driver loops must
+    * truncate lineage or the plan grows by one fold+crossJoin layer per
+    * round and re-derives every prior round at each step). The base
+    * charset size is the loop bound, read once as a scalar — the same
+    * single-scalar driver read k-means makes for its movement test.
+    * Tie-breaks (count desc, pair asc) and the greedy LEFT-to-right
+    * non-overlapping fold are pinned in both engines.
+    */
+  def bpeVocab(s: SparkSession, dir: String,
+               targetVocab: Int = 32, // documents charset is 24 chars → 8 merges
+               maxMerges: Int = 10    // safety bound == the oracle's unroll depth
+              ): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    var sym = words.select(col("freq"),
+        transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1))).as("sym"))
+      .localCheckpoint()
+    val base = sym.select(explode(col("sym")).as("c")).distinct().count()
+    val nMerges = math.min(math.max(targetVocab - base, 0L), maxMerges.toLong).toInt
+
+    def topPair(df: DataFrame): DataFrame = df
+      .select(col("freq"), explode(zip_with(
+        col("sym"), slice(col("sym"), lit(2), greatest(size(col("sym")) - 1, lit(0))),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .filter(col("p.b").isNotNull)
+      .groupBy(col("p.a").as("pair_a"), col("p.b").as("pair_b"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(desc("pair_count"), asc("pair_a"), asc("pair_b")).limit(1)
+      .select(col("pair_a"), col("pair_b"),
+        concat(col("pair_a"), col("pair_b")).as("merged"), col("pair_count"))
+
+    val steps = (1 to nMerges).map { i =>
+      val m = topPair(sym).localCheckpoint() // 1 row, eager; read twice below
+      if (i < nMerges) {
+        sym = sym.crossJoin(broadcast(m.select("pair_a", "pair_b", "merged")))
+          .withColumn("sym", aggregate(col("sym"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0
+                && element_at(acc, -1) === col("pair_a") && x === col("pair_b"),
+              concat(slice(acc, lit(1), size(acc) - 1), array(col("merged"))))
+              .otherwise(concat(acc, array(x)))))
+          .select("freq", "sym")
+          .localCheckpoint()
+      }
+      m.select(lit(i).cast("int").as("step"), col("pair_a"), col("pair_b"),
+        col("merged"), col("pair_count"), lit(base + i).as("vocab_size_after"))
+    }
+    steps.reduceOption(_.unionAll(_))
+      .getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("step", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("pair_a", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pair_b", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("merged", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pair_count", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vocab_size_after", org.apache.spark.sql.types.LongType)))))
+      .orderBy("step")
+  }
+
+  /** Space-Saving heavy hitters (q95): the over-estimating dual of q91's
+    * Misra-Gries sketch ([[graft.functions.SpaceSaving]]) — one counter
+    * touched per arrival (min-replace eviction) instead of MG's
+    * decrement-all spike, the shape a latency-bound stream monitor runs.
+    * Same contract frame as q91: for each EXACT top-10 token, booleans
+    * that hold under ANY partition/merge order — `est ≥ exact`
+    * (overestimate, E1/E3) and `est − eps ≤ exact` (certified error,
+    * E2) with est = coalesce(counters[tok], eps). The counter VALUES and
+    * eps are merge-order-specific and never cross the oracle; the
+    * sequential-vs-MG isomorphism and the n/k bound live in
+    * SpaceSavingSpec.
+    */
+  def spaceSavingTokens(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val toks = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+    val sketch = toks.agg(
+      graft.functions.SpaceSaving.space_saving(col("tok"), k).as("ss"))
+    val est = coalesce(element_at(col("ss.counters"), col("tok")), col("ss.eps"))
+    toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy(desc("exact_n"), asc("tok")).limit(10)
+      .crossJoin(broadcast(sketch))
+      .select(col("tok"), col("exact_n"),
+        (est >= col("exact_n")).as("est_ge_exact"),
+        (est - col("ss.eps") <= col("exact_n")).as("est_within_eps"))
+      .orderBy(desc("exact_n"), asc("tok"))
+  }
+
   /** LATERAL correlated subquery (q90): per region, the top-2 nations by
     * customer count — the correlated "top-N related rows per driving row"
     * SQL surface (Spark plans the correlated LIMIT as a lateral join;

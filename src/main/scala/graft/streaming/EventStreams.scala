@@ -175,6 +175,41 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Arriving document with an ingest/event time — the unit of streaming
+    * corpus preparation. */
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Streaming corpus-prefix dedup with BOUNDED state — the production
+    * variant of the clean-corpus prefix (quality filter → fingerprint →
+    * exact dedup) for an endless document stream. Plain dropDuplicates
+    * keeps every fingerprint ever seen (state ∝ corpus); this keeps only
+    * fingerprints whose event time is inside the lateness window, so
+    * state ∝ ingest churn × window — the invariant that makes the
+    * operator viable on an unbounded stream. The trade-off is explicit:
+    * a duplicate arriving AFTER its original left the window is
+    * re-emitted (downstream periodic batch dedup — q14 — reconciles;
+    * StreamingSpec proves both sides of the contract).
+    */
+  def corpusDedupStream(docs: DataFrame, minQuality: Double = 0.5,
+                        watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withColumn("quality", graft.text.TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("fp", graft.text.TextOps.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Batch analog of [[corpusDedupStream]] (no watermark, global dedup):
+    * what the periodic reconciliation run computes — and the oracle the
+    * streaming variant's inside-the-window behavior must match.
+    */
+  def corpusDedupBatch(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
+    docs
+      .withColumn("quality", graft.text.TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("fp", graft.text.TextOps.fingerprint(col("text")))
+      .dropDuplicates("fp")
+
   /** Streaming quality gate — the Soda-gate analog for streams
     * (check_function.py:22-23 semantics per micro-batch): each batch is
     * evaluated against the checks; a failing batch throws, failing the

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{MGSummary, SSSummary}
+import graft.functions.SpaceSaving.space_saving
+
+/** The Space-Saving contract and its relation to Misra-Gries.
+  *
+  * Sequential (single partition, no merges): classic Space-Saving —
+  * `0 ≤ est − true ≤ eps ≤ n/k`, Σ counts = n, and the Agarwal et al.
+  * isomorphism with MG: running SS with k counters and MG with k−1
+  * counters over the SAME stream, every item strictly above the SS
+  * min satisfies est_SS(x) = est_MG(x) + (n − Σ_MG)/k.
+  *
+  * Distributed (merges in any order): the certified-error contract —
+  * est ≥ true for present items, true ≤ eps for absent items, and
+  * est − true ≤ eps. The VALUES may differ per partitioning; the
+  * bounds may not.
+  */
+class SpaceSavingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sketchDF(items: Seq[String], k: Int, parts: Int): (Map[String, Long], Long, Long) = {
+    val df = items.toDF("item").repartition(parts)
+    val row = df.agg(space_saving(col("item"), k).as("ss"), count(lit(1)).as("n")).head()
+    val ss = row.getStruct(0)
+    (ss.getMap[String, Long](0).toMap, ss.getLong(1), row.getLong(1))
+  }
+
+  test("k >= |domain| degenerates to exact counts with eps = 0, any partitioning") {
+    val items = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(7)("c")
+    for (parts <- Seq(1, 3, 8)) {
+      val (m, eps, n) = sketchDF(scala.util.Random.shuffle(items), k = 8, parts)
+      assert(n == 87 && eps == 0L, s"parts=$parts: eps=$eps")
+      assert(m == Map("a" -> 50L, "b" -> 30L, "c" -> 7L), s"parts=$parts: $m")
+    }
+  }
+
+  test("sequential SS: overestimate bounded by n/k, counters sum to n") {
+    val rnd = new scala.util.Random(13)
+    val items = (0 until 3000).map(_ => s"it${rnd.nextInt(50)}")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val s = new SSSummary(6)
+    items.foreach(s.add)
+    assert(s.estimates.values.sum == 3000L, "sequential SS must keep sum(counts) = n")
+    assert(s.errorBound <= 3000L / 6, s"eps ${s.errorBound} above n/k")
+    exact.foreach { case (it, c) =>
+      s.estimates.get(it).foreach { est =>
+        assert(est >= c, s"$it: SS underestimated $est < $c")
+        assert(est - c <= s.errorBound, s"$it: over-error ${est - c} above eps ${s.errorBound}")
+      }
+      if (!s.estimates.contains(it))
+        assert(c <= s.errorBound, s"$it absent with true count $c > eps ${s.errorBound}")
+    }
+  }
+
+  test("isomorphism: sequential SS_k = MG_(k-1) + (n - sum_MG)/k above the min") {
+    // Agarwal et al., Mergeable Summaries (PODS'12), §3: the two
+    // summaries encode the same information. Replayed on 20 random
+    // streams: for every item with est_SS strictly above the SS min,
+    // MG_(k-1) holds the same item at est_SS − (n − Σ_MG)/k, and the
+    // offset itself equals the SS min when eviction has begun.
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val nItems = 500 + rnd.nextInt(2000)
+      val domain = 10 + rnd.nextInt(60)
+      val k = 3 + rnd.nextInt(8)
+      // zipf-ish skew so there are genuine heavy items
+      val items = (0 until nItems).map { _ =>
+        val r = rnd.nextDouble()
+        s"it${(domain * r * r).toInt}"
+      }
+      val ss = new SSSummary(k)
+      val mg = new MGSummary(k - 1)
+      items.foreach { it => ss.add(it); mg.add(it) }
+      val sumMG = mg.estimates.values.sum
+      assert((nItems - sumMG) % k == 0,
+        s"seed=$seed: n - sum_MG = ${nItems - sumMG} not divisible by k=$k")
+      val offset = (nItems - sumMG) / k
+      if (ss.estimates.size == k) {
+        val ssMin = ss.estimates.values.min
+        assert(offset == ssMin,
+          s"seed=$seed: MG-derived offset $offset != SS min $ssMin")
+        ss.estimates.foreach { case (it, est) =>
+          if (est > ssMin)
+            assert(mg.estimates.getOrElse(it, 0L) == est - offset,
+              s"seed=$seed: $it SS=$est MG=${mg.estimates.get(it)} offset=$offset")
+        }
+        mg.estimates.foreach { case (it, c) =>
+          if (c > 0)
+            assert(ss.estimates.getOrElse(it, 0L) == c + offset,
+              s"seed=$seed: $it MG=$c missing from SS at ${c + offset}")
+        }
+      }
+    }
+  }
+
+  test("merged SS: certified-error bounds hold for every item, every partitioning") {
+    val rnd = new scala.util.Random(29)
+    val items = (0 until 4000).map { _ =>
+      val r = rnd.nextDouble()
+      s"it${(45 * r * r).toInt}"
+    }
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 4, 16, 32)) {
+      val (m, eps, n) = sketchDF(items, k = 8, parts)
+      assert(n == 4000 && m.size <= 8, s"parts=$parts: ${m.size} counters")
+      exact.foreach { case (it, c) =>
+        m.get(it) match {
+          case Some(est) =>
+            assert(est >= c, s"parts=$parts $it: underestimate $est < $c (E1)")
+            assert(est - c <= eps, s"parts=$parts $it: error ${est - c} > eps $eps (E2)")
+          case None =>
+            assert(c <= eps, s"parts=$parts $it: absent with count $c > eps $eps (E3)")
+        }
+      }
+      // eps certifies itself; it should also stay SMALL — a useless
+      // sketch could satisfy E1-E3 with eps = n. Multi-way merges add
+      // error per the mergeable-summaries bound; 2n/k is generous.
+      assert(eps <= 2L * n / 8, s"parts=$parts: eps $eps not within 2n/k")
+    }
+  }
+
+  test("min-replace keeps a whale present under heavy churn") {
+    val rnd = new scala.util.Random(31)
+    val items = scala.util.Random.shuffle(
+      Seq.fill(900)("whale") ++ (0 until 1100).map(_ => s"fish${rnd.nextInt(200)}"))
+    for (parts <- Seq(1, 8)) {
+      val (m, eps, _) = sketchDF(items, k = 5, parts)
+      // E3 contrapositive: anything with true count > eps MUST be present
+      assert(900L > eps, s"parts=$parts: eps $eps swallowed the whale bound")
+      assert(m.contains("whale"), s"parts=$parts: whale evicted: $m")
+      assert(m("whale") >= 900L && m("whale") - 900L <= eps)
+    }
+  }
+
+  test("SQL registration: space_saving works from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq("x", "x", "y").toDF("v").createOrReplaceTempView("ss_probe")
+    val ss = spark.sql("SELECT space_saving(v, 4) AS ss FROM ss_probe").head().getStruct(0)
+    assert(ss.getMap[String, Long](0).toMap == Map("x" -> 2L, "y" -> 1L))
+    assert(ss.getLong(1) == 0L)
+  }
+
+  test("empty input yields an empty summary, not null") {
+    val (m, eps, n) = sketchDF(Seq.empty, k = 4, parts = 1)
+    assert(m.isEmpty && eps == 0L && n == 0L)
+  }
+
+  test("streaming: space_saving aggregates across micro-batches (Complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val q = source.toDF().toDF("item")
+      .agg(space_saving(col("item"), 4).as("ss"))
+      .writeStream.format("memory").queryName("ss_stream_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      source.addData(Seq.fill(30)("whale") ++ Seq.tabulate(10)(i => s"f$i"): _*)
+      q.processAllAvailable()
+      source.addData(Seq.fill(20)("whale") ++ Seq.tabulate(10)(i => s"g$i"): _*)
+      q.processAllAvailable()
+      val ss = spark.sql("SELECT ss FROM ss_stream_test").head().getStruct(0)
+      val m = ss.getMap[String, Long](0).toMap
+      val eps = ss.getLong(1)
+      assert(m.contains("whale"), s"heavy hitter lost across batches: $m")
+      assert(m("whale") >= 50L && m("whale") - 50L <= eps,
+        s"whale est ${m("whale")} outside [50, 50+$eps]")
+    } finally q.stop()
+  }
+}

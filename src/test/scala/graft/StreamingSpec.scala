@@ -326,6 +326,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusDedupStream: state stays bounded while set-contract matches batch") {
+    // The BOUNDED-STATE corpus dedup (dropDuplicatesWithinWatermark):
+    // (1) inside the lateness window it behaves exactly like the batch
+    //     dropDuplicates run — same surviving fingerprint set, no fp twice;
+    // (2) fingerprints older than the watermark are EVICTED — state is
+    //     proportional to churn × window, not corpus size (the
+    //     stateOperators row count drops after the watermark jumps);
+    // (3) the documented trade-off: a duplicate arriving after its
+    //     original was evicted is re-emitted (periodic batch dedup — q14 —
+    //     reconciles downstream).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.Doc
+    def doc(id: Long, minute: Long, text: String) =
+      Doc(id, new java.sql.Timestamp(1704067200000L + minute * 60000L), text)
+    def text(i: Int) = s"synthetic document $i about subject $i with enough words"
+    val source = MemoryStream[Doc]
+    val q = EventStreams.corpusDedupStream(
+        source.toDF(), minQuality = 0.0, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("corpus_dedup_bounded")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // phase A: 15 unique docs + 3 duplicates, all inside the window
+      source.addData((1 to 10).map(i => doc(i, i, text(i)))
+        :+ doc(101, 5, text(1)) :+ doc(102, 6, text(2)): _*)
+      q.processAllAvailable()
+      source.addData((11 to 15).map(i => doc(i, 9 + i, text(i)))
+        :+ doc(103, 21, text(3)): _*)
+      q.processAllAvailable()
+      val phaseA = spark.sql("SELECT doc_id, fp FROM corpus_dedup_bounded").collect()
+      import spark.implicits._
+      val batchSet = EventStreams.corpusDedupBatch(
+        ((1 to 10).map(i => doc(i, i, text(i))) ++ Seq(doc(101, 5, text(1)), doc(102, 6, text(2)))
+          ++ (11 to 15).map(i => doc(i, 9 + i, text(i))) :+ doc(103, 21, text(3))).toDF(),
+        minQuality = 0.0)
+        .select("fp").collect().map(_.getString(0)).toSet
+      assert(phaseA.map(_.getString(1)).toSet == batchSet,
+        "streamed fingerprint set diverges from the batch dropDuplicates run")
+      assert(phaseA.length == phaseA.map(_.getString(1)).distinct.length,
+        "a fingerprint was emitted twice inside the window")
+      assert(phaseA.length == 15, s"expected 15 unique docs, got ${phaseA.length}")
+
+      // phase B: jump event time ~10 hours → watermark passes phase A
+      source.addData((16 to 20).map(i => doc(i, 600 + i, text(i))): _*)
+      q.processAllAvailable()
+      // eviction applies on the NEXT batch after the watermark advances
+      source.addData(((21 to 25).map(i => doc(i, 630 + i, text(i)))
+        :+ doc(104, 640, text(1))): _*)
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      // 21 distinct fps seen; unbounded state would hold all of them.
+      // Bounded: only the post-jump fps (16-25 + the re-added text(1)) remain.
+      assert(stateRows <= 11, s"state not evicted: $stateRows rows retained")
+
+      // phase C: the evicted fingerprint was re-emitted (the trade-off)
+      val all = spark.sql("SELECT fp FROM corpus_dedup_bounded").collect().map(_.getString(0))
+      val fp1 = phaseA.find(_.getLong(0) == 1L).map(_.getString(1)).get
+      assert(all.count(_ == fp1) == 2,
+        "duplicate after eviction must re-emit (bounded-state contract)")
+      assert(all.length == 26 && all.toSet.size == 25,
+        s"expected 25 unique docs + 1 re-emit, got ${all.length}/${all.toSet.size}")
+    } finally q.stop()
+  }
+
   test("sessionize maintains per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]

@@ -145,6 +145,61 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == li.count())
   }
 
+  test("3-column z-order: bit dilution measured against 2-col morton and hierarchical sort") {
+    // The bit-dilution study: a morton key over N columns cuts each
+    // dimension into ~F^(1/N) slices across F files, so per-file spans
+    // are ~F^(-1/N) of the column range. With F=8: N=2 → ~0.35 spans on
+    // both columns; N=3 → ~0.5 on all three; hierarchical sort → ~0.125
+    // on the lead column and ~1.0 on the rest. Quantified here; the
+    // engineering conclusion (when morton stops paying) lives in
+    // ZOrder's scaladoc + SCALE.md.
+    val z3Dir = tmpDir() + "/z3"; val z2Dir = tmpDir() + "/z2"; val hDir = tmpDir() + "/hier"
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    val li = Tables.table(spark, sf, "lineitem").select(cols.map(col): _*)
+    graft.io.ZOrder.overwriteZOrdered(li, z3Dir, cols, partitions = 8, bits = 16)
+    graft.io.ZOrder.overwriteZOrdered(li, z2Dir, "l_orderkey", "l_partkey", partitions = 8)
+    li.repartitionByRange(8, col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .sortWithinPartitions("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(hDir)
+    val widths = cols.map { c =>
+      val r = li.agg(min(col(c)), max(col(c))).head()
+      c -> (r.getLong(0), r.getLong(1))
+    }.toMap
+    def avgSpans(dir: String): Seq[Double] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      assert(files.length >= 6, s"$dir: expected ~8 files, got ${files.length}")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(cols.flatMap(c => Seq(min(col(c)), max(col(c)))).head,
+               cols.flatMap(c => Seq(min(col(c)), max(col(c)))).tail: _*).head()
+        cols.zipWithIndex.map { case (c, j) =>
+          val (lo, hi) = widths(c)
+          (r.getLong(2 * j + 1) - r.getLong(2 * j)).toDouble / (hi - lo)
+        }
+      }
+      cols.indices.map(j => spans.map(_(j)).sum / spans.length)
+    }
+    val z3 = avgSpans(z3Dir); val z2 = avgSpans(z2Dir); val h = avgSpans(hDir)
+    def fmt(s: Seq[Double]) = s.map(v => f"$v%.2f").mkString("[", ", ", "]")
+    info(s"avg per-file spans (orderkey, partkey, suppkey) over 8 files: " +
+      s"z3=${fmt(z3)} z2=${fmt(z2)} hier=${fmt(h)}")
+    // hierarchical: tight lead column, no skipping on the others
+    assert(h(0) < 0.3, s"hier lead span ${h(0)}")
+    assert(h(1) > 0.8 && h(2) > 0.8, s"hier trailing spans ${h(1)}, ${h(2)}")
+    // 2-col morton: both participating columns boxed, third full-width
+    assert(z2(0) < 0.6 && z2(1) < 0.8, s"z2 spans ${z2(0)}, ${z2(1)}")
+    assert(z2(2) > 0.8, s"z2 must not box the absent column: ${z2(2)}")
+    // 3-col morton: EVERY column boxed below full width...
+    assert(z3.forall(_ < 0.8), s"z3 spans $z3")
+    // ...but diluted: each participating column is WIDER than under the
+    // layout that spent its bits on fewer columns
+    assert(z3(0) > h(0), s"dilution vs dedicated sort: z3=${z3(0)} hier=${h(0)}")
+    assert(z3(0) > z2(0) * 0.9 && z3(1) > z2(1) * 0.9,
+      s"3-col boxes should not beat 2-col on shared columns: z3=$z3 z2=$z2")
+    assert(spark.read.parquet(z3Dir).count() == li.count())
+  }
+
   test("bucketed tables join with NO exchange (co-located layout is the partitioning)") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a non-broadcast join

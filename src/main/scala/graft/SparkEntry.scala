@@ -179,7 +179,11 @@ object SparkEntry {
     // BPE training to a target vocab size: the full merge-table artifact
     "q94_bpe_vocab"             -> (Q.bpeVocab(_, _)),
     // Space-Saving (min-replace) heavy hitters: q91's over-estimating dual
-    "q95_space_saving"          -> (Q.spaceSavingTokens(_, _))
+    "q95_space_saving"          -> (Q.spaceSavingTokens(_, _)),
+    // source-pair 8-gram Jaccard overlap: the dataset-mixing diagnostic
+    "q96_source_overlap"        -> (Q.sourceOverlap(_, _)),
+    // hard-negative mining: per-anchor top-k wrong-label neighbors
+    "q97_hard_negatives"        -> (Q.hardNegatives(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

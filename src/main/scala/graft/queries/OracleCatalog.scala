@@ -1046,6 +1046,41 @@ object OracleCatalog {
            |ORDER BY step""".stripMargin
     },
 
+    // q97: q22's cosine top-k with the label-inequality filter — anchors
+    // are the same vec_id < 10 family; identical rounding + tie-break
+    "q97_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |en AS (SELECT vec_id, label, v, sqrt($dotSelf) AS nrm FROM e),
+         |q AS (SELECT vec_id AS query_id, label AS qlbl, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 10),
+         |s AS (SELECT query_id, vec_id,
+         |  ${round4(s"CASE WHEN (qnrm * nrm) = 0 THEN CAST(0.0 AS DOUBLE) ELSE $dotQV / (qnrm * nrm) END")} AS score
+         |  FROM en CROSS JOIN q WHERE query_id != vec_id AND qlbl != label)
+         |SELECT query_id, vec_id AS neg_id, score, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    // q96: distinct 8-gram sets per source, gram-key self-join for the
+    // pair intersections, size cross for the pair frame — same shapes
+    // as the Spark side; one IEEE divide for the jaccard
+    "q96_source_overlap" ->
+      s"""WITH tk AS (SELECT source, $toksLower AS t FROM documents),
+         |sh AS (SELECT source, ${shingleSqlN(8)} AS sh FROM tk),
+         |g AS (SELECT DISTINCT source, gh
+         |      FROM (SELECT source, md5(unnest(sh)) AS gh FROM sh)),
+         |sz AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+         |cm AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+         |       FROM g a JOIN g b USING (gh) WHERE a.source < b.source
+         |       GROUP BY a.source, b.source),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |             a.n_grams AS n_a, b.n_grams AS n_b
+         |      FROM sz a, sz b WHERE a.source < b.source)
+         |SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+         |  CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+         |    / CAST(p.n_a + p.n_b - coalesce(cm.n_common, 0) AS DOUBLE) AS jaccard
+         |FROM p LEFT JOIN cm USING (source_a, source_b)
+         |ORDER BY source_a, source_b""".stripMargin,
+
     // q95: like q91 — the sketch's counters/eps are merge-order-specific,
     // so only the exact top-10 and the theory-guaranteed booleans cross
     "q95_space_saving" ->

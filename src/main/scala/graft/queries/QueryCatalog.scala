@@ -505,12 +505,13 @@ object QueryCatalog {
     when(substring(md5(id.cast("string")), 1, 1).isin("0", "1"), lit("heldout"))
       .otherwise(lit("train"))
 
-  /** Session-cached (doc_id, split, gh) 8-gram table — the shared prefix
-    * of q44 (exact decontamination join) and q80 (bloom scale path): the
-    * shingling scan is the dominant cost of both, so it runs once per
-    * (session, dir) like [[Star.build]]. At 100 TB this is the gram table
-    * a pipeline materializes to parquet once and reads many times; the
-    * in-memory persist is the local analog.
+  /** Session-cached (doc_id, source, split, gh) 8-gram table — the
+    * shared prefix of q44 (exact decontamination join), q80 (bloom scale
+    * path) and q96 (source-overlap matrix): the shingling scan is the
+    * dominant cost of all three, so it runs once per (session, dir) like
+    * [[Star.build]]. At 100 TB this is the gram table a pipeline
+    * materializes to parquet once and reads many times; the in-memory
+    * persist is the local analog.
     */
   private val gramsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -518,9 +519,9 @@ object QueryCatalog {
   private def splitGrams(s: SparkSession, dir: String): DataFrame =
     gramsCache.getOrElseUpdate((s, dir),
       t(s, dir, "documents")
-        .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
+        .select(col("doc_id"), col("source"), splitCol(col("doc_id")).as("split"),
           explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
-        .select(col("doc_id"), col("split"), md5(col("gram")).as("gh"))
+        .select(col("doc_id"), col("source"), col("split"), md5(col("gram")).as("gh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Drop the cached gram table for (session, dir) and unpersist it. */
@@ -528,7 +529,7 @@ object QueryCatalog {
     gramsCache.remove((s, dir)).foreach(_.unpersist())
 
   /** Session-cache lifecycle for a SORTED full-catalog sweep (the bench /
-    * verify shape): after the named query — the LAST q01..q93-order
+    * verify shape): after the named query — the LAST sorted-order
     * consumer of each cache — runs, its cache is dead weight. Left
     * persisted, the four caches stack up in the unified memory pool and
     * evict EXECUTION memory for every later query (judge-reproduced 4-12×
@@ -542,8 +543,8 @@ object QueryCatalog {
   val cacheReleaseAfter: Map[String, (SparkSession, String) => Unit] = Map(
     "q23_checks_report"   -> ((s, d) => Star.invalidate(s, d)),
     "q49_training_corpus" -> ((s, d) => invalidateCorpus(s, d)),
-    "q80_bloom_decontam"  -> ((s, d) => invalidateSplitGrams(s, d)),
-    "q87_recursive_reach" -> ((s, d) => invalidateCandidatePairs(s, d)))
+    "q87_recursive_reach" -> ((s, d) => invalidateCandidatePairs(s, d)),
+    "q96_source_overlap"  -> ((s, d) => invalidateSplitGrams(s, d)))
 
   /** Train/heldout decontamination — the standard pre-training hygiene
     * check: a heldout doc is contaminated if it shares any exact
@@ -1829,6 +1830,54 @@ object QueryCatalog {
         (est >= col("exact_n")).as("est_ge_exact"),
         (est - col("ss.eps") <= col("exact_n")).as("est_within_eps"))
       .orderBy(desc("exact_n"), asc("tok"))
+  }
+
+  /** Source-pair corpus overlap (q96): Jaccard similarity of the
+    * distinct 8-gram sets of every pair of sources — the dataset-mixing
+    * diagnostic (how much does source A duplicate source B?) that drives
+    * mixture weights (q85) and cross-source dedup decisions. Shape: the
+    * gram table is the SAME |docs|·grams → distinct aggregate as the
+    * decontamination family; pair counts come from a gram-key equi-join
+    * of the (source, gh) set with itself — never doc×doc, and the join
+    * fan-out per gram is bounded by |sources|² (here |sources| is single
+    * digits; at thousands of sources you'd band the gram key first).
+    * The S-row size table cross-joins only with itself (S² output rows
+    * IS the result). One IEEE divide for the Jaccard in both engines.
+    * Reads the shared session gram table (q44/q80/q96 split one
+    * shingling scan; q96 is the last sorted-order consumer and releases
+    * it — cacheReleaseAfter); the distinct (source, gh) set feeds THREE
+    * consumers (sizes + both join sides), so it localCheckpoints once.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = splitGrams(s, dir)
+      .select(col("source"), col("gh"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val common = grams.select(col("source").as("source_a"), col("gh"))
+      .join(grams.select(col("source").as("source_b"), col("gh")), Seq("gh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+    val pairs = sizes.select(col("source").as("source_a"), col("n_grams").as("n_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_grams").as("n_b"))),
+        col("source_a") < col("source_b"))
+    val nc = coalesce(col("n_common"), lit(0L))
+    pairs.join(common, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        nc.as("n_common"),
+        (nc.cast("double") / (col("n_a") + col("n_b") - nc).cast("double")).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Hard-negative mining (q97): per anchor (vec_id < 10, the q21/q22
+    * query family), the top-5 most-similar WRONG-label vectors — the
+    * contrastive-training data op. Bounded-heap top-k per anchor; label
+    * filter inside the join condition (see Similarity.hardNegativesTopK).
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.hardNegativesTopK(e, e.filter(col("vec_id") < 10), 5)
   }
 
   /** LATERAL correlated subquery (q90): per region, the top-2 nations by

@@ -110,6 +110,38 @@ object Similarity {
               (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Hard-negative mining — per anchor, the top-k most-similar vectors
+    * with a DIFFERENT label: the contrastive-training data op (anchors'
+    * nearest wrong-label neighbors are the negatives that sharpen an
+    * embedding model). Same bounded-heap shape as [[bruteForceTopKAgg]]
+    * (≤k state per anchor through the partial/merge tree); the label
+    * inequality rides the broadcast-join condition, so same-label pairs
+    * are filtered BEFORE any score is computed, not after.
+    */
+  def hardNegativesTopK(corpus: DataFrame, anchors: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("lbl"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = anchors.select(col(idCol).as("query_id"), col(labelCol).as("qlbl"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("vec_id") && col("qlbl") =!= col("lbl"))
+      .select(col("query_id"), col("vec_id"),
+        roundScore(cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm"))).as("score"))
+    import scored.sparkSession.implicits._
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => TopK.Scored(t._2, t._3))
+      .agg(TopK.TopKAgg(k).toColumn)
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk.entries")))
+      .select(col("query_id"), col("col.id").as("neg_id"), col("col.score").as("score"),
+              (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component h[i][d] derived from
     * md5(bit, dim) — no RNG state, same planes every run/engine.
     * Values in [-0.5, 0.5).

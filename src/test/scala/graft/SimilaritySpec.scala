@@ -22,6 +22,36 @@ class SimilaritySpec extends SparkSpec {
     assert(df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
   }
 
+  test("hardNegativesTopK: wrong-label only, dense ranks, scores dominated by unrestricted top-k") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val anchors = e.filter(col("vec_id") < 10)
+    val negs = Similarity.hardNegativesTopK(e, anchors, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val labelOf = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    // no negative shares its anchor's label — the defining property
+    negs.foreach { case (a, n, _, _) =>
+      assert(labelOf(n) != labelOf(a), s"anchor $a ($${labelOf(a)}) got same-label negative $n")
+    }
+    // per anchor: exactly 5 rows, ranks dense, scores non-increasing
+    negs.groupBy(_._1).foreach { case (a, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5), s"anchor $a: ranks not dense")
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._3 >= y._3, s"anchor $a: scores not sorted")
+        case _ => ()
+      }
+    }
+    // a hard negative can never outscore the unrestricted best at its rank:
+    // the global top-k maximizes over a superset of candidates
+    val global = Similarity.bruteForceTopKAgg(e, anchors, 5).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), r.getDouble(2))).toMap
+    negs.foreach { case (a, _, score, rank) =>
+      assert(global((a, rank)) >= score,
+        s"anchor $a rank $rank: negative $score beats unrestricted ${global((a, rank))}")
+    }
+  }
+
   test("bruteForceTopK matches a driver-side exact computation") {
     val e = Tables.table(spark, sf, "embeddings")
     val topk = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), 5)

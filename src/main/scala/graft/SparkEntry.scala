@@ -183,7 +183,9 @@ object SparkEntry {
     // source-pair 8-gram Jaccard overlap: the dataset-mixing diagnostic
     "q96_source_overlap"        -> (Q.sourceOverlap(_, _)),
     // hard-negative mining: per-anchor top-k wrong-label neighbors
-    "q97_hard_negatives"        -> (Q.hardNegatives(_, _))
+    "q97_hard_negatives"        -> (Q.hardNegatives(_, _)),
+    // truncated-crawl dup class: full text = strict prefix of a longer doc
+    "q98_prefix_dups"           -> (Q.prefixDups(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

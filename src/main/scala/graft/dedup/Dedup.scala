@@ -43,6 +43,37 @@ object Dedup {
   /** Distinct shingle set (for Jaccard). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
 
+  /** Prefix-duplicate detection: flag documents whose FULL token sequence
+    * is a strict prefix of some longer document — the truncated-crawl dup
+    * class exact dedup misses (different full hash) and Jaccard
+    * under-scores (a short prefix of a long doc has low set overlap).
+    * Candidates are docs ≤ maxPrefixLen tokens (truncation dups are
+    * short); every doc emits one prefix hash per DISTINCT candidate
+    * length below its own — |docs| × |candidate lengths| rows, capped by
+    * maxPrefixLen — then ONE equi-join on the content hash. A full-text
+    * hash equals a prefix hash iff the strings are equal; equal-length
+    * docs never match (hosts hash only lengths < their own), so exact
+    * dups are NOT flagged — strictly-shorter prefixes only. Never
+    * doc×doc.
+    */
+  def prefixDups(docs: DataFrame, idCol: String, textCol: String,
+                 maxPrefixLen: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(lower(col(textCol))).as("t"))
+      .withColumn("n", size(col("t")))
+    val cands = toks.filter(col("n") <= maxPrefixLen)
+      .select(col("doc_id"), col("n"), md5(concat_ws(" ", col("t"))).as("h"))
+    val lens = cands.select(col("n").as("len")).distinct()
+    val hosts = toks.join(broadcast(lens), col("len") < col("n"))
+      .select(col("doc_id").as("host_id"),
+        md5(concat_ws(" ", slice(col("t"), lit(1), col("len")))).as("h"))
+    cands.join(hosts, Seq("h"), "left")
+      .groupBy("doc_id", "n")
+      .agg(count(col("host_id")).as("n_hosts"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_hosts"),
+        (col("n_hosts") > 0).as("is_prefix_dup"))
+  }
+
   /** Exact dedup: group by content hash, keep the lowest id
     * (reference A1 generalized — `SELECT DISTINCT` is the degenerate form;
     * one hash-aggregate, no pairwise anything).

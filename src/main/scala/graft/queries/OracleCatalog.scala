@@ -1046,6 +1046,21 @@ object OracleCatalog {
            |ORDER BY step""".stripMargin
     },
 
+    // q98: same hash construction — full-text hash of short candidates
+    // vs per-distinct-candidate-length prefix hashes of every longer doc
+    "q98_prefix_dups" ->
+      s"""WITH tk AS (SELECT doc_id, $toksLower AS t FROM documents),
+         |tn AS (SELECT doc_id, t, len(t) AS n FROM tk),
+         |c AS (SELECT doc_id, n, md5(array_to_string(t, ' ')) AS h FROM tn WHERE n <= 64),
+         |l AS (SELECT DISTINCT n AS len FROM c),
+         |hst AS (SELECT tn.doc_id AS host_id, md5(array_to_string(t[1:len], ' ')) AS h
+         |        FROM tn JOIN l ON l.len < tn.n),
+         |j AS (SELECT c.doc_id, c.n, count(hst.host_id) AS n_hosts
+         |      FROM c LEFT JOIN hst USING (h) GROUP BY c.doc_id, c.n)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         |  CAST(n_hosts AS BIGINT) AS n_hosts, n_hosts > 0 AS is_prefix_dup
+         |FROM j ORDER BY doc_id""".stripMargin,
+
     // q97: q22's cosine top-k with the label-inequality filter — anchors
     // are the same vec_id < 10 family; identical rounding + tie-break
     "q97_hard_negatives" ->

@@ -1880,6 +1880,23 @@ object QueryCatalog {
     Similarity.hardNegativesTopK(e, e.filter(col("vec_id") < 10), 5)
   }
 
+  /** Prefix-duplicate detection (q98): flag documents whose FULL token
+    * sequence is a strict prefix of some longer document — the
+    * truncated-crawl dup class exact dedup misses (different full hash)
+    * and near-dup Jaccard often under-scores (a short prefix of a long
+    * doc has low set overlap). Shape: candidates are the short docs
+    * (≤ maxPrefixLen tokens, where truncation dups live); every doc
+    * emits one prefix hash per DISTINCT candidate length shorter than
+    * itself — |docs| × |candidate lengths| rows, bounded by maxPrefixLen,
+    * then ONE equi-join on the content hash (a full-text hash equals a
+    * prefix hash iff the strings are equal — strictly-equal-length docs
+    * never match because hosts only hash lengths < their own). Never
+    * doc×doc.
+    */
+  def prefixDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixDups(t(s, dir, "documents"), "doc_id", "text", maxPrefixLen = 64)
+      .orderBy("doc_id")
+
   /** LATERAL correlated subquery (q90): per region, the top-2 nations by
     * customer count — the correlated "top-N related rows per driving row"
     * SQL surface (Spark plans the correlated LIMIT as a lateral join;

@@ -170,4 +170,32 @@ class TextDedupSpec extends SparkSpec {
     val df = Seq((0x0fL, 0xf0L)).toDF("a", "b")
     assert(df.select(Dedup.hamming64(col("a"), col("b"))).head().getInt(0) == 8)
   }
+
+  test("prefixDups: planted strict prefixes flagged, exact dups and non-prefixes not") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),                 // strict prefix of 2 and 3
+      (2L, "the quick brown fox jumps over"),      // strict prefix of 3
+      (3L, "the quick brown fox jumps over dogs"), // longest host, prefix of nobody
+      (4L, "the quick brown fox"),                 // EXACT dup of 1 — not a strict prefix... of 2 and 3 it IS
+      (5L, "quick brown the fox"),                 // same tokens, different order
+      (6L, "an unrelated document entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.prefixDups(docs, "doc_id", "text", maxPrefixLen = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // 1 and 4 share the same text: each is a strict prefix of 2 and 3
+    // (equal-length twins never host each other)
+    assert(out(1L) == (2L, true), s"doc 1: ${out(1L)}")
+    assert(out(4L) == (2L, true), s"doc 4: ${out(4L)}")
+    // 2 is a strict prefix of 3 only
+    assert(out(2L) == (1L, true), s"doc 2: ${out(2L)}")
+    // 3, 5, 6: prefixes of nothing
+    assert(out(3L) == (0L, false) && out(5L) == (0L, false) && out(6L) == (0L, false))
+  }
+
+  test("prefixDups: candidates above maxPrefixLen are excluded from the output") {
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, long + " tail")).toDF("doc_id", "text")
+    val out = Dedup.prefixDups(docs, "doc_id", "text", maxPrefixLen = 10).collect()
+    assert(out.isEmpty, s"docs above the candidate cap must not be emitted: ${out.toSeq}")
+  }
 }

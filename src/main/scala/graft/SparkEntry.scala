@@ -185,7 +185,9 @@ object SparkEntry {
     // hard-negative mining: per-anchor top-k wrong-label neighbors
     "q97_hard_negatives"        -> (Q.hardNegatives(_, _)),
     // truncated-crawl dup class: full text = strict prefix of a longer doc
-    "q98_prefix_dups"           -> (Q.prefixDups(_, _))
+    "q98_prefix_dups"           -> (Q.prefixDups(_, _)),
+    // per-source quality drift: binned KS vs the pooled corpus
+    "q99_quality_drift"         -> (Q.qualityDrift(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1046,6 +1046,36 @@ object OracleCatalog {
            |ORDER BY step""".stripMargin
     },
 
+    // q99: binned two-sample KS per source vs pooled corpus — same grid,
+    // same integer argmax (hugeint cross-products), one double ratio
+    "q99_quality_drift" ->
+      s"""WITH ${statsCte("documents")},
+         |qd AS (SELECT doc_id, $qualityExpr AS q FROM b),
+         |q0 AS (SELECT d.source, qd.q FROM qd JOIN documents d USING (doc_id)),
+         |bn AS (SELECT source,
+         |         CAST(least(floor(q * 32.0), CAST(31.0 AS DOUBLE)) AS INTEGER) AS bin
+         |       FROM q0),
+         |sb AS (SELECT source, bin, count(*) AS c FROM bn GROUP BY source, bin),
+         |dense AS (SELECT s.source, g.bin, coalesce(sb.c, 0) AS c
+         |          FROM (SELECT DISTINCT source FROM sb) s
+         |          CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bin) g
+         |          LEFT JOIN sb ON sb.source = s.source AND sb.bin = g.bin),
+         |sc AS (SELECT source, bin, c,
+         |         sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum_s,
+         |         sum(c) OVER (PARTITION BY source) AS n_s
+         |       FROM dense),
+         |gl AS (SELECT bin, sum(c) AS gc FROM dense GROUP BY bin),
+         |gc AS (SELECT bin, sum(gc) OVER (ORDER BY bin) AS cum_g FROM gl),
+         |tot AS (SELECT max(cum_g) AS n_g FROM gc),
+         |k AS (SELECT sc.source, max(sc.n_s) AS n_docs, max(tot.n_g) AS n_g,
+         |        max(abs(CAST(sc.cum_s AS HUGEINT) * CAST(tot.n_g AS HUGEINT)
+         |              - CAST(gc.cum_g AS HUGEINT) * CAST(sc.n_s AS HUGEINT))) AS ks_num
+         |      FROM sc JOIN gc USING (bin), tot GROUP BY sc.source)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(ks_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_g AS DOUBLE)) AS ks,
+         |  (CAST(ks_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_g AS DOUBLE))) > 0.1 AS drifted
+         |FROM k ORDER BY source""".stripMargin,
+
     // q98: same hash construction — full-text hash of short candidates
     // vs per-distinct-candidate-length prefix hashes of every longer doc
     "q98_prefix_dups" ->

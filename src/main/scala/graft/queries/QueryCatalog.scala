@@ -1897,6 +1897,62 @@ object QueryCatalog {
     Dedup.prefixDups(t(s, dir, "documents"), "doc_id", "text", maxPrefixLen = 64)
       .orderBy("doc_id")
 
+  /** Per-source quality drift (q99): a binned two-sample KS statistic
+    * between each source's quality-score distribution and the pooled
+    * corpus — the corpus-monitoring op that answers "did source X's
+    * quality shift?" before mixture weights (q85) go stale. The exact KS
+    * needs a global sort (single-partition window at scale); the BINNED
+    * KS is the engineering answer: histogram on a fixed global grid
+    * (nBins equi-width bins over [min,max] quality), per-source
+    * cumulative counts over ≤nBins rows per source, compared against the
+    * pooled cumulative — every shuffle is bounded by sources × bins, and
+    * the ECDF windows order BINS, never rows. The argmax runs in exact
+    * integer cross-products (decimal 38 — cum·n never overflows) so both
+    * engines pick the same bin; ONE double conversion each for the final
+    * ratio. Resolution trade-off: binned KS ≤ exact KS, understating
+    * drift by at most the largest single-bin mass. The grid is FIXED on
+    * quality's clamped [0,1] codomain — no min/max pre-scan (one quality
+    * scan total), and the histogram is comparable across corpora and
+    * across time, which is the point of a drift monitor.
+    */
+  def qualityDrift(s: SparkSession, dir: String): DataFrame = {
+    val nBins = 32
+    val docs = t(s, dir, "documents")
+      .select(col("source"), graft.text.TextOps.qualityScore(col("text")).as("q"))
+    val binned = docs.select(col("source"),
+      least(floor(col("q") * nBins), lit((nBins - 1).toDouble)).cast("int").as("bin"))
+    // sources×bins rows; localCheckpoint so the quality scan under it
+    // runs once for its three consumers (source list, dense join, totals)
+    val sb = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // densify to every (source, bin) so the cumulative ECDFs align
+    val dense = sb.select("source").distinct()
+      .crossJoin(broadcast(s.range(nBins).select(col("id").cast("int").as("bin"))))
+      .join(sb, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+    val srcCum = dense
+      .withColumn("cum_s", sum(col("c")).over(Window.partitionBy("source").orderBy("bin")))
+      .withColumn("n_s", sum(col("c")).over(Window.partitionBy("source")))
+    // global frame: nBins rows total — the unpartitioned window is safe
+    val glob = dense.groupBy("bin").agg(sum(col("c")).as("gc"))
+      .withColumn("cum_g", sum(col("gc")).over(Window.orderBy("bin")))
+    val globTot = glob.agg(max(col("cum_g")).as("n_g"))
+    val ksNum = abs(col("cum_s").cast("decimal(19,0)") * col("n_g").cast("decimal(19,0)")
+        - col("cum_g").cast("decimal(19,0)") * col("n_s").cast("decimal(19,0)"))
+      .cast("decimal(38,0)")
+    srcCum.join(glob.select("bin", "cum_g"), Seq("bin"))
+      .crossJoin(broadcast(globTot))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_docs"), max(col("n_g")).as("n_g"),
+        max(ksNum).as("ks_num"))
+      .select(col("source"), col("n_docs"),
+        (col("ks_num").cast("double")
+          / (col("n_docs").cast("double") * col("n_g").cast("double"))).as("ks"))
+      .withColumn("drifted", col("ks") > 0.1)
+      .drop("n_g")
+      .orderBy("source")
+  }
+
   /** LATERAL correlated subquery (q90): per region, the top-2 nations by
     * customer count — the correlated "top-N related rows per driving row"
     * SQL surface (Spark plans the correlated LIMIT as a lateral join;

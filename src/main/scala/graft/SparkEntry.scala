@@ -187,7 +187,11 @@ object SparkEntry {
     // truncated-crawl dup class: full text = strict prefix of a longer doc
     "q98_prefix_dups"           -> (Q.prefixDups(_, _)),
     // per-source quality drift: binned KS vs the pooled corpus
-    "q99_quality_drift"         -> (Q.qualityDrift(_, _))
+    "q99_quality_drift"         -> (Q.qualityDrift(_, _)),
+    // infix containment dups (quote inclusion / boilerplate wrapping);
+    // NOTE string sort puts q100 between q10 and q11 — it is the FIRST
+    // consumer of the session gram table in sweep order (q96 stays last)
+    "q100_containment_dups"     -> (Q.containmentDups(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1046,6 +1046,28 @@ object OracleCatalog {
            |ORDER BY step""".stripMargin
     },
 
+    // q100: same min-gram candidate bucket + token-boundary substring
+    // verification; distinct gram lists on both engines
+    "q100_containment_dups" ->
+      s"""WITH tk AS (SELECT doc_id, $toksLower AS t FROM documents),
+         |tj AS (SELECT doc_id, len(t) AS n, array_to_string(t, ' ') AS joined FROM tk),
+         |g AS (SELECT doc_id, md5(unnest(sh)) AS gh
+         |      FROM (SELECT doc_id, ${shingleSqlN(8)} AS sh FROM tk)),
+         |cm AS (SELECT doc_id, min(gh) AS gh FROM g GROUP BY doc_id),
+         |c AS (SELECT tj.doc_id, tj.n, tj.joined, cm.gh
+         |      FROM tj JOIN cm USING (doc_id) WHERE tj.n BETWEEN 8 AND 64),
+         |h AS (SELECT g.doc_id AS host_id, tj.n AS host_n, tj.joined AS host_joined, g.gh
+         |      FROM g JOIN tj ON tj.doc_id = g.doc_id),
+         |v AS (SELECT c.doc_id, count(*) AS n_hosts
+         |      FROM c JOIN h USING (gh)
+         |      WHERE h.host_n > c.n
+         |        AND strpos(' ' || h.host_joined || ' ', ' ' || c.joined || ' ') > 0
+         |      GROUP BY c.doc_id)
+         |SELECT c.doc_id, CAST(c.n AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(v.n_hosts, 0) AS BIGINT) AS n_hosts,
+         |  coalesce(v.n_hosts, 0) > 0 AS is_contained
+         |FROM c LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // q99: binned two-sample KS per source vs pooled corpus — same grid,
     // same integer argmax (hugeint cross-products), one double ratio
     "q99_quality_drift" ->

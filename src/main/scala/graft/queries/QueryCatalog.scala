@@ -1953,6 +1953,51 @@ object QueryCatalog {
       .orderBy("source")
   }
 
+  /** Containment-duplicate detection (q100): flag documents whose full
+    * token sequence appears VERBATIM inside a longer document (quote
+    * inclusion, boilerplate wrapping) — the infix generalization of
+    * q98's prefix class. Candidate generation rides the shared session
+    * gram table: if A ⊂ B token-wise and |A| ≥ 8, EVERY 8-gram of A is a
+    * gram of B, so A's MIN gram hash must appear in B's gram set — one
+    * equi-join on that single hash per candidate (fan-out = docs sharing
+    * that exact gram; md5 makes the min a uniform pick, so no systematic
+    * hot bucket). Pairs are then verified exactly with a token-boundary
+    * substring check (' '+A+' ' inside ' '+B+' '), so false candidates
+    * cost a contains() each and never reach the output. Candidates are
+    * 8 ≤ n ≤ 64 tokens: below 8 the whole-text gram can't bucket against
+    * host 8-grams (those docs stay with the exact/near-dup family);
+    * above 64, containment dups aren't the truncation/quote class.
+    * Never doc×doc. Strictly-longer hosts only — exact dups excluded,
+    * and every q98 prefix dup is by construction contained (spec pins
+    * the subset relation).
+    */
+  def containmentDups(s: SparkSession, dir: String): DataFrame = {
+    val maxLen = 64
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n"), concat_ws(" ", col("t")).as("joined"))
+    val grams = splitGrams(s, dir).select("doc_id", "gh")
+    val cands = grams.groupBy("doc_id").agg(min(col("gh")).as("gh"))
+      .join(toks, Seq("doc_id"))
+      .filter(col("n") >= 8 && col("n") <= maxLen)
+      .select(col("doc_id"), col("n"), col("joined"), col("gh"))
+    val hosts = grams
+      .join(toks.withColumnRenamed("doc_id", "host_id"),
+        col("doc_id") === col("host_id"))
+      .select(col("host_id"), col("n").as("host_n"), col("joined").as("host_joined"), col("gh"))
+    val verified = cands
+      .join(hosts, Seq("gh"))
+      .filter(col("host_n") > col("n"))
+      .filter(instr(concat(lit(" "), col("host_joined"), lit(" ")),
+        concat(lit(" "), col("joined"), lit(" "))) > 0)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hosts"))
+    cands.join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("n_hosts"), lit(0L)).as("n_hosts"),
+        (coalesce(col("n_hosts"), lit(0L)) > 0).as("is_contained"))
+      .orderBy("doc_id")
+  }
+
   /** LATERAL correlated subquery (q90): per region, the top-2 nations by
     * customer count — the correlated "top-N related rows per driving row"
     * SQL surface (Spark plans the correlated LIMIT as a lateral join;

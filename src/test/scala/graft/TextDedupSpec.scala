@@ -192,6 +192,20 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == (0L, false) && out(5L) == (0L, false) && out(6L) == (0L, false))
   }
 
+  test("containment is a superset of prefix dups (q98 with n >= 8 implies q100 flag)") {
+    // a full-text strict prefix IS a verbatim infix — every q98 hit in
+    // q100's candidate band must be flagged by the containment query
+    import graft.queries.{QueryCatalog => Q}
+    val pre = Q.prefixDups(spark, sf)
+      .filter(col("is_prefix_dup") && col("n_tokens") >= 8 && col("n_tokens") <= 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val con = Q.containmentDups(spark, sf)
+      .filter(col("is_contained"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pre.nonEmpty, "fixture corpus should contain at least one prefix dup in band")
+    assert(pre.subsetOf(con), s"prefix dups missed by containment: ${pre -- con}")
+  }
+
   test("prefixDups: candidates above maxPrefixLen are excluded from the output") {
     val long = (1 to 30).map(i => s"tok$i").mkString(" ")
     val docs = Seq((1L, long), (2L, long + " tail")).toDF("doc_id", "text")

@@ -191,7 +191,11 @@ object SparkEntry {
     // infix containment dups (quote inclusion / boilerplate wrapping);
     // NOTE string sort puts q100 between q10 and q11 — it is the FIRST
     // consumer of the session gram table in sweep order (q96 stays last)
-    "q100_containment_dups"     -> (Q.containmentDups(_, _))
+    "q100_containment_dups"     -> (Q.containmentDups(_, _)),
+    // pre-join planning census: exact output cardinality + skew ratio
+    "q101_join_cardinality"     -> (Q.joinCardinality(_, _)),
+    // incremental SCD2 upsert, gated as equal to the full recompute
+    "q102_scd2_incremental"     -> (Q.scd2IncrementalMerge(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

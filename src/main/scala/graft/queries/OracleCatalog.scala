@@ -112,6 +112,24 @@ object OracleCatalog {
        |FROM g GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** SCD2 change-compression over the full events table — q78's oracle,
+    * and ALSO q102's: the incremental merge must equal the full
+    * recompute, so both queries check against this same SQL.
+    */
+  private val scd2Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts_sec,
+       |             epoch(date_trunc('second', ts)) AS ep FROM events),
+       |l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+       |               AS prev_state FROM e),
+       |c AS (SELECT * FROM l WHERE prev_state IS NULL OR prev_state != event_type)
+       |SELECT user_id, event_type AS state,
+       |  CAST(row_number() OVER w AS INTEGER) AS version,
+       |  ${fmtTs("ts_sec")} AS valid_from,
+       |  ${fmtTs("lead(ts_sec) OVER w")} AS valid_to,
+       |  (lead(ts_sec) OVER w) IS NULL AS is_current
+       |FROM c
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)""".stripMargin
+
   /** Raw (unrounded) Jaccard between two distinct shingle lists a/b. */
   private def jaccardSql(a: String, b: String): String =
     s"""CASE WHEN (len($a) + len($b) - len(list_intersect($a, $b))) = 0 THEN CAST(0.0 AS DOUBLE)
@@ -1408,19 +1426,25 @@ object OracleCatalog {
          |WHERE rank <= 5""".stripMargin
     },
 
-    "q78_scd2_snapshot" ->
-      s"""WITH e AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts_sec,
-         |             epoch(date_trunc('second', ts)) AS ep FROM events),
-         |l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
-         |               AS prev_state FROM e),
-         |c AS (SELECT * FROM l WHERE prev_state IS NULL OR prev_state != event_type)
-         |SELECT user_id, event_type AS state,
-         |  CAST(row_number() OVER w AS INTEGER) AS version,
-         |  ${fmtTs("ts_sec")} AS valid_from,
-         |  ${fmtTs("lead(ts_sec) OVER w")} AS valid_to,
-         |  (lead(ts_sec) OVER w) IS NULL AS is_current
-         |FROM c
-         |WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)""".stripMargin,
+    "q78_scd2_snapshot" -> scd2Sql,
+
+    // q102 merges incrementally Spark-side; the CONTRACT is merged ==
+    // full recompute, so the oracle is q78's SQL over all events verbatim
+    "q102_scd2_incremental" -> scd2Sql,
+
+    // q101: two groupBys + full outer on the key; exact integer census,
+    // one double divide for the skew ratio
+    "q101_join_cardinality" ->
+      """WITH l AS (SELECT o_orderkey AS k, count(*) AS cl FROM orders GROUP BY o_orderkey),
+        |r AS (SELECT l_orderkey AS k, count(*) AS cr FROM lineitem GROUP BY l_orderkey),
+        |j AS (SELECT l.cl, r.cr, coalesce(l.cl, 0) * coalesce(r.cr, 0) AS p
+        |      FROM l FULL OUTER JOIN r USING (k))
+        |SELECT count(cl) AS n_left_keys, count(cr) AS n_right_keys,
+        |  count(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 END) AS n_common_keys,
+        |  CAST(sum(p) AS BIGINT) AS join_rows, CAST(max(p) AS BIGINT) AS max_key_rows,
+        |  CAST(max(p) AS DOUBLE) * CAST(count(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 END) AS DOUBLE)
+        |    / CAST(sum(p) AS DOUBLE) AS skew_ratio
+        |FROM j""".stripMargin,
 
     "q79_gap_fill" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,

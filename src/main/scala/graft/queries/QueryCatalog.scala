@@ -1335,6 +1335,65 @@ object QueryCatalog {
         formatTimestampSeconds(col("valid_to")).as("valid_to"),
         col("is_current"))
 
+  /** Join-cardinality census (q101): the pre-join planning profile — for
+    * a prospective equi-join (orders ⋈ lineitem on orderkey), compute
+    * per-key fan-outs on both sides and the EXACT output cardinality
+    * Σ c_left(k)·c_right(k), plus the max single-key contribution and
+    * the skew ratio (max / average over matched keys). This is the
+    * census that decides broadcast vs shuffle vs salting BEFORE paying
+    * for the join: two partial-aggregated groupBys + one full-outer
+    * co-shuffle on the key + a 1-row aggregate — never the join itself.
+    * All counts are exact integers; the ratio is one double divide.
+    */
+  def joinCardinality(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "orders")
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cl"))
+    val r = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cr"))
+    val prod = coalesce(col("cl"), lit(0L)) * coalesce(col("cr"), lit(0L))
+    l.join(r, Seq("k"), "full")
+      .agg(
+        count(col("cl")).as("n_left_keys"),
+        count(col("cr")).as("n_right_keys"),
+        count(when(col("cl").isNotNull && col("cr").isNotNull, 1)).as("n_common_keys"),
+        sum(prod).as("join_rows"),
+        max(prod).as("max_key_rows"))
+      .withColumn("skew_ratio",
+        col("max_key_rows").cast("double") * col("n_common_keys").cast("double")
+          / col("join_rows").cast("double"))
+  }
+
+  /** Incremental SCD2 merge (q102): apply a batch of new events to a
+    * standing SCD2 snapshot WITHOUT recomputing unaffected users — the
+    * production warehouse upsert. The standing snapshot (here built from
+    * pre-cut events; in production, the stored table) passes through
+    * untouched for users with no new events (left_anti on the affected
+    * set); affected users are recomputed from their full history via a
+    * semi-join prune — at scale that is a partition-pruned read of
+    * |affected| users' data, not a corpus scan. CONTRACT: the merged
+    * output must equal the full recompute — the oracle is q78's SQL over
+    * ALL events verbatim, so the gate proves incremental == full.
+    */
+  def scd2IncrementalMerge(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).withColumn("ts_sec", date_trunc("second", col("ts")))
+    val existing = ev.filter(col("ts_sec") < cut)
+    val incoming = ev.filter(col("ts_sec") >= cut)
+    val standing = graft.ops.CoreOps.scd2Snapshot(
+      existing, "user_id", "event_type", "ts_sec", "event_id")
+    val affected = incoming.select("user_id").distinct()
+    val untouched = standing.join(affected, Seq("user_id"), "left_anti")
+    val recomputed = graft.ops.CoreOps.scd2Snapshot(
+      ev.join(affected, Seq("user_id"), "left_semi"),
+      "user_id", "event_type", "ts_sec", "event_id")
+    untouched.unionByName(recomputed)
+      .select(
+        col("user_id"), col("state"), col("version"),
+        formatTimestampSeconds(col("valid_from")).as("valid_from"),
+        formatTimestampSeconds(col("valid_to")).as("valid_to"),
+        col("is_current"))
+  }
+
   /** Date-spine gap fill + forward fill (q79): resample each user's events
     * to a daily series between their first and last active day, carrying
     * the last observed daily value across gap days — the time-series

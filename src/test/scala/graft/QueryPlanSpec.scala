@@ -88,4 +88,45 @@ class QueryPlanSpec extends SparkSpec {
     assert(nested <= 1, s"unexpected nested-loop joins ($nested):\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct"), s"stats side must broadcast:\n${plan.take(1500)}")
   }
+
+  test("q96 source overlap: gram self-join is hash-equi; only the S-row size cross nests") {
+    val plan = executedPlan(QueryCatalog.sourceOverlap(spark, sf))
+    // the sources×sources pair frame (S rows each side) is the one
+    // deliberate nested-loop; the gram-key intersection must never be
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nested <= 1, s"unexpected nested-loop joins ($nested):\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n${plan.take(1500)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"gram intersection must be an equi join:\n${plan.take(1500)}")
+  }
+
+  test("q98 prefix dups: content-hash equi join; only the tiny length-table cross nests") {
+    val plan = executedPlan(QueryCatalog.prefixDups(spark, sf))
+    // docs × candidate-lengths (≤ maxPrefixLen rows broadcast) is the
+    // one deliberate nested-loop (len < n condition); the hash match is equi
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nested <= 1, s"unexpected nested-loop joins ($nested):\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n${plan.take(1500)}")
+  }
+
+  test("q100 containment: min-gram bucket join is equi, host check never cartesian") {
+    val plan = executedPlan(QueryCatalog.containmentDups(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the gram-hash equi join:\n${plan.take(1500)}")
+  }
+
+  test("q95/q97 typed aggregates run as ObjectHashAggregate with partial merge") {
+    val ssPlan = executedPlan(QueryCatalog.spaceSavingTokens(spark, sf))
+    assert(ssPlan.contains("ObjectHashAggregate"),
+      s"space_saving must run as an object hash aggregate:\n${ssPlan.take(1500)}")
+    assert(ssPlan.contains("partial_space_saving"),
+      s"space_saving must partial-aggregate map-side:\n${ssPlan.take(1500)}")
+    // the bounded-heap top-k Aggregator behind hard negatives likewise:
+    // k-entry buffers through partial/merge, never a per-group sort
+    val hnPlan = executedPlan(QueryCatalog.hardNegatives(spark, sf))
+    assert(hnPlan.contains("ObjectHashAggregate"),
+      s"top-k heap must run as an object hash aggregate:\n${hnPlan.take(1500)}")
+    assert(!hnPlan.contains("CartesianProduct"),
+      s"anchor side must broadcast:\n${hnPlan.take(1500)}")
+  }
 }

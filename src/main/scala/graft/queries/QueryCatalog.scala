@@ -541,6 +541,13 @@ object QueryCatalog {
     * eviction churn taxes the whole tail of the job (SCALE.md).
     */
   val cacheReleaseAfter: Map[String, (SparkSession, String) => Unit] = Map(
+    // q100 sorts between q10 and q11 (string order): without a release
+    // there, the gram cache it builds would sit across the star family
+    // and the whole dedup middle — exactly the r5 eviction-churn shape
+    // (measured: q81 1.0s → 18.9s when q100 held the cache to q96).
+    // Releasing immediately costs one rebuild at q44; the q44→q96 span
+    // is measured safe.
+    "q100_containment_dups" -> ((s, d) => invalidateSplitGrams(s, d)),
     "q23_checks_report"   -> ((s, d) => Star.invalidate(s, d)),
     "q49_training_corpus" -> ((s, d) => invalidateCorpus(s, d)),
     "q87_recursive_reach" -> ((s, d) => invalidateCandidatePairs(s, d)),

@@ -195,7 +195,13 @@ object SparkEntry {
     // pre-join planning census: exact output cardinality + skew ratio
     "q101_join_cardinality"     -> (Q.joinCardinality(_, _)),
     // incremental SCD2 upsert, gated as equal to the full recompute
-    "q102_scd2_incremental"     -> (Q.scd2IncrementalMerge(_, _))
+    "q102_scd2_incremental"     -> (Q.scd2IncrementalMerge(_, _)),
+    // CCNet-style perplexity buckets, log-free (exact-integer score sums)
+    "q103_bigram_predictability" -> (Q.bigramPredictability(_, _)),
+    // SemDeDup: kept/dup classification inside trained k-means cells
+    "q104_semantic_dedup"       -> (Q.semanticDedup(_, _)),
+    // classifier distillation: exact-least-squares student of the q16 gate
+    "q105_quality_classifier"   -> (Q.qualityClassifier(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1086,6 +1086,73 @@ object OracleCatalog {
          |  coalesce(v.n_hosts, 0) > 0 AS is_contained
          |FROM c LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // q105: classifier distillation — exact least squares via HUGEINT
+    // normal equations + Cramer (bit-exact weight replay), then one
+    // broadcast scoring pass; teacher label = q16 quality gate at 0.8
+    "q105_quality_classifier" ->
+      s"""WITH ${statsCte("documents")},
+         |f AS (SELECT CAST(n_tokens AS BIGINT) AS x1, CAST(n_stop AS BIGINT) AS x2,
+         |        CASE WHEN $qualityExpr >= 0.8 THEN 1 ELSE 0 END AS y
+         |      FROM b),
+         |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |        CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+         |        CAST(sum(x1*x1) AS HUGEINT) AS s11, CAST(sum(x1*x2) AS HUGEINT) AS s12,
+         |        CAST(sum(x2*x2) AS HUGEINT) AS s22,
+         |        CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x1*y) AS HUGEINT) AS s1y,
+         |        CAST(sum(x2*y) AS HUGEINT) AS s2y
+         |      FROM f),
+         |w AS (SELECT
+         |   (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)) AS det,
+         |   (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) AS det0,
+         |   (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) AS det1,
+         |   (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) AS det2
+         |  FROM s),
+         |ww AS (SELECT CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE) AS w0,
+         |        CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE) AS w1,
+         |        CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE) AS w2 FROM w),
+         |p AS (SELECT f.y, ww.w0, ww.w1, ww.w2,
+         |        (ww.w0 + ww.w1 * CAST(f.x1 AS DOUBLE) + ww.w2 * CAST(f.x2 AS DOUBLE)) >= 0.5 AS pred
+         |      FROM f CROSS JOIN ww),
+         |c AS (SELECT w0, w1, w2, count(*) AS n_docs,
+         |        sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         |        sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         |        sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS tn,
+         |        sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END) AS fn
+         |      FROM p GROUP BY w0, w1, w2)
+         |SELECT n_docs, w0, w1, w2,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+         |  CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy
+         |FROM c""".stripMargin,
+
+    // q103: log-free CCNet perplexity buckets — exact-integer score sums
+    // (Σ pair-count / Σ head-count), integer rank-third cut, doc_id
+    // tiebreak; one double division per doc
+    "q103_bigram_predictability" ->
+      s"""WITH tk AS (SELECT doc_id, $toksLower AS t FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(t[1:len(t)-1]) AS w1,
+         |    unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS pair
+         |  FROM tk WHERE len(t) >= 2),
+         |pc AS (SELECT pair, count(*) AS c_pair FROM bg GROUP BY pair),
+         |hc AS (SELECT w1, count(*) AS c_head FROM bg GROUP BY w1),
+         |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+         |         sum(c_pair) AS sum_pair, sum(c_head) AS sum_head
+         |       FROM bg JOIN pc USING (pair) JOIN hc USING (w1) GROUP BY doc_id),
+         |sc AS (SELECT doc_id, n_bigrams,
+         |         CAST(sum_pair AS DOUBLE) / CAST(sum_head AS DOUBLE) AS predictability
+         |       FROM pd),
+         |n AS (SELECT count(*) AS n_scored FROM sc),
+         |bk AS (SELECT doc_id, n_bigrams, predictability,
+         |         CASE WHEN rn * 3 <= n_scored THEN 'head'
+         |              WHEN rn * 3 <= n_scored * 2 THEN 'middle'
+         |              ELSE 'tail' END AS ppl_bucket
+         |       FROM (SELECT *, row_number() OVER (ORDER BY predictability DESC, doc_id ASC) AS rn
+         |             FROM sc), n)
+         |SELECT d.doc_id, CAST(coalesce(bk.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  bk.predictability, bk.ppl_bucket
+         |FROM documents d LEFT JOIN bk USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // q99: binned two-sample KS per source vs pooled corpus — same grid,
     // same integer argmax (hugeint cross-products), one double ratio
     "q99_quality_drift" ->
@@ -1424,6 +1491,48 @@ object OracleCatalog {
          |SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin
+    },
+
+    // q104: SemDeDup — replays q68's one-iteration quantized-mean k-means
+    // training verbatim (same init stride, same assignment tiebreaks),
+    // then within-cell pairs a<b at round4(cos) >= 0.35, keep-lowest-id
+    "q104_semantic_dedup" -> {
+      def dotOf(a: String, b: String) =
+        s"list_reduce([$a[i] * $b[i] for i in generate_series(1, len($a))], (acc, x) -> acc + x)"
+      def normOf(a: String) =
+        s"sqrt(list_reduce([$a[i] * $a[i] for i in generate_series(1, len($a))], (acc, x) -> acc + x))"
+      val cos = s"CASE WHEN (a.nrm * b.nrm) = 0 THEN CAST(0.0 AS DOUBLE) " +
+        s"ELSE ${dotOf("a.v", "b.v")} / (a.nrm * b.nrm) END"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, sqrt($dotSelf) AS nrm FROM e),
+         |st AS (SELECT greatest(1, count(*) // 10) AS stride FROM embeddings),
+         |init AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT stride FROM st) = 0),
+         |initn AS (SELECT cid, cv, ${normOf("cv")} AS cnrm FROM init),
+         |sims0 AS (SELECT en.vec_id, en.v, initn.cid,
+         |    CASE WHEN (en.nrm * initn.cnrm) = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE ${dotOf("en.v", "initn.cv")} / (en.nrm * initn.cnrm) END AS sim
+         |  FROM en CROSS JOIN initn),
+         |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk FROM sims0),
+         |a0 AS (SELECT vec_id, v, cid FROM r0 WHERE rk = 1),
+         |xx AS (SELECT cid,
+         |        unnest(generate_series(1, len(v))) AS pos,
+         |        unnest([floor(v[i] * 1000000.0 + 0.5) for i in generate_series(1, len(v))]) AS xq
+         |      FROM a0),
+         |mm AS (SELECT cid, pos, sum(xq) / (1000000.0 * CAST(count(*) AS DOUBLE)) AS m FROM xx GROUP BY cid, pos),
+         |cent AS (SELECT cid, list(m ORDER BY pos) AS cv FROM mm GROUP BY cid),
+         |centn AS (SELECT cid, cv, ${normOf("cv")} AS cnrm FROM cent),
+         |sims AS (SELECT en.vec_id, en.v, en.nrm, centn.cid,
+         |    CASE WHEN (en.nrm * centn.cnrm) = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE ${dotOf("en.v", "centn.cv")} / (en.nrm * centn.cnrm) END AS sim
+         |  FROM en CROSS JOIN centn),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk FROM sims),
+         |corp AS (SELECT vec_id, v, nrm, cid AS cell FROM rr WHERE rk = 1),
+         |p AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |      FROM corp a JOIN corp b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      WHERE ${round4(cos)} >= 0.35
+         |      GROUP BY b.vec_id)
+         |SELECT corp.vec_id, corp.cell, p.dup_of, p.dup_of IS NOT NULL AS is_semantic_dup
+         |FROM corp LEFT JOIN p USING (vec_id) ORDER BY vec_id""".stripMargin
     },
 
     "q78_scd2_snapshot" -> scd2Sql,

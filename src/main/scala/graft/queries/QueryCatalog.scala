@@ -2121,6 +2121,150 @@ object QueryCatalog {
     s.sql("SELECT * FROM gap_sessions(1800) ORDER BY user_id, session_start")
   }
 
+  /** Bigram-predictability buckets (q103) — the log-free analog of
+    * CCNet-style LM-perplexity filtering: rank every document by how
+    * corpus-typical its token bigrams are and cut the ranking into
+    * head/middle/tail thirds, exactly the perplexity-bucket partition
+    * CCNet feeds downstream (tail = candidate drop set). True perplexity
+    * needs ln() (libm-ULP-divergent across engines, see the q42 idf note)
+    * and sums per-bigram doubles in partial-aggregation order — so the
+    * score is a ratio of two EXACT integer sums instead: over the doc's
+    * bigram instances, Σ corpus-count(w1 w2) / Σ corpus-count(w1 ·) —
+    * "of the times this head token started a bigram anywhere in the
+    * corpus, how often was it THIS continuation", pooled over the doc.
+    * Same ranking family as average conditional probability (monotone in
+    * the same counts), one double division per doc at the end.
+    *
+    * Plan shape: one tokenize scan → exploded bigram stream → two
+    * map-side-combined groupBys (pair counts, head counts) → two
+    * equi-joins back on the bigram stream (shuffles bounded by distinct
+    * bigrams, never doc×doc) → per-doc integer sums. The bucket cut is
+    * integer rank math (rn·3 vs n) with a doc_id tiebreak, so the
+    * boundary is engine-exact. The global row_number is the one
+    * deliberate non-scale choice, mirroring CCNet's corpus-wide
+    * percentile cut; the 100 TB path replaces it with a broadcast
+    * t-digest threshold (q69) — flagging against an approximate quantile
+    * instead of a total order — which changes only the boundary docs.
+    */
+  def bigramPredictability(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1)).as("pair")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.pair"))
+    val pairCnt = bg.groupBy("pair").agg(count(lit(1)).as("c_pair"))
+    val headCnt = bg.groupBy("w1").agg(count(lit(1)).as("c_head"))
+    val perDoc = bg.join(pairCnt, Seq("pair")).join(headCnt, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c_pair")).as("sum_pair"),
+        sum(col("c_head")).as("sum_head"))
+    val scored = perDoc.select(col("doc_id"), col("n_bigrams"),
+      (col("sum_pair").cast("double") / col("sum_head").cast("double"))
+        .as("predictability"))
+    val nScored = scored.agg(count(lit(1)).as("n_scored"))
+    val rn = row_number().over(Window.orderBy(desc("predictability"), asc("doc_id")))
+    val bucketed = scored.withColumn("rn", rn)
+      .crossJoin(broadcast(nScored))
+      .select(col("doc_id"), col("n_bigrams"), col("predictability"),
+        when(col("rn") * 3 <= col("n_scored"), lit("head"))
+          .when(col("rn") * 3 <= col("n_scored") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+    docs.select(col("doc_id")).join(bucketed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("predictability"), col("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** SemDeDup (q104) — semantic dedup inside trained k-means cells (see
+    * [[Similarity.semanticDedup]]): the same one-Lloyd-iteration
+    * quantized-mean centroids as q68 (so the oracle replays training
+    * verbatim), threshold 0.35 aligned with q26's LSH-bucketed variant
+    * (max pairwise cosine ≈ 0.46 on this corpus). q26 finds near-dup
+    * PAIRS through hyperplane buckets; q104 is the corpus-partition view
+    * — every vector classified kept/dup with its keeper — which is the
+    * shape a pipeline actually filters on.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(emb, dim = 64, k = 10, iters = 1,
+      quantizedMeans = true)
+    Similarity.semanticDedup(emb, cents, threshold = 0.35).orderBy("vec_id")
+  }
+
+  /** In-engine trained quality classifier (q105) — the
+    * classifier-distillation pattern of a production corpus pipeline (an
+    * expensive teacher labels a sample, a cheap linear student filters
+    * the full corpus): distills the q16 handcrafted quality gate
+    * (teacher label y = qualityScore ≥ 0.8) into a 2-feature linear
+    * model over cheap counts (x1 = tokens, x2 = stopwords), TRAINED
+    * inside the engine by exact least squares. The normal equations'
+    * Gram matrix is nine integer sums (one map-side-combined aggregation
+    * pass), solved by Cramer's rule in decimal(38,0) — training is
+    * exactly replayable in SQL, so the oracle hash-matches the learned
+    * WEIGHTS, not just predictions. (Logistic GD would need exp(),
+    * libm-ULP-divergent across engines; least squares on a 0/1 label —
+    * the linear probability model — trains the same kind of student.)
+    *
+    * Scale: training cost is one aggregation row regardless of corpus
+    * size; scoring broadcasts 3 doubles into the scan. d features ⇒ d²
+    * sums and an O(d³) solve: exact-decimal Cramer holds to d≈3-4 and
+    * ~1e7 docs×(1e4 tokens)² before decimal(38) saturates (the q81
+    * pattern); past that, scale features to means and switch to
+    * double-precision normal equations or distributed GD — giving up
+    * bit-exact replay, not the architecture. Reaches 96-97% agreement
+    * with the teacher on this corpus (fp = 0: the student under-admits).
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val feats = t(s, dir, "documents").select(
+      TextOps.tokenCount(col("text")).cast("long").as("x1"),
+      TextOps.stopwordCount(col("text")).cast("long").as("x2"),
+      when(TextOps.qualityScore(col("text")) >= 0.8, 1L).otherwise(0L).as("y"))
+    val sums = feats.agg(
+      count(lit(1)).as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum("y").as("sy"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    def d(name: String) = col(name).cast("decimal(20,0)")
+    // det of [[a,b,c],[p,q,r],[x,y,z]] — decimal-exact integer arithmetic
+    def det3(a: Column, b: Column, c: Column,
+             p: Column, q: Column, r: Column,
+             x: Column, y: Column, z: Column): Column =
+      a * (q * z - r * y) - b * (p * z - r * x) + c * (p * y - q * x)
+    val w = sums.select(
+      det3(d("n"), d("s1"), d("s2"), d("s1"), d("s11"), d("s12"), d("s2"), d("s12"), d("s22")).as("det"),
+      det3(d("sy"), d("s1"), d("s2"), d("s1y"), d("s11"), d("s12"), d("s2y"), d("s12"), d("s22")).as("det0"),
+      det3(d("n"), d("sy"), d("s2"), d("s1"), d("s1y"), d("s12"), d("s2"), d("s2y"), d("s22")).as("det1"),
+      det3(d("n"), d("s1"), d("sy"), d("s1"), d("s11"), d("s1y"), d("s2"), d("s12"), d("s2y")).as("det2"))
+      .select(
+        (col("det0").cast("double") / col("det").cast("double")).as("w0"),
+        (col("det1").cast("double") / col("det").cast("double")).as("w1"),
+        (col("det2").cast("double") / col("det").cast("double")).as("w2"))
+    val scored = feats.crossJoin(broadcast(w))
+      .select(col("y"), col("w0"), col("w1"), col("w2"),
+        ((col("w0") + col("w1") * col("x1").cast("double")
+          + col("w2") * col("x2").cast("double")) >= 0.5).as("pred"))
+    scored.groupBy("w0", "w1", "w2")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("fn"))
+      .select(col("n_docs"), col("w0"), col("w1"), col("w2"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        ((col("tp") + col("tn")).cast("double") / col("n_docs").cast("double")).as("accuracy"))
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

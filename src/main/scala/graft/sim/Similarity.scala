@@ -364,4 +364,52 @@ object Similarity {
       .filter(col("score") >= threshold)
       .distinct()
   }
+
+  /** Nearest-centroid cell assignment — one broadcast-centroid pass over
+    * the corpus, ties broken by centroid id (the same assignment block
+    * [[ivfTopK]] uses inline). Input `c` must carry (vec_id, v, nrm);
+    * centroids (cid, cv). Returns (vec_id, v, nrm, cell).
+    */
+  def assignCells(c: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cid"), col("cv")).withColumn("cnrm", norm(col("cv")))
+    c.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        cosineFromNorms(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication inside k-means cells — assign every vector to its
+    * nearest centroid, score cosine only between cell-mates, and mark
+    * every vector with a sufficiently-similar LOWER-id cell-mate as a
+    * semantic duplicate (keep-lowest-id is the deterministic stand-in for
+    * the paper's keep-one-per-cluster choice). This is the third
+    * candidate-bucketing geometry beside hyperplane LSH
+    * ([[embeddingNearDups]]) and minhash bands: pair work is Σ|cell|²,
+    * never corpus², and k is the dial — k ∝ √n keeps cells ~√n and total
+    * pair work ~n^1.5; a degenerate cell is the poison-bucket analog and
+    * takes the same salting/cap treatment as Dedup's bands. Output one
+    * row per corpus vector: (vec_id, cell, dup_of, is_semantic_dup) with
+    * dup_of = the smallest similar lower id (null ⇒ kept).
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cells = assignCells(c, centroids)
+    val l = cells.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val r = cells.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val dups = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(roundScore(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
+        >= threshold)
+      .groupBy(col("id_b").as("vec_id")).agg(min(col("id_a")).as("dup_of"))
+    cells.select("vec_id", "cell")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_semantic_dup"))
+  }
 }

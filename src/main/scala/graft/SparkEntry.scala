@@ -201,7 +201,15 @@ object SparkEntry {
     // SemDeDup: kept/dup classification inside trained k-means cells
     "q104_semantic_dedup"       -> (Q.semanticDedup(_, _)),
     // classifier distillation: exact-least-squares student of the q16 gate
-    "q105_quality_classifier"   -> (Q.qualityClassifier(_, _))
+    "q105_quality_classifier"   -> (Q.qualityClassifier(_, _)),
+    // best-copy canonicalization: cluster keeper by quality, not min-id
+    "q106_cluster_keepers"      -> (Q.clusterKeepers(_, _)),
+    // per-doc duplicated-chunk ratio: the drop-mostly-copied-docs signal
+    "q107_chunk_dup_profile"    -> (Q.chunkDupProfile(_, _)),
+    // Deequ-style run-over-run anomaly gate on daily pipeline metrics
+    "q108_metric_drift"         -> (Q.dailyMetricDrift(_, _)),
+    // α=0.5 temperature-scaled source sampling weights (exact/IEEE-portable)
+    "q109_temperature_mixture"  -> (Q.temperatureMixture(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1699,6 +1699,85 @@ object OracleCatalog {
          |  CAST(coalesce(sum(CASE WHEN total_price < 0 THEN 1 ELSE 0 END), 0) AS DOUBLE) = 0 AS passed FROM f
          |UNION ALL SELECT 'report_year_min_revenue' AS check_name,
          |  CAST(min(total_revenue) AS DOUBLE) AS metric, min(total_revenue) >= 0 AS passed FROM ry""".stripMargin
-    }
+    },
+
+    // q106: q54's full clustering replay + quality argmax keeper — rank
+    // inside each component by (quality DESC, doc_id ASC); the same
+    // window in both engines, total order so engine-exact
+    "q106_cluster_keepers" ->
+      s"""WITH RECURSIVE $tkCte, $shCte,
+         |sig AS (SELECT doc_id, $sigCols FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, ${bandKey(b)} AS band_key FROM sig")
+              .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |         FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |ver AS (SELECT cand.doc_a, cand.doc_b FROM cand
+         |        JOIN sh a ON cand.doc_a = a.doc_id
+         |        JOIN sh bb ON cand.doc_b = bb.doc_id
+         |        WHERE ${jaccardSql("a.sh", "bb.sh")} >= 0.8),
+         |ed AS (SELECT doc_a AS s, doc_b AS d FROM ver
+         |       UNION ALL SELECT doc_b AS s, doc_a AS d FROM ver),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN ed e ON e.s = r.node),
+         |comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+         |${statsCte("documents")},
+         |q AS (SELECT doc_id, $qualityExpr AS quality FROM b)
+         |SELECT comp.doc_id, component, quality,
+         |  first_value(comp.doc_id) OVER w AS keeper_id,
+         |  comp.doc_id = first_value(comp.doc_id) OVER w AS is_kept
+         |FROM comp JOIN q USING (doc_id)
+         |WINDOW w AS (PARTITION BY component ORDER BY quality DESC, comp.doc_id ASC)""".stripMargin,
+
+    // q107: per-doc duplicated-chunk ratio over non-overlapping 64-token
+    // chunks; window count over per-(chunk,doc) rows = distinct-doc
+    // frequency; same-doc repeats never count as shared
+    "q107_chunk_dup_profile" ->
+      raw"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+         |ck AS (SELECT doc_id, md5(array_to_string(t[s : s + 63], ' ')) AS ch
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 64)) AS s FROM tk)),
+         |g AS (SELECT ch, doc_id, count(*) AS n_in_doc FROM ck GROUP BY ch, doc_id),
+         |f AS (SELECT *, count(*) OVER (PARTITION BY ch) AS n_docs FROM g)
+         |SELECT doc_id,
+         |  CAST(sum(n_in_doc) AS INTEGER) AS n_chunks,
+         |  CAST(sum(CASE WHEN n_docs >= 2 THEN n_in_doc ELSE 0 END) AS INTEGER) AS n_shared_chunks,
+         |  CAST(sum(CASE WHEN n_docs >= 2 THEN n_in_doc ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n_in_doc) AS DOUBLE) AS shared_ratio
+         |FROM f GROUP BY doc_id""".stripMargin,
+
+    // q108: daily pipeline metrics + trailing-3-day anomaly flag; avg over
+    // a bounded ordered frame of exact longs → deterministic double
+    "q108_metric_drift" ->
+      """WITH daily AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |         count(*) AS n_rows,
+        |         count(DISTINCT user_id) AS n_users,
+        |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value
+        |  FROM events GROUP BY 1)
+        |SELECT day, n_rows, n_users, n_null_value,
+        |  avg(n_rows) OVER w AS avg3_rows,
+        |  (avg(n_rows) OVER w) IS NOT NULL AND
+        |    (CAST(n_rows AS DOUBLE) > (avg(n_rows) OVER w) * 1.5
+        |     OR CAST(n_rows AS DOUBLE) < (avg(n_rows) OVER w) * 0.5) AS is_anomaly
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    // q109: α=0.5 temperature mixture — exact integer token sums; the only
+    // doubles are one division of exact longs and one sqrt ratio (both
+    // correctly-rounded IEEE ops in both engines)
+    "q109_temperature_mixture" ->
+      raw"""WITH b AS (SELECT source,
+         |  CASE WHEN len(trim(text)) = 0 THEN 0
+         |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) END AS n_tok
+         | FROM documents),
+         |s AS (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS n_tokens
+         |      FROM b GROUP BY source)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS linear_share,
+         |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max(n_tokens) OVER () AS DOUBLE)) AS temp_weight_rel
+         |FROM s""".stripMargin
   )
 }

@@ -2265,6 +2265,125 @@ object QueryCatalog {
         ((col("tp") + col("tn")).cast("double") / col("n_docs").cast("double")).as("accuracy"))
   }
 
+  /** Cluster-keeper selection by quality (q106): within each near-dup
+    * cluster (q54's connected components), keep the HIGHEST-quality
+    * member instead of the min-id — the canonicalization rule a
+    * production dedup actually wants (the kept copy should be the best
+    * copy: crawl dups differ in truncation, boilerplate and encoding
+    * damage, and quality scoring sees exactly that). Rank inside each
+    * component by (quality DESC, doc_id ASC) — engine-exact because
+    * quality is portable-rounded (q16 contract) and the tiebreak is a
+    * total order — and tag keeper_id = first_value over that window.
+    * Cost over q54 = one quality projection in the same scan that feeds
+    * the component join plus one window on the component key (same
+    * shuffle key as q54's cluster_size window). Downstream dedup is
+    * `filter(is_kept)` with best-copy semantics.
+    */
+  def clusterKeepers(s: SparkSession, dir: String): DataFrame = {
+    val docs  = t(s, dir, "documents")
+    val pairs = Dedup.nearDupPairsFrom(docCandidatePairs(s, dir), docs,
+      "doc_id", "text", shingleN = 3, threshold = 0.8)
+    val comp  = graft.dedup.Components.connectedComponents(
+      pairs, "doc_a", "doc_b", docs.select("doc_id"), "doc_id")
+    val qual  = docs.select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    comp.join(qual, Seq("doc_id"))
+      .withColumn("keeper_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("component"), col("quality"),
+        col("keeper_id"), (col("doc_id") === col("keeper_id")).as("is_kept"))
+  }
+
+  /** Per-document duplicated-chunk profile (q107): what fraction of each
+    * document's fixed 64-token chunks also appears verbatim in OTHER
+    * documents — the per-doc "how much of me is boilerplate/copy" signal
+    * that q82 (which removes the shared chunks corpus-wide) doesn't
+    * surface, and the filter a pipeline applies when it wants to DROP
+    * mostly-copied docs rather than strip the copies. One tokenize scan:
+    * chunks → md5 → groupBy (chunk, doc) → a count window on the chunk
+    * hash (rows are per-distinct-doc after the groupBy, so the window
+    * count IS the distinct-doc frequency — no second scan, no
+    * count_distinct-in-window) → per-doc conditional sums. Shuffle keys
+    * are fixed-width md5; repeats of a chunk inside the SAME doc do not
+    * count as shared.
+    */
+  def chunkDupProfile(s: SparkSession, dir: String): DataFrame = {
+    val chunkTokens = 64
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("t")), lit(1)), lit(chunkTokens)),
+        st => concat_ws(" ", slice(col("t"), st, lit(chunkTokens))))).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("ch"))
+    val perDocChunk = chunks.groupBy("ch", "doc_id")
+      .agg(count(lit(1)).as("n_in_doc"))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("ch")))
+    perDocChunk.groupBy("doc_id")
+      .agg(
+        sum(col("n_in_doc")).cast("int").as("n_chunks"),
+        sum(when(col("n_docs") >= 2, col("n_in_doc")).otherwise(0L))
+          .cast("int").as("n_shared_chunks"))
+      .withColumn("shared_ratio",
+        col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** Daily metric drift (q108): the Deequ-style anomaly gate on pipeline
+    * health metrics — per ingest day, row count, distinct users and null
+    * rate, each compared against the trailing-3-day average, flagging
+    * days outside [0.5×, 1.5×] of their own recent history. This is the
+    * run-over-run metrics-repository check: the corpus-sized work is one
+    * partial-aggregated groupBy; the window then runs over the |days|-row
+    * METRIC SERIES (a few hundred rows at any corpus size), so the
+    * single-partition ordered window is bounded by the calendar, not the
+    * data — the one place a global window is the right call. Trailing
+    * averages are exact (sum of ≤3 longs, one double division); the
+    * first day has no history and is never flagged.
+    */
+  def dailyMetricDrift(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"))
+    val w = Window.orderBy("day").rowsBetween(-3, -1)
+    daily
+      .withColumn("avg3_rows", avg(col("n_rows")).over(w))
+      .withColumn("is_anomaly",
+        col("avg3_rows").isNotNull &&
+          (col("n_rows").cast("double") > col("avg3_rows") * lit(1.5) ||
+            col("n_rows").cast("double") < col("avg3_rows") * lit(0.5)))
+      .select(col("day"), col("n_rows"), col("n_users"), col("n_null_value"),
+        col("avg3_rows"), col("is_anomaly"))
+  }
+
+  /** Temperature-scaled source mixture (q109): the multilingual/multi-
+    * source sampling-weight computation (α = 0.5): per source, token mass,
+    * its exact linear share, and the α-scaled weight RELATIVE TO THE
+    * LARGEST source — sqrt(tokens_i) / sqrt(tokens_max). Relative-to-max
+    * instead of normalized-to-1 keeps every number a single IEEE op on
+    * exact integers (sqrt is correctly-rounded in both engines; a
+    * normalized weight would sum doubles across sources in engine-
+    * dependent order). The corpus-sized work is one map-side-combined
+    * aggregation; the totals ride a window over the |sources|-row result.
+    */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val w = Window.partitionBy()
+    perSrc
+      .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("max_tokens", max(col("n_tokens")).over(w))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("linear_share"),
+        (sqrt(col("n_tokens").cast("double")) / sqrt(col("max_tokens").cast("double")))
+          .as("temp_weight_rel"))
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

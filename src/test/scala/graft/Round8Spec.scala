@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{QueryCatalog => Q}
+
+/** Properties of the round-8 operators (q106-q109). The oracle pins engine
+  * parity; these pin semantics: keeper selection against an argmax replay
+  * and q54's cluster map, the chunk-dup profile against a driver-side
+  * chunk-set replay, the drift gate against a hand-grouped metric series,
+  * and the mixture weights against their defining algebra.
+  */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q106 cluster keepers ----------------------------------------------
+
+  test("clusterKeepers: keeper is argmax(quality, tiebreak min doc_id) per component") {
+    val rows = Q.clusterKeepers(spark, sf)
+      .select("doc_id", "component", "quality", "keeper_id", "is_kept")
+      .as[(Long, Long, Double, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      val expected = members.minBy { case (id, _, q, _, _) => (-q, id) }._1
+      assert(members.forall(_._4 == expected),
+        s"component $comp: keeper_id must be $expected")
+      assert(members.count(_._5) == 1, s"component $comp: exactly one kept member")
+      assert(members.find(_._5).get._1 == expected)
+    }
+  }
+
+  test("clusterKeepers: same doc→component map as dedupClusters (q54)") {
+    val keepers = Q.clusterKeepers(spark, sf)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    val clusters = Q.dedupClusters(spark, sf)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    assert(keepers == clusters)
+  }
+
+  test("clusterKeepers: keeper quality >= every member's quality") {
+    val rows = Q.clusterKeepers(spark, sf)
+      .select("component", "quality", "is_kept")
+      .as[(Long, Double, Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (comp, members) =>
+      val kq = members.find(_._3).get._2
+      assert(members.forall(_._2 <= kq), s"component $comp: keeper must be max-quality")
+    }
+  }
+
+  // ---- q107 chunk-dup profile --------------------------------------------
+
+  private def naiveChunkProfile(): Map[Long, (Int, Int)] = {
+    val texts = graft.io.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val chunksPerDoc: Map[Long, Seq[String]] = texts.map { case (id, text) =>
+      val t = text.toLowerCase.trim.split("\\s+").toSeq
+      val starts = 1 to math.max(t.size, 1) by 64
+      id -> starts.map(s => t.slice(s - 1, s - 1 + 64).mkString(" "))
+    }.toMap
+    val docsPerChunk: Map[String, Int] = chunksPerDoc.toSeq
+      .flatMap { case (id, cs) => cs.distinct.map(c => (c, id)) }
+      .groupBy(_._1).map { case (c, v) => c -> v.size }
+    chunksPerDoc.map { case (id, cs) =>
+      id -> (cs.size, cs.count(c => docsPerChunk(c) >= 2))
+    }
+  }
+
+  test("chunkDupProfile: matches a driver-side chunk-set replay") {
+    val out = Q.chunkDupProfile(spark, sf)
+      .select("doc_id", "n_chunks", "n_shared_chunks")
+      .as[(Long, Int, Int)].collect()
+    val naive = naiveChunkProfile()
+    assert(out.length == naive.size)
+    out.foreach { case (id, n, shared) =>
+      val (nN, sN) = naive(id)
+      assert(n == nN, s"doc $id: n_chunks $n != $nN")
+      assert(shared == sN, s"doc $id: n_shared_chunks $shared != $sN")
+    }
+  }
+
+  test("chunkDupProfile: planted verbatim copy is fully shared") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta " * 40 // 160 tokens → 3 chunks
+    val docs = Seq(
+      (1L, base.trim), (2L, base.trim), // verbatim pair: all chunks shared
+      (3L, "unique text that appears nowhere else in this tiny corpus")
+    ).toDF("doc_id", "text")
+    // replay the query body on a planted frame via a temp dir-free path:
+    // same expression pipeline as chunkDupProfile, inlined
+    val chunks = docs
+      .select(col("doc_id"), graft.text.TextOps.tokens(lower(col("text"))).as("t"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("t")), lit(1)), lit(64)),
+        st => concat_ws(" ", slice(col("t"), st, lit(64))))).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("ch"))
+    val perDocChunk = chunks.groupBy("ch", "doc_id").agg(count(lit(1)).as("n_in_doc"))
+      .withColumn("n_docs", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("ch")))
+    val prof = perDocChunk.groupBy("doc_id")
+      .agg(sum(col("n_in_doc")).cast("int").as("n_chunks"),
+        sum(when(col("n_docs") >= 2, col("n_in_doc")).otherwise(0L)).cast("int").as("n_shared"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(prof(1L)._1 == prof(1L)._2, "doc 1: every chunk shared with its copy")
+    assert(prof(2L)._1 == prof(2L)._2, "doc 2: every chunk shared with its copy")
+    assert(prof(3L)._2 == 0, "doc 3: nothing shared")
+  }
+
+  // ---- q108 metric drift -------------------------------------------------
+
+  test("dailyMetricDrift: matches a hand-grouped replay; first day never flagged") {
+    val out = Q.dailyMetricDrift(spark, sf)
+      .select("day", "n_rows", "n_users", "n_null_value", "avg3_rows", "is_anomaly")
+      .as[(String, Long, Long, Long, Option[Double], Boolean)].collect()
+      .sortBy(_._1)
+    assert(out.nonEmpty)
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"), col("value"))
+      .as[(String, Long, Option[Double])].collect()
+    val byDay = ev.groupBy(_._1).map { case (d, rows) =>
+      d -> (rows.length.toLong, rows.map(_._2).distinct.length.toLong,
+        rows.count(_._3.isEmpty).toLong)
+    }
+    out.foreach { case (d, n, u, nn, _, _) =>
+      val (eN, eU, eNN) = byDay(d)
+      assert(n == eN && u == eU && nn == eNN, s"day $d metrics mismatch")
+    }
+    // trailing window replay
+    val series = out.map(_._2)
+    out.zipWithIndex.foreach { case ((d, n, _, _, avg3, flag), i) =>
+      val prev = series.slice(math.max(0, i - 3), i)
+      if (prev.isEmpty) {
+        assert(avg3.isEmpty && !flag, s"day $d: no history → no flag")
+      } else {
+        val exp = prev.sum.toDouble / prev.length
+        assert(avg3.contains(exp), s"day $d: avg3 $avg3 != $exp")
+        assert(flag == (n > exp * 1.5 || n < exp * 0.5), s"day $d: flag mismatch")
+      }
+    }
+  }
+
+  // ---- q109 temperature mixture ------------------------------------------
+
+  test("temperatureMixture: defining algebra holds") {
+    val out = Q.temperatureMixture(spark, sf)
+      .select("source", "n_docs", "n_tokens", "linear_share", "temp_weight_rel")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    val total = out.map(_._3).sum
+    val maxTok = out.map(_._3).max
+    out.foreach { case (src, _, tok, share, w) =>
+      assert(share == tok.toDouble / total.toDouble, s"$src: linear share")
+      assert(w == math.sqrt(tok.toDouble) / math.sqrt(maxTok.toDouble), s"$src: temp weight")
+      assert(w > 0.0 && w <= 1.0)
+      // α=0.5 flattening: relative weight always >= relative linear share
+      assert(w >= tok.toDouble / maxTok.toDouble - 1e-15, s"$src: sqrt flattens toward 1")
+    }
+    assert(out.count(_._5 == 1.0) >= 1, "the largest source carries weight 1")
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-9, "linear shares sum to 1")
+  }
+}

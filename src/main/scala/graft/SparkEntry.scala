@@ -209,7 +209,9 @@ object SparkEntry {
     // Deequ-style run-over-run anomaly gate on daily pipeline metrics
     "q108_metric_drift"         -> (Q.dailyMetricDrift(_, _)),
     // α=0.5 temperature-scaled source sampling weights (exact/IEEE-portable)
-    "q109_temperature_mixture"  -> (Q.temperatureMixture(_, _))
+    "q109_temperature_mixture"  -> (Q.temperatureMixture(_, _)),
+    // best-copy clean corpus: quality gate on q106's kept cluster members
+    "q110_best_copy_corpus"     -> (Q.bestCopyCorpus(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,61 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deequ-style metrics repository: persist per-run check metrics to an
+  * append-only parquet log keyed by run, and diff consecutive runs for
+  * anomaly detection. This is the run-over-run complement of the q108
+  * drift gate — q108 derives its series from the DATA (per ingest day);
+  * the repository accumulates it from PIPELINE RUNS, so regressions show
+  * up even when each individual run's gate passes (e.g. a slowly growing
+  * duplicate count that never crosses an absolute threshold).
+  *
+  * Layout: one small parquet append per run (metric cardinality ≪ data
+  * cardinality, so file count ∝ runs and never needs compaction); the
+  * drift query reads the whole log — at any realistic run count that is
+  * kilobytes — and windows per check over the caller-supplied run
+  * sequence. Callers own `runSeq` ordering (a monotonically increasing
+  * build/run number) so the repository stays deterministic and
+  * wall-clock-free.
+  */
+object MetricsRepo {
+
+  /** Append one run's results. `runSeq` orders runs (caller-owned,
+    * monotone); `runId` is the free-form label carried alongside. */
+  def append(spark: SparkSession, path: String, runSeq: Long, runId: String,
+             results: Seq[CheckResult]): Unit = {
+    import spark.implicits._
+    results.toDF()
+      .select(lit(runSeq).as("run_seq"), lit(runId).as("run_id"),
+        col("check"), col("metric"), col("passed"))
+      .coalesce(1)
+      .write.mode("append").parquet(path)
+  }
+
+  /** The full metric log: (run_seq, run_id, check, metric, passed). */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Run-over-run drift: each (check, run) beside the previous run's
+    * metric, flagged when the metric moved by more than `tolerance`
+    * relative to its predecessor (|cur − prev| > tolerance · max(prev, 1);
+    * the max(…, 1) floor keeps zero-metric checks — the common "0 bad
+    * rows" case — from flagging on any nonzero wobble of size ≤ tolerance
+    * and from dividing by zero). The first observation of a check has no
+    * predecessor and is never flagged.
+    */
+  def drift(spark: SparkSession, path: String,
+            tolerance: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy("check").orderBy("run_seq")
+    load(spark, path)
+      .withColumn("prev_metric", lag(col("metric"), 1).over(w))
+      .withColumn("is_drift",
+        col("prev_metric").isNotNull &&
+          abs(col("metric") - col("prev_metric")).cast("double") >
+            greatest(col("prev_metric").cast("double"), lit(1.0)) * lit(tolerance))
+      .select(col("run_seq"), col("run_id"), col("check"), col("metric"),
+        col("prev_metric"), col("is_drift"))
+  }
+}

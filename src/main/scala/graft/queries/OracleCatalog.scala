@@ -1731,6 +1731,36 @@ object OracleCatalog {
          |FROM comp JOIN q USING (doc_id)
          |WINDOW w AS (PARTITION BY component ORDER BY quality DESC, comp.doc_id ASC)""".stripMargin,
 
+    // q110: q106's clustering + keeper window, filtered to kept members
+    // passing the q32 quality gate, with exact token counts
+    "q110_best_copy_corpus" ->
+      s"""WITH RECURSIVE $tkCte, $shCte,
+         |sig AS (SELECT doc_id, $sigCols FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, ${bandKey(b)} AS band_key FROM sig")
+              .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |         FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |ver AS (SELECT cand.doc_a, cand.doc_b FROM cand
+         |        JOIN sh a ON cand.doc_a = a.doc_id
+         |        JOIN sh bb ON cand.doc_b = bb.doc_id
+         |        WHERE ${jaccardSql("a.sh", "bb.sh")} >= 0.8),
+         |ed AS (SELECT doc_a AS s, doc_b AS d FROM ver
+         |       UNION ALL SELECT doc_b AS s, doc_a AS d FROM ver),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN ed e ON e.s = r.node),
+         |comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+         |${statsCte("documents")},
+         |q AS (SELECT doc_id, n_tokens, $qualityExpr AS quality FROM b),
+         |k AS (SELECT comp.doc_id, component, quality, n_tokens,
+         |        first_value(comp.doc_id) OVER (PARTITION BY component
+         |          ORDER BY quality DESC, comp.doc_id ASC) AS keeper_id
+         |      FROM comp JOIN q USING (doc_id))
+         |SELECT doc_id, component, quality, n_tokens
+         |FROM k WHERE doc_id = keeper_id AND quality >= 0.5""".stripMargin,
+
     // q107: per-doc duplicated-chunk ratio over non-overlapping 64-token
     // chunks; window count over per-(chunk,doc) rows = distinct-doc
     // frequency; same-doc repeats never count as shared

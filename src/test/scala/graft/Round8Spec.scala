@@ -138,6 +138,61 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  // ---- q110 best-copy corpus ---------------------------------------------
+
+  test("bestCopyCorpus: exactly the kept members passing the quality gate") {
+    val corpus = Q.bestCopyCorpus(spark, sf)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val keepers = Q.clusterKeepers(spark, sf)
+      .select("doc_id", "quality", "is_kept").as[(Long, Double, Boolean)].collect()
+    val expected = keepers.collect { case (id, q, true) if q >= 0.5 => id -> q }.toMap
+    assert(corpus == expected)
+    assert(corpus.nonEmpty)
+  }
+
+  test("bestCopyCorpus: yield >= q32-style min-id canonical yield on clusters") {
+    // a cluster survives iff its BEST copy passes; min-id canonicalization
+    // survives iff the min-id copy passes — best-copy can only keep more
+    val best = Q.bestCopyCorpus(spark, sf).select("component")
+      .as[Long].collect().toSet
+    val minId = Q.clusterKeepers(spark, sf)
+      .select("doc_id", "component", "quality")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._2)
+      .collect { case (comp, ms) if ms.minBy(_._1)._3 >= 0.5 => comp }.toSet
+    assert(minId.subsetOf(best))
+  }
+
+  // ---- MetricsRepo -------------------------------------------------------
+
+  test("MetricsRepo: run-over-run drift flags a jump, not steady metrics") {
+    val dir = java.nio.file.Files.createTempDirectory("metrics_repo").toString
+    import graft.checks.{CheckResult, MetricsRepo}
+    MetricsRepo.append(spark, dir, 1L, "build-1",
+      Seq(CheckResult("dup_rows", 0L, passed = true), CheckResult("n_rows", 1000L, passed = true)))
+    MetricsRepo.append(spark, dir, 2L, "build-2",
+      Seq(CheckResult("dup_rows", 0L, passed = true), CheckResult("n_rows", 1100L, passed = true)))
+    MetricsRepo.append(spark, dir, 3L, "build-3",
+      Seq(CheckResult("dup_rows", 40L, passed = false), CheckResult("n_rows", 1150L, passed = true)))
+    val drift = MetricsRepo.drift(spark, dir, tolerance = 0.5)
+      .select("run_seq", "check", "metric", "prev_metric", "is_drift")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect()
+    assert(drift.length == 6)
+    // first observations: no predecessor, never flagged
+    assert(drift.filter(_._1 == 1L).forall(r => r._4.isEmpty && !r._5))
+    // dup_rows 0 → 0: steady; 0 → 40: flagged (jump above floor*tolerance)
+    assert(!drift.find(r => r._1 == 2L && r._2 == "dup_rows").get._5)
+    assert(drift.find(r => r._1 == 3L && r._2 == "dup_rows").get._5)
+    // n_rows 1000 → 1100 (10%) and 1100 → 1150 (4.5%): inside 50% tolerance
+    assert(drift.filter(_._2 == "n_rows").forall(!_._5))
+    // zero-metric floor: a 0 → 1 wobble within tolerance*1 is not drift
+    MetricsRepo.append(spark, dir + "_w", 1L, "a", Seq(CheckResult("wobble", 0L, passed = true)))
+    MetricsRepo.append(spark, dir + "_w", 2L, "b", Seq(CheckResult("wobble", 0L, passed = true)))
+    val w = MetricsRepo.drift(spark, dir + "_w", tolerance = 1.0)
+      .filter(col("run_seq") === 2L).select("is_drift").as[Boolean].collect()
+    assert(w.sameElements(Array(false)))
+  }
+
   // ---- q109 temperature mixture ------------------------------------------
 
   test("temperatureMixture: defining algebra holds") {

@@ -38,6 +38,34 @@ object MetricsRepo {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Append every micro-batch's observed gate metrics from a finished or
+    * running [[org.apache.spark.sql.streaming.StreamingQuery]]'s progress
+    * history into the repository: batchId becomes `run_seq` (Spark's own
+    * monotone restart-safe sequence), so the same drift() query serves
+    * batch pipelines and streams. Call after (or periodically while) the
+    * stream runs; already-appended batches are skipped via `sinceBatch`.
+    * Returns the highest batchId appended (pass it back as the next
+    * `sinceBatch`). Metrics ride progress events — this never touches the
+    * stream's data path.
+    */
+  def appendStreamProgress(spark: SparkSession, path: String,
+                           query: org.apache.spark.sql.streaming.StreamingQuery,
+                           checks: Seq[Check], observeName: String = "graft_checks",
+                           sinceBatch: Long = -1L): Long = {
+    var last = sinceBatch
+    query.recentProgress.toSeq
+      .filter(_.batchId > sinceBatch)
+      .sortBy(_.batchId)
+      .foreach { p =>
+        Option(p.observedMetrics.get(observeName)).foreach { row =>
+          append(spark, path, p.batchId, s"batch-${p.batchId}",
+            CheckSuite.decodeObservedRow(row, checks))
+          last = math.max(last, p.batchId)
+        }
+      }
+    last
+  }
+
   /** Run-over-run drift: each (check, run) beside the previous run's
     * metric, flagged when the metric moved by more than `tolerance`
     * relative to its predecessor (|cur − prev| > tolerance · max(prev, 1);

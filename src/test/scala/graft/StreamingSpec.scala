@@ -326,6 +326,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("MetricsRepo.appendStreamProgress: per-batch gate metrics land as runs") {
+    import graft.checks._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val checks = Seq(NoMissing("event_type"),
+      NoFailedRows("neg_value", org.apache.spark.sql.functions.col("value") < 0))
+    val repo = java.nio.file.Files.createTempDirectory("metrics_stream").toString
+    val q = CheckSuite.observedStream(source.toDF(), checks)
+      .writeStream.format("memory").queryName("obs_repo_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:01:00"), 7, null, 1.0))
+      q.processAllAvailable()
+      source.addData(
+        Event(3, ts("2024-01-01 00:02:00"), 8, "view", -3.0),
+        Event(4, ts("2024-01-01 00:03:00"), 8, "view", -4.0))
+      q.processAllAvailable()
+      val last = MetricsRepo.appendStreamProgress(spark, repo, q, checks)
+      assert(last >= 1L, "two batches should have appended")
+      // idempotence: a second sweep from the same cursor appends nothing
+      assert(MetricsRepo.appendStreamProgress(spark, repo, q, checks,
+        sinceBatch = last) == last)
+      val log = MetricsRepo.load(spark, repo)
+        .select("run_seq", "check", "metric")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // batch 0: one null event_type, no negatives; batch 1: two negatives
+      assert(log.contains((0L, checks.head.name, 1L)))
+      assert(log.contains((0L, checks(1).name, 0L)))
+      assert(log.contains((1L, checks(1).name, 2L)))
+      // the drift diff runs unchanged over the streaming log: neg_value
+      // 0 → 2 is a flagged jump
+      val d = MetricsRepo.drift(spark, repo, tolerance = 0.5)
+        .filter(org.apache.spark.sql.functions.col("check") === checks(1).name
+          && org.apache.spark.sql.functions.col("run_seq") === 1L)
+        .select("is_drift").collect()
+      assert(d.length == 1 && d.head.getBoolean(0), "0 → 2 negatives must flag drift")
+    } finally q.stop()
+  }
+
   test("corpusDedupStream: state stays bounded while set-contract matches batch") {
     // The BOUNDED-STATE corpus dedup (dropDuplicatesWithinWatermark):
     // (1) inside the lateness window it behaves exactly like the batch

@@ -59,7 +59,7 @@ object Star {
   def invalidate(spark: SparkSession, sfDir: String): Unit =
     cache.remove((spark, sfDir)).foreach { s =>
       Seq(s.dimCustomer, s.dimDatetime, s.dimProduct, s.dimInvoice, s.fct)
-        .foreach(_.unpersist())
+        .foreach(_.unpersist(blocking = true))
     }
 
   /** dim_customer (reference: include/dbt/models/transform/dim_customer.sql:1-13):

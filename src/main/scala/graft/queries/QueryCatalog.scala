@@ -177,7 +177,7 @@ object QueryCatalog {
     pairsCache.remove((s, dir)).foreach { df =>
       df.queryExecution.logical.collect {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }.foreach(_.unpersist(false))
+      }.foreach(_.unpersist(true))
     }
 
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -209,7 +209,7 @@ object QueryCatalog {
     compCache.remove((s, dir)).foreach { df =>
       df.queryExecution.logical.collect {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }.foreach(_.unpersist(false))
+      }.foreach(_.unpersist(true))
     }
 
   /** n-gram Jaccard between consecutive docs (by id) within each source —
@@ -247,7 +247,7 @@ object QueryCatalog {
     */
   def invalidateCorpus(s: SparkSession, dir: String): Unit =
     corpusCache.remove((s, dir)).foreach { c =>
-      c.clean.unpersist(); c.deduped.unpersist()
+      c.clean.unpersist(blocking = true); c.deduped.unpersist(blocking = true)
     }
 
   def cleanedCorpus(s: SparkSession, dir: String): DataFrame =
@@ -555,7 +555,7 @@ object QueryCatalog {
 
   /** Drop the cached gram table for (session, dir) and unpersist it. */
   def invalidateSplitGrams(s: SparkSession, dir: String): Unit =
-    gramsCache.remove((s, dir)).foreach(_.unpersist())
+    gramsCache.remove((s, dir)).foreach(_.unpersist(blocking = true))
 
   /** Session-cache lifecycle for a SORTED full-catalog sweep (the bench /
     * verify shape): after the named query — the LAST sorted-order
@@ -568,6 +568,12 @@ object QueryCatalog {
     * never wrong). The 100 TB analog: persistent intermediate tables need
     * an owner that drops them when the last reader finishes, or storage
     * eviction churn taxes the whole tail of the job (SCALE.md).
+    *
+    * All releases unpersist BLOCKING: an async release overlaps its
+    * BlockManager removal work with the NEXT query's execution and taxes
+    * whatever happens to run next (measured: q50, the query after q49's
+    * corpus release, read 2.4→11.7s with async release; blocking puts the
+    * cost in the release call where it is attributed and bounded).
     */
   val cacheReleaseAfter: Map[String, (SparkSession, String) => Unit] = Map(
     // q100 sorts between q10 and q11 (string order): without a release

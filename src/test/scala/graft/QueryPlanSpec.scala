@@ -115,6 +115,43 @@ class QueryPlanSpec extends SparkSpec {
       s"candidates must come from the gram-hash equi join:\n${plan.take(1500)}")
   }
 
+  test("q101 join census: two partial aggs + one key co-shuffle, never the join itself") {
+    val plan = executedPlan(QueryCatalog.joinCardinality(spark, sf))
+    // the full-outer key merge is the ONLY row-matching operator — the
+    // prospective orders⋈lineitem join must never execute
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"census must not materialize the join:\n${plan.take(1500)}")
+    // both sides partial-aggregate before the key exchange (map-side
+    // combine is what bounds the shuffle by |distinct keys|, not |rows|)
+    assert("partial_count".r.findAllIn(plan).size >= 2,
+      s"both sides must map-side combine:\n${plan.take(1500)}")
+  }
+
+  test("q107 chunk-dup profile: one documents scan feeds the whole profile") {
+    val plan = executedPlan(QueryCatalog.chunkDupProfile(spark, sf))
+    val scans = "(?m)Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"chunk frequency must come from the window, not a join:\n${plan.take(1500)}")
+  }
+
+  test("q108 metric drift: corpus work is one partial agg; window rides the day series") {
+    val plan = executedPlan(QueryCatalog.dailyMetricDrift(spark, sf))
+    val scans = "(?m)Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one events scan, got $scans:\n${plan.take(1500)}")
+    // the distinct-users rewrite expands once; everything aggregates by
+    // hash before the |days|-row window
+    assert(plan.contains("HashAggregate"), s"daily metrics must hash-aggregate:\n${plan.take(1500)}")
+  }
+
+  test("q109 temperature mixture: one scan, one partial agg, totals on the source rows") {
+    val plan = executedPlan(QueryCatalog.temperatureMixture(spark, sf))
+    val scans = "(?m)Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${plan.take(1500)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"per-source sums must map-side combine:\n${plan.take(1500)}")
+  }
+
   test("q95/q97 typed aggregates run as ObjectHashAggregate with partial merge") {
     val ssPlan = executedPlan(QueryCatalog.spaceSavingTokens(spark, sf))
     assert(ssPlan.contains("ObjectHashAggregate"),

@@ -193,6 +193,67 @@ class Round8Spec extends SparkSpec {
     assert(w.sameElements(Array(false)))
   }
 
+  // ---- LeastSquares (q105's documented scale path) -----------------------
+
+  private def studentFeatures() = {
+    import graft.text.TextOps
+    graft.io.Tables.table(spark, sf, "documents").select(
+      TextOps.tokenCount(col("text")).cast("double").as("x1"),
+      TextOps.stopwordCount(col("text")).cast("double").as("x2"),
+      // NOT punctCount: the synthetic corpus has zero punctuation, which
+      // makes a punct feature constant → legitimately singular (the
+      // collinear test covers that path deliberately)
+      length(col("text")).cast("double").as("x3"),
+      when(TextOps.qualityScore(col("text")) >= 0.8, 1.0).otherwise(0.0).as("y"))
+  }
+
+  test("LeastSquares d=2: double normal equations reproduce q105's exact-decimal weights") {
+    val feats = studentFeatures()
+    val m = graft.ops.LeastSquares.fit(feats, Seq("x1", "x2"), "y")
+    val exact = Q.qualityClassifier(spark, sf)
+      .select("w0", "w1", "w2").as[(Double, Double, Double)].head()
+    val got = (m.weights(0), m.weights(1), m.weights(2))
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b))
+    assert(close(got._1, exact._1) && close(got._2, exact._2) && close(got._3, exact._3),
+      s"double NE $got diverged from exact Cramer $exact")
+  }
+
+  test("LeastSquares d=3: residuals orthogonal to features; SSE <= the d=2 student's") {
+    val feats = studentFeatures().cache()
+    try {
+      val m2 = graft.ops.LeastSquares.fit(feats, Seq("x1", "x2"), "y")
+      val m3 = graft.ops.LeastSquares.fit(feats, Seq("x1", "x2", "x3"), "y")
+      def sse(m: graft.ops.LeastSquares.Model): Double =
+        graft.ops.LeastSquares.predicted(feats, m)
+          .select(sum(pow(col("y") - col("prediction"), 2.0)))
+          .as[Double].head()
+      val (s2, s3) = (sse(m2), sse(m3))
+      // supersets of features can only lower the least-squares optimum
+      assert(s3 <= s2 + 1e-6 * s2, s"d=3 SSE $s3 must not exceed d=2 SSE $s2")
+      // first-order optimality: residual ⊥ each feature and the intercept
+      val r = graft.ops.LeastSquares.predicted(feats, m3)
+        .select(
+          sum(col("y") - col("prediction")).as("r0"),
+          sum((col("y") - col("prediction")) * col("x1")).as("r1"),
+          sum((col("y") - col("prediction")) * col("x2")).as("r2"),
+          sum((col("y") - col("prediction")) * col("x3")).as("r3"),
+          sum(col("x1") * col("x1")).as("scale"))
+        .as[(Double, Double, Double, Double, Double)].head()
+      val tol = 1e-7 * math.max(1.0, r._5)
+      assert(math.abs(r._1) < tol && math.abs(r._2) < tol
+        && math.abs(r._3) < tol && math.abs(r._4) < tol,
+        s"normal-equations residuals not orthogonal: $r")
+    } finally feats.unpersist()
+  }
+
+  test("LeastSquares: collinear features fail loudly, not silently") {
+    val feats = studentFeatures().withColumn("x1b", col("x1") * 2.0)
+    intercept[IllegalArgumentException] {
+      graft.ops.LeastSquares.fit(feats, Seq("x1", "x1b"), "y")
+    }
+  }
+
   // ---- q109 temperature mixture ------------------------------------------
 
   test("temperatureMixture: defining algebra holds") {

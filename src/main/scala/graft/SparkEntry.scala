@@ -211,7 +211,13 @@ object SparkEntry {
     // α=0.5 temperature-scaled source sampling weights (exact/IEEE-portable)
     "q109_temperature_mixture"  -> (Q.temperatureMixture(_, _)),
     // best-copy clean corpus: quality gate on q106's kept cluster members
-    "q110_best_copy_corpus"     -> (Q.bestCopyCorpus(_, _))
+    "q110_best_copy_corpus"     -> (Q.bestCopyCorpus(_, _)),
+    // power-of-two token-length histogram (len(bin(n))-1: no libm log)
+    "q111_token_histogram"      -> (Q.tokenHistogram(_, _)),
+    // per-user view→purchase conversion over 30-min gap sessions
+    "q112_session_funnel"       -> (Q.sessionFunnel(_, _)),
+    // weekly cohort retention matrix (integer-exact date math)
+    "q113_cohort_retention"     -> (Q.cohortRetention(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

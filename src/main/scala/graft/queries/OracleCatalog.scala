@@ -1761,6 +1761,61 @@ object OracleCatalog {
          |SELECT doc_id, component, quality, n_tokens
          |FROM k WHERE doc_id = keeper_id AND quality >= 0.5""".stripMargin,
 
+    // q111: power-of-two length histogram; bucket = length(bin(n)) - 1
+    // (binary-string length in both engines — no libm log2)
+    "q111_token_histogram" ->
+      raw"""WITH n AS (SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+         |  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n
+         | FROM documents),
+         |b AS (SELECT CASE WHEN n <= 0 THEN -1
+         |  ELSE CAST(length(bin(n)) - 1 AS INTEGER) END AS len_bucket, n FROM n)
+         |SELECT len_bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS doc_share
+         |FROM b GROUP BY len_bucket""".stripMargin,
+
+    // q112: per-user view→purchase conversion over the q64 session
+    // islands; seen-view window is strictly-preceding rows; NULL
+    // conversion for users with no view sessions
+    "q112_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |            date_trunc('second', ts) AS ts_sec FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+        |         OR (epoch(ts_sec) - epoch(lag(ts_sec) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
+        |g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+        |h AS (SELECT *, max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id, sid ORDER BY ts_sec ASC, event_id ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_view FROM g),
+        |s AS (SELECT user_id, sid,
+        |        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+        |        max(CASE WHEN event_type = 'purchase' AND coalesce(seen_view, 0) = 1
+        |            THEN 1 ELSE 0 END) AS has_conv
+        |      FROM h GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(has_view) AS BIGINT) AS n_view_sessions,
+        |  CAST(sum(has_conv) AS BIGINT) AS n_converted,
+        |  CASE WHEN sum(has_view) > 0
+        |    THEN CAST(sum(has_conv) AS DOUBLE) / CAST(sum(has_view) AS DOUBLE) END AS conversion
+        |FROM s GROUP BY user_id""".stripMargin,
+
+    // q113: weekly cohort retention; all date math integer (datediff//7),
+    // no engine week-truncation semantics
+    "q113_cohort_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id),
+        |tagged AS (SELECT DISTINCT d.user_id,
+        |    CAST((d.day - f.cohort_day) // 7 AS BIGINT) AS week_offset,
+        |    CAST((f.cohort_day - DATE '1970-01-01') // 7 AS BIGINT) AS cohort_week
+        |  FROM days d JOIN fd f USING (user_id)),
+        |act AS (SELECT cohort_week, week_offset, count(*) AS n_active
+        |        FROM tagged GROUP BY cohort_week, week_offset),
+        |cs AS (SELECT CAST((cohort_day - DATE '1970-01-01') // 7 AS BIGINT) AS cohort_week,
+        |         count(*) AS cohort_size FROM fd GROUP BY 1)
+        |SELECT cohort_week, week_offset, n_active, cohort_size,
+        |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+        |FROM act JOIN cs USING (cohort_week)""".stripMargin,
+
     // q107: per-doc duplicated-chunk ratio over non-overlapping 64-token
     // chunks; window count over per-(chunk,doc) rows = distinct-doc
     // frequency; same-doc repeats never count as shared

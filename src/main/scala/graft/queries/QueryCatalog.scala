@@ -2431,6 +2431,99 @@ object QueryCatalog {
           .as("temp_weight_rel"))
   }
 
+  /** Token-length histogram (q111): corpus length distribution in
+    * power-of-two buckets — the first diagnostic anyone runs before
+    * choosing chunk/pack sizes (q55/q56) and length-filter bounds (q16).
+    * The bucket is integer-exact in both engines: floor(log₂ n) computed
+    * as length(bin(n)) − 1 — a binary-string length, no libm log (the
+    * q42/q103 portability rule). Empty docs land in bucket −1. One
+    * tokenize scan → one map-side-combined groupBy over ≲ 40 buckets;
+    * shares are single divisions of exact longs over the bucket-row
+    * window.
+    */
+  def tokenHistogram(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "documents")
+      .select(TextOps.tokenCount(col("text")).cast("long").as("n"))
+    n.select(
+        when(col("n") <= 0, lit(-1))
+          .otherwise(length(expr("bin(n)")) - 1).cast("int").as("len_bucket"),
+        col("n"))
+      .groupBy("len_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .withColumn("doc_share",
+        col("n_docs").cast("double")
+          / sum(col("n_docs")).over(Window.partitionBy()).cast("double"))
+  }
+
+  /** Session funnel (q112): per user, the fraction of 30-minute gap
+    * sessions (q64's session definition, island-built so the session id
+    * is explicit) in which a 'view' was followed — strictly later in the
+    * same session — by a 'purchase'. The canonical product-analytics
+    * conversion query. Three windows share ONE user_id shuffle (islands,
+    * running session id, seen-view-before); per-session and per-user
+    * rollups are exact integer maxes/sums; the single double is the final
+    * ratio, guarded NULL when a user has no view sessions (no ±Inf
+    * crossing engines).
+    */
+  def sessionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_sec"))
+      .withColumn("gap_sec",
+        unix_timestamp(col("ts_sec")) - unix_timestamp(lag(col("ts_sec"), 1).over(wOrd)))
+      .withColumn("is_new",
+        when(col("gap_sec").isNull || col("gap_sec") > 1800L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy("user_id", "sid")
+      .orderBy(col("ts_sec").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perSession = e
+      .withColumn("seen_view",
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).over(wSess))
+      .groupBy("user_id", "sid")
+      .agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("has_view"),
+        max(when(col("event_type") === "purchase"
+          && coalesce(col("seen_view"), lit(0L)) === 1L, 1L).otherwise(0L)).as("has_conv"))
+    perSession.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("has_view").as("n_view_sessions"),
+        sum("has_conv").as("n_converted"))
+      .withColumn("conversion",
+        when(col("n_view_sessions") > 0,
+          col("n_converted").cast("double") / col("n_view_sessions").cast("double")))
+  }
+
+  /** Cohort retention (q113): the classic warehouse retention matrix —
+    * users grouped by the epoch-week of their FIRST activity, counted
+    * active per week-offset from that first day. All date math is
+    * integer-exact (datediff div 7; no engine week-truncation semantics,
+    * which differ across engines). Shuffles are bounded by |users| (first
+    * day, user-week dedup) then |cohorts × offsets|; retention is one
+    * division of exact longs.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val firstDay = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val tagged = days.join(firstDay, Seq("user_id"))
+      .select(col("user_id"),
+        expr("datediff(day, cohort_day) div 7").as("week_offset"),
+        expr("datediff(cohort_day, DATE '1970-01-01') div 7").as("cohort_week"))
+      .distinct()
+    val activity = tagged.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val cohortSize = firstDay
+      .groupBy(expr("datediff(cohort_day, DATE '1970-01-01') div 7").as("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.join(cohortSize, Seq("cohort_week"))
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

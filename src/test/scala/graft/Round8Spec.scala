@@ -193,6 +193,78 @@ class Round8Spec extends SparkSpec {
     assert(w.sameElements(Array(false)))
   }
 
+  // ---- q111 token histogram ----------------------------------------------
+
+  test("tokenHistogram: matches a driver-side bucket replay; shares sum to 1") {
+    val out = Q.tokenHistogram(spark, sf)
+      .select("len_bucket", "n_docs", "n_tokens", "doc_share")
+      .as[(Int, Long, Long, Double)].collect()
+    val naive = graft.io.Tables.table(spark, sf, "documents")
+      .select("text").as[String].collect()
+      .map(t => if (t.trim.isEmpty) 0L else t.trim.split("\\s+").length.toLong)
+      .groupBy(n => if (n <= 0) -1 else 63 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, ns) => b -> (ns.size.toLong, ns.sum) }
+    assert(out.length == naive.size)
+    out.foreach { case (b, docs, toks, _) =>
+      assert(naive(b) == ((docs, toks)), s"bucket $b mismatch")
+    }
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-9)
+  }
+
+  // ---- q112 session funnel -----------------------------------------------
+
+  test("sessionFunnel: matches a driver-side sessionize-and-scan replay") {
+    val out = Q.sessionFunnel(spark, sf)
+      .select("user_id", "n_sessions", "n_view_sessions", "n_converted")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .as[(Long, Long, String, Long)].collect()
+    val naive = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._2))
+      // split into 30-min gap sessions
+      val sessions = ordered.foldLeft(List.empty[List[(Long, Long, String, Long)]]) {
+        case (acc, r) => acc match {
+          case cur :: rest if r._4 - cur.head._4 <= 1800 => (r :: cur) :: rest
+          case _ => List(r) :: acc
+        }
+      }.map(_.reverse)
+      val hasView = sessions.count(_.exists(_._3 == "view"))
+      val conv = sessions.count { s =>
+        val viewIdx = s.indexWhere(_._3 == "view")
+        viewIdx >= 0 && s.drop(viewIdx + 1).exists(_._3 == "purchase")
+      }
+      (uid, sessions.size.toLong, hasView.toLong, conv.toLong)
+    }
+    assert(out == naive)
+    assert(out.exists(_._4 > 0), "fixture should contain at least one conversion")
+  }
+
+  // ---- q113 cohort retention ---------------------------------------------
+
+  test("cohortRetention: matches a driver-side cohort replay; offset 0 is full") {
+    val out = Q.cohortRetention(spark, sf)
+      .select("cohort_week", "week_offset", "n_active", "cohort_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .as[(Long, String)].collect().distinct
+    def epochDay(d: String) = java.time.LocalDate.parse(d).toEpochDay
+    val first = ev.groupBy(_._1).map { case (u, ds) => u -> ds.map(d => epochDay(d._2)).min }
+    val tagged = ev.map { case (u, d) =>
+      (first(u) / 7, (epochDay(d) - first(u)) / 7, u)
+    }.distinct
+    val act = tagged.groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.length.toLong }
+    val cs = first.values.groupBy(_ / 7).map { case (w, v) => w -> v.size.toLong }
+    val naive = act.map { case ((cw, off), n) => (cw, off, n, cs(cw)) }.toSet
+    assert(out == naive)
+    // every user is active in their own first week: offset-0 rows are full
+    out.filter(_._2 == 0L).foreach { case (cw, _, n, size) =>
+      assert(n == size, s"cohort $cw offset 0 must equal cohort size")
+    }
+  }
+
   // ---- LeastSquares (q105's documented scale path) -----------------------
 
   private def studentFeatures() = {

@@ -217,7 +217,9 @@ object SparkEntry {
     // per-user view→purchase conversion over 30-min gap sessions
     "q112_session_funnel"       -> (Q.sessionFunnel(_, _)),
     // weekly cohort retention matrix (integer-exact date math)
-    "q113_cohort_retention"     -> (Q.cohortRetention(_, _))
+    "q113_cohort_retention"     -> (Q.cohortRetention(_, _)),
+    // k-step funnel report over gap sessions (CoreOps.funnelSteps)
+    "q114_funnel_report"        -> (Q.funnelReport(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -241,4 +241,42 @@ object CoreOps {
       .filter(col("__side") === 1)
       .select(lCols.map(col) ++ rightPayload.map(c => col(s"__match.$c").as(c)): _*)
   }
+
+  /** Multi-step funnel over gap sessions — the k-step generalization of
+    * the view→purchase conversion (q112): sessionize by `gapSec` islands,
+    * then for each step i find the EARLIEST event of type `steps(i)`
+    * strictly after step i−1's timestamp, as a fold of conditional
+    * min-windows over the SAME (user, session) partition — k window
+    * passes, one user-key shuffle, no UDF, no per-session collect.
+    * A step's timestamp is null (and every later step's, by the strict
+    * ts > prev condition evaluating null) when the session never reaches
+    * it. Returns one row per session: user, sid, step0_ts..step{k−1}_ts,
+    * steps_reached.
+    */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, tieCol: String, gapSec: Long,
+                  steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    val wOrd = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val sess = events
+      .withColumn("__gap",
+        unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(wOrd)))
+      .withColumn("__new", when(col("__gap").isNull || col("__gap") > gapSec, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("__new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(userCol, "sid")
+    val withSteps = steps.zipWithIndex.foldLeft(sess) { case (df, (st, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === st
+        else col(typeCol) === st && col(tsCol) > col(s"step${i - 1}_ts")
+      df.withColumn(s"step${i}_ts", min(when(cond, col(tsCol))).over(wSess))
+    }
+    val stepCols = steps.indices.map(i => s"step${i}_ts")
+    withSteps.groupBy(col(userCol), col("sid"))
+      .agg(stepCols.map(c => max(col(c)).as(c)).head,
+           stepCols.map(c => max(col(c)).as(c)).tail: _*)
+      .withColumn("steps_reached",
+        stepCols.map(c => when(col(c).isNotNull, 1).otherwise(0))
+          .reduce(_ + _).cast("int"))
+  }
 }

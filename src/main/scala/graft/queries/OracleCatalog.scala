@@ -1816,6 +1816,33 @@ object OracleCatalog {
         |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
         |FROM act JOIN cs USING (cohort_week)""".stripMargin,
 
+    // q114: k-step funnel — chained conditional min-windows (step i
+    // strictly after step i-1) over the q64 session islands; one
+    // aggregation row exploded to per-step counts
+    "q114_funnel_report" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |            date_trunc('second', ts) AS ts_sec FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+        |         OR (epoch(ts_sec) - epoch(lag(ts_sec) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
+        |g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+        |s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_sec END)
+        |         OVER (PARTITION BY user_id, sid) AS step0_ts FROM g),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_sec > step0_ts THEN ts_sec END)
+        |         OVER (PARTITION BY user_id, sid) AS step1_ts FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_sec > step1_ts THEN ts_sec END)
+        |         OVER (PARTITION BY user_id, sid) AS step2_ts FROM s1),
+        |sess AS (SELECT user_id, sid, max(step0_ts) AS t0, max(step1_ts) AS t1,
+        |           max(step2_ts) AS t2 FROM s2 GROUP BY user_id, sid),
+        |c AS (SELECT count(t0) AS c0, count(t1) AS c1, count(t2) AS c2 FROM sess)
+        |SELECT 0 AS step_idx, 'view' AS step, CAST(c0 AS BIGINT) AS n_reached,
+        |  CASE WHEN c0 > 0 THEN CAST(c0 AS DOUBLE) / CAST(c0 AS DOUBLE) END AS rate_vs_first FROM c
+        |UNION ALL SELECT 1, 'click', CAST(c1 AS BIGINT),
+        |  CASE WHEN c0 > 0 THEN CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) END FROM c
+        |UNION ALL SELECT 2, 'purchase', CAST(c2 AS BIGINT),
+        |  CASE WHEN c0 > 0 THEN CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) END FROM c""".stripMargin,
+
     // q107: per-doc duplicated-chunk ratio over non-overlapping 64-token
     // chunks; window count over per-(chunk,doc) rows = distinct-doc
     // frequency; same-doc repeats never count as shared

@@ -2524,6 +2524,32 @@ object QueryCatalog {
         col("n_active").cast("double") / col("cohort_size").cast("double"))
   }
 
+  /** Multi-step funnel report (q114): sessions reaching each step of the
+    * view→click→purchase funnel — the k-step generalization of q112's
+    * two-step conversion, built on [[graft.ops.CoreOps.funnelSteps]]
+    * (k conditional min-windows folded over ONE user-key shuffle). The
+    * report is one aggregation row over the per-session frame, exploded
+    * to (step_idx, step, n_reached, rate_vs_first) — counts are exact
+    * longs, the rate is one double division, and reach is monotone by
+    * construction (step i requires an event strictly after step i−1).
+    */
+  def funnelReport(s: SparkSession, dir: String): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val sess = graft.ops.CoreOps.funnelSteps(
+      Tables.events(s, dir).withColumn("ts_sec", date_trunc("second", col("ts"))),
+      "user_id", "event_type", "ts_sec", "event_id", gapSec = 1800L, steps = steps)
+    val countCols = steps.indices.map(i =>
+      sum(when(col(s"step${i}_ts").isNotNull, 1L).otherwise(0L)).as(s"c$i"))
+    val agg = sess.agg(countCols.head, countCols.tail: _*)
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i).as("step_idx"), lit(st).as("step"),
+        col(s"c$i").as("n_reached"),
+        when(col("c0") > 0,
+          col(s"c$i").cast("double") / col("c0").cast("double")).as("rate_vs_first"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

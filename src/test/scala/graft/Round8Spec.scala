@@ -265,6 +265,53 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  // ---- q114 funnel / CoreOps.funnelSteps ---------------------------------
+
+  test("funnelSteps: reach is monotone and step timestamps strictly increase") {
+    val sess = graft.ops.CoreOps.funnelSteps(
+      graft.io.Tables.events(spark, sf)
+        .withColumn("ts_sec", date_trunc("second", col("ts"))),
+      "user_id", "event_type", "ts_sec", "event_id", gapSec = 1800L,
+      steps = Seq("view", "click", "purchase"))
+    val rows = sess.select("step0_ts", "step1_ts", "step2_ts", "steps_reached")
+      .as[(Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+           Option[java.sql.Timestamp], Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t0, t1, t2, reached) =>
+      assert(!(t1.isDefined && t0.isEmpty), "step1 without step0")
+      assert(!(t2.isDefined && t1.isEmpty), "step2 without step1")
+      for (a <- t0; b <- t1) assert(a.before(b), "step1 must be strictly later")
+      for (a <- t1; b <- t2) assert(a.before(b), "step2 must be strictly later")
+      assert(reached == Seq(t0, t1, t2).count(_.isDefined))
+    }
+  }
+
+  test("funnelSteps 2-step agrees with q112's per-user conversion counts") {
+    val sess = graft.ops.CoreOps.funnelSteps(
+      graft.io.Tables.events(spark, sf)
+        .withColumn("ts_sec", date_trunc("second", col("ts"))),
+      "user_id", "event_type", "ts_sec", "event_id", gapSec = 1800L,
+      steps = Seq("view", "purchase"))
+    val byUser = sess.groupBy("user_id")
+      .agg(sum(when(col("step0_ts").isNotNull, 1L).otherwise(0L)).as("v"),
+           sum(when(col("step1_ts").isNotNull, 1L).otherwise(0L)).as("c"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val q112 = Q.sessionFunnel(spark, sf)
+      .select("user_id", "n_view_sessions", "n_converted")
+      .as[(Long, Long, Long)].collect()
+    q112.foreach { case (uid, nv, nc) =>
+      assert(byUser(uid) == ((nv, nc)), s"user $uid funnel mismatch")
+    }
+  }
+
+  test("funnelReport: n_reached is monotone non-increasing down the funnel") {
+    val rows = Q.funnelReport(spark, sf)
+      .orderBy("step_idx").select("n_reached").as[Long].collect()
+    assert(rows.length == 3)
+    assert(rows.sliding(2).forall(p => p(0) >= p(1)))
+    assert(rows.head > 0)
+  }
+
   // ---- LeastSquares (q105's documented scale path) -----------------------
 
   private def studentFeatures() = {

@@ -219,7 +219,9 @@ object SparkEntry {
     // weekly cohort retention matrix (integer-exact date math)
     "q113_cohort_retention"     -> (Q.cohortRetention(_, _)),
     // k-step funnel report over gap sessions (CoreOps.funnelSteps)
-    "q114_funnel_report"        -> (Q.funnelReport(_, _))
+    "q114_funnel_report"        -> (Q.funnelReport(_, _)),
+    // A/B readout: hash-split variants, per-variant conversion + lift
+    "q115_experiment_readout"   -> (Q.experimentReadout(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1843,6 +1843,35 @@ object OracleCatalog {
         |UNION ALL SELECT 2, 'purchase', CAST(c2 AS BIGINT),
         |  CASE WHEN c0 > 0 THEN CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) END FROM c""".stripMargin,
 
+    // q115: A/B readout — md5-nibble variant split over the 2-step funnel
+    // sessions; lift = conversion − control conversion (control lift ≡ 0)
+    "q115_experiment_readout" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |            date_trunc('second', ts) AS ts_sec FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+        |         OR (epoch(ts_sec) - epoch(lag(ts_sec) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
+        |g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+        |s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_sec END)
+        |         OVER (PARTITION BY user_id, sid) AS step0_ts FROM g),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_sec > step0_ts THEN ts_sec END)
+        |         OVER (PARTITION BY user_id, sid) AS step1_ts FROM s0),
+        |sess AS (SELECT user_id, sid, max(step0_ts) AS t0, max(step1_ts) AS t1
+        |         FROM s1 GROUP BY user_id, sid),
+        |v AS (SELECT *, CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 'treatment' ELSE 'control' END AS variant
+        |      FROM sess),
+        |p AS (SELECT variant, count(DISTINCT user_id) AS n_users, count(*) AS n_sessions,
+        |        count(t0) AS c_view, count(t1) AS c_conv FROM v GROUP BY variant),
+        |q AS (SELECT variant, n_users, n_sessions,
+        |        CAST(c_view AS BIGINT) AS n_view_sessions, CAST(c_conv AS BIGINT) AS n_converted,
+        |        CASE WHEN c_view > 0 THEN CAST(c_conv AS DOUBLE) / CAST(c_view AS DOUBLE) END AS conversion
+        |      FROM p)
+        |SELECT variant, n_users, n_sessions, n_view_sessions, n_converted, conversion,
+        |  conversion - max(CASE WHEN variant = 'control' THEN conversion END) OVER () AS lift_vs_control
+        |FROM q""".stripMargin,
+
     // q107: per-doc duplicated-chunk ratio over non-overlapping 64-token
     // chunks; window count over per-(chunk,doc) rows = distinct-doc
     // frequency; same-doc repeats never count as shared

@@ -2550,6 +2550,39 @@ object QueryCatalog {
     agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Experiment readout (q115): the A/B analysis every growth pipeline
+    * runs on top of the funnel — deterministic 50/50 user assignment by
+    * first md5 nibble (the q43 hash-split family: reproducible, crosses
+    * engines, no RNG state), per-variant view→purchase session
+    * conversion, and the absolute lift vs control. Counts are exact;
+    * conversion is one division; lift is one subtraction of two such
+    * doubles (same IEEE ops both engines), and control's own lift is
+    * exactly 0.0 (x − x). The variant totals ride a window over the
+    * 2-row variant frame.
+    */
+  def experimentReadout(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.CoreOps.funnelSteps(
+      Tables.events(s, dir).withColumn("ts_sec", date_trunc("second", col("ts"))),
+      "user_id", "event_type", "ts_sec", "event_id", gapSec = 1800L,
+      steps = Seq("view", "purchase"))
+    val tagged = sess.withColumn("variant",
+      when(substring(md5(col("user_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit("treatment"))
+        .otherwise(lit("control")))
+    tagged.groupBy("variant")
+      .agg(
+        count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("step0_ts").isNotNull, 1L).otherwise(0L)).as("n_view_sessions"),
+        sum(when(col("step1_ts").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+      .withColumn("conversion",
+        when(col("n_view_sessions") > 0,
+          col("n_converted").cast("double") / col("n_view_sessions").cast("double")))
+      .withColumn("lift_vs_control",
+        col("conversion") - max(when(col("variant") === "control", col("conversion")))
+          .over(Window.partitionBy()))
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

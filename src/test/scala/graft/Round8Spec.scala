@@ -312,6 +312,28 @@ class Round8Spec extends SparkSpec {
     assert(rows.head > 0)
   }
 
+  // ---- q115 experiment readout -------------------------------------------
+
+  test("experimentReadout: variants partition users; control lift is exactly 0") {
+    val out = Q.experimentReadout(spark, sf)
+      .select("variant", "n_users", "n_view_sessions", "n_converted",
+        "conversion", "lift_vs_control")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])].collect()
+    assert(out.map(_._1).sorted.toSeq == Seq("control", "treatment"))
+    val users = graft.io.Tables.events(spark, sf)
+      .select("user_id").distinct().as[Long].collect()
+    assert(out.map(_._2).sum == users.length, "variants must partition the users")
+    val control = out.find(_._1 == "control").get
+    assert(control._6.contains(0.0), "control lift must be exactly 0.0")
+    val treat = out.find(_._1 == "treatment").get
+    for (tc <- treat._5; cc <- control._5; l <- treat._6)
+      assert(l == tc - cc, "lift must be the plain conversion difference")
+    out.foreach { case (_, _, nv, nc, conv, _) =>
+      assert(nc <= nv, "conversions cannot exceed view sessions")
+      for (c <- conv) assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
   // ---- LeastSquares (q105's documented scale path) -----------------------
 
   private def studentFeatures() = {

@@ -133,6 +133,47 @@ object EventStreams {
       }
   }
 
+  final case class FunnelProgress(user_id: Long, steps_reached: Int,
+                                  last_step_ts: Option[java.sql.Timestamp])
+
+  /** Streaming funnel via mapGroupsWithState — the streaming face of
+    * [[graft.ops.CoreOps.funnelSteps]]'s step machine, per USER lifetime
+    * (no session cut): state is (steps_reached, last_step_ts) — two
+    * fields per live user, bounded by active keys, never by stream
+    * length. A batch's events fold in (ts, event_id) order, advancing
+    * one step whenever the next expected type arrives strictly after the
+    * previous step's timestamp — the same strict-progression rule as the
+    * batch operator. Update-mode emissions carry each user's current
+    * progress per batch.
+    *
+    * Cross-batch caveat (the corpusDedupStream trade-off, stated rather
+    * than hidden): state never rewinds, so a step event arriving LATE —
+    * after a later-typed event already advanced past it in a previous
+    * batch — is not retroactively applied; within a batch, arrival order
+    * doesn't matter (events sort by event time before folding).
+    */
+  def funnelProgress(events: Dataset[Event],
+                     steps: Seq[String]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "at least one funnel step")
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelProgress]) =>
+          val ordered = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelProgress(userId, 0, None))
+          ordered.foreach { e =>
+            if (st.steps_reached < steps.length
+                && e.event_type == steps(st.steps_reached)
+                && st.last_step_ts.forall(t => e.ts.getTime > t.getTime)) {
+              st = FunnelProgress(userId, st.steps_reached + 1, Some(e.ts))
+            }
+          }
+          state.update(st)
+          st
+      }
+  }
+
   /** Watermarked stream-stream interval join — attribution: each click
     * joined to the same user's purchases within the following
     * `horizon`. Both sides carry watermarks and the join condition bounds

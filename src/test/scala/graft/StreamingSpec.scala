@@ -367,6 +367,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelProgress: per-user step machine advances across batches, order-free within") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.Event
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val steps = Seq("view", "click", "purchase")
+    val q = EventStreams.funnelProgress(source.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_stream_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1 deliberately out of arrival order: the click precedes the
+      // view in the sequence but sorts after it by event time
+      source.addData(
+        Event(3, ts("2024-01-01 00:05:00"), 1, "click", 0.0),
+        Event(1, ts("2024-01-01 00:01:00"), 1, "view", 0.0),
+        Event(2, ts("2024-01-01 00:01:00"), 2, "purchase", 0.0)) // wrong first step
+      q.processAllAvailable()
+      val afterB1 = spark.table("funnel_stream_test")
+        .select("user_id", "steps_reached")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(afterB1(1L) == 2, "view then click (sorted by event time) = 2 steps")
+      assert(afterB1(2L) == 0, "purchase before any view advances nothing")
+      // batch 2: user 1 completes; user 2 starts the funnel properly
+      source.addData(
+        Event(4, ts("2024-01-01 00:09:00"), 1, "purchase", 0.0),
+        Event(5, ts("2024-01-01 00:10:00"), 2, "view", 0.0))
+      q.processAllAvailable()
+      val fin = spark.table("funnel_stream_test")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("steps_reached").as("r"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(fin(1L) == 3, "user 1 completes the funnel across batches")
+      assert(fin(2L) == 1, "user 2's late-batch view counts; earlier purchase does not rewind")
+    } finally q.stop()
+  }
+
   test("corpusDedupStream: state stays bounded while set-contract matches batch") {
     // The BOUNDED-STATE corpus dedup (dropDuplicatesWithinWatermark):
     // (1) inside the lateness window it behaves exactly like the batch

@@ -49,7 +49,7 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       graft.queries.QueryCatalog.cacheReleaseAfter.get(name)
-        .foreach(release => release(spark, sfDir))
+        .foreach(_.foreach(release => release(spark, sfDir)))
       name -> sec
     }
     def jstr(s: String): String = "\"" + s.flatMap {

@@ -35,7 +35,7 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         graft.queries.QueryCatalog.cacheReleaseAfter.get(name)
-          .foreach(release => release(spark, sfDir))
+          .foreach(_.foreach(release => release(spark, sfDir)))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

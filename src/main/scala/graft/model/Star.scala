@@ -44,7 +44,8 @@ object Star {
     * at 100 TB the equivalent step writes the fact to bucketed parquet
     * (Tables.overwritePartitioned) instead of caching it.
     */
-  def build(spark: SparkSession, sfDir: String): StarSchema =
+  def build(spark: SparkSession, sfDir: String): StarSchema = {
+    graft.queries.CacheAccess.record("star")
     cache.getOrElseUpdate((spark, sfDir), {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val dc = dimCustomer(spark, sfDir).persist(lvl)
@@ -54,6 +55,7 @@ object Star {
       val f  = fctFromDims(spark, sfDir, di, dp, dd).persist(lvl)
       StarSchema(dc, dd, dp, di, f)
     })
+  }
 
   /** Drop the cached star for (session, dir) and unpersist its frames. */
   def invalidate(spark: SparkSession, sfDir: String): Unit =

@@ -165,9 +165,11 @@ object QueryCatalog {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def docCandidatePairs(s: SparkSession, dir: String): DataFrame =
+  private def docCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    CacheAccess.record("candidatePairs")
     pairsCache.getOrElseUpdate((s, dir),
       Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text"))
+  }
 
   /** Drop the cached candidate pairs for (session, dir) and free their
     * checkpoint blocks (non-recomputable — only safe once no consumer can
@@ -194,7 +196,8 @@ object QueryCatalog {
   private val compCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def docComponents(s: SparkSession, dir: String): DataFrame =
+  private def docComponents(s: SparkSession, dir: String): DataFrame = {
+    CacheAccess.record("components")
     compCache.getOrElseUpdate((s, dir), {
       val docs  = t(s, dir, "documents")
       val pairs = Dedup.nearDupPairsFrom(docCandidatePairs(s, dir), docs,
@@ -202,6 +205,7 @@ object QueryCatalog {
       graft.dedup.Components.connectedComponents(
         pairs, "doc_a", "doc_b", docs.select("doc_id"), "doc_id")
     })
+  }
 
   /** Drop the cached component map for (session, dir) and free its
     * checkpoint blocks (non-recomputable; see invalidateCandidatePairs). */
@@ -250,7 +254,8 @@ object QueryCatalog {
       c.clean.unpersist(blocking = true); c.deduped.unpersist(blocking = true)
     }
 
-  def cleanedCorpus(s: SparkSession, dir: String): DataFrame =
+  def cleanedCorpus(s: SparkSession, dir: String): DataFrame = {
+    CacheAccess.record("corpus")
     corpusCache.getOrElseUpdate((s, dir), {
       val docs = t(s, dir, "documents")
       val scored = docs.select(
@@ -273,6 +278,7 @@ object QueryCatalog {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       CachedCorpus(e, clean)
     }).clean
+  }
 
   /** Flagship LLM-data-pipeline composition: quality filter → exact dedup
     * (keep lowest id per canonical fingerprint) → verified near-dup removal
@@ -545,29 +551,40 @@ object QueryCatalog {
   private val gramsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def splitGrams(s: SparkSession, dir: String): DataFrame =
+  private def splitGrams(s: SparkSession, dir: String): DataFrame = {
+    CacheAccess.record("splitGrams")
     gramsCache.getOrElseUpdate((s, dir),
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), splitCol(col("doc_id")).as("split"),
           explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
         .select(col("doc_id"), col("source"), col("split"), md5(col("gram")).as("gh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Drop the cached gram table for (session, dir) and unpersist it. */
   def invalidateSplitGrams(s: SparkSession, dir: String): Unit =
     gramsCache.remove((s, dir)).foreach(_.unpersist(blocking = true))
 
   /** Session-cache lifecycle for a SORTED full-catalog sweep (the bench /
-    * verify shape): after the named query — the LAST sorted-order
-    * consumer of each cache — runs, its cache is dead weight. Left
-    * persisted, the four caches stack up in the unified memory pool and
-    * evict EXECUTION memory for every later query (judge-reproduced 4-12×
-    * tail slowdowns on q80/q81 in round 5). Releasing after the last
-    * consumer keeps the pool clear; release is always safe — any
-    * out-of-order consumer just rebuilds via getOrElseUpdate (slower,
-    * never wrong). The 100 TB analog: persistent intermediate tables need
-    * an owner that drops them when the last reader finishes, or storage
-    * eviction churn taxes the whole tail of the job (SCALE.md).
+    * verify shape): after the LAST sorted-order consumer of each cache
+    * runs, its cache is dead weight. Left persisted, the caches stack up
+    * in the unified memory pool and evict EXECUTION memory for every
+    * later query (judge-reproduced 4-12× tail slowdowns on q80/q81 in
+    * round 5). Releasing after the last consumer keeps the pool clear;
+    * release is always safe — any out-of-order consumer just rebuilds via
+    * getOrElseUpdate (slower, never wrong). The 100 TB analog: persistent
+    * intermediate tables need an owner that drops them when the last
+    * reader finishes, or storage eviction churn taxes the whole tail of
+    * the job (SCALE.md).
+    *
+    * Release points are DERIVED from the declared consumer sets below,
+    * not hand-maintained: adding a query to a cache's consumer set moves
+    * the release automatically, and CacheLifecycleSpec verifies each
+    * declared set against INSTRUMENTED accesses recorded by the cache
+    * getters (see [[CacheAccess]]) — an undeclared consumer fails the
+    * spec instead of silently re-creating the round-5 eviction churn
+    * (the q100 incident: one new query name shifted a hand-maintained
+    * release point and cost q81 1.0s → 18.9s).
     *
     * All releases unpersist BLOCKING: an async release overlaps its
     * BlockManager removal work with the NEXT query's execution and taxes
@@ -575,20 +592,63 @@ object QueryCatalog {
     * corpus release, read 2.4→11.7s with async release; blocking puts the
     * cost in the release call where it is attributed and bounded).
     */
-  val cacheReleaseAfter: Map[String, (SparkSession, String) => Unit] = Map(
-    // q100 sorts between q10 and q11 (string order): without a release
-    // there, the gram cache it builds would sit across the star family
-    // and the whole dedup middle — exactly the r5 eviction-churn shape
-    // (measured: q81 1.0s → 18.9s when q100 held the cache to q96).
-    // Releasing immediately costs one rebuild at q44; the q44→q96 span
-    // is measured safe.
-    "q100_containment_dups" -> ((s, d) => invalidateSplitGrams(s, d)),
-    "q23_checks_report"   -> ((s, d) => Star.invalidate(s, d)),
-    // component map primes at q106 (sorted early), last read at q54
-    "q54_dedup_clusters"  -> ((s, d) => invalidateComponents(s, d)),
-    "q49_training_corpus" -> ((s, d) => invalidateCorpus(s, d)),
-    "q87_recursive_reach" -> ((s, d) => invalidateCandidatePairs(s, d)),
-    "q96_source_overlap"  -> ((s, d) => invalidateSplitGrams(s, d)))
+  final case class SessionCache(
+      name: String,
+      consumers: Set[String],
+      invalidate: (SparkSession, String) => Unit,
+      earlyReleaseAfter: Set[String] = Set.empty) {
+    require(consumers.nonEmpty, s"cache $name declares no consumers")
+    /** Last consumer in sorted sweep order — the derived release point. */
+    def lastConsumer: String = consumers.max
+    require(earlyReleaseAfter.subsetOf(consumers),
+      s"cache $name: early release points must be consumers")
+    require(earlyReleaseAfter.forall(_ < lastConsumer),
+      s"cache $name: an early release at/after the last consumer is just the release")
+  }
+
+  /** The five session caches and the queries that read them. Membership
+    * is verified by CacheLifecycleSpec against recorded getter accesses
+    * on a cold sorted sweep — edit the sets here when adding a consumer;
+    * the release schedule follows.
+    */
+  val sessionCaches: Seq[SessionCache] = Seq(
+    SessionCache("star",
+      consumers = Set("q02_dim_customer", "q03_dim_datetime", "q04_dim_product",
+        "q05_dim_invoice", "q06_fct_line_value", "q07_report_customer",
+        "q08_report_product", "q09_report_year", "q23_checks_report"),
+      invalidate = (s, d) => Star.invalidate(s, d)),
+    // q100 sorts FIRST among the gram consumers (string order puts it
+    // before q10): without an early release there, the gram cache it
+    // builds would sit across the star family and the whole dedup middle
+    // — exactly the r5 eviction-churn shape (measured: q81 1.0s → 18.9s
+    // when q100 held the cache to q96). Releasing immediately costs one
+    // rebuild at q44; the q44→q96 span is measured safe.
+    SessionCache("splitGrams",
+      consumers = Set("q100_containment_dups", "q44_decontamination",
+        "q80_bloom_decontam", "q96_source_overlap"),
+      invalidate = (s, d) => invalidateSplitGrams(s, d),
+      earlyReleaseAfter = Set("q100_containment_dups")),
+    // q106 reads the pairs only transitively: it is the first sorted
+    // component consumer, so it primes the component map FROM the pairs.
+    SessionCache("candidatePairs",
+      consumers = Set("q106_cluster_keepers", "q19_minhash_pairs",
+        "q60_edit_distance", "q86_pagerank", "q87_recursive_reach"),
+      invalidate = (s, d) => invalidateCandidatePairs(s, d)),
+    SessionCache("components",
+      consumers = Set("q106_cluster_keepers", "q110_best_copy_corpus",
+        "q54_dedup_clusters"),
+      invalidate = (s, d) => invalidateComponents(s, d)),
+    SessionCache("corpus",
+      consumers = Set("q32_clean_corpus", "q49_training_corpus"),
+      invalidate = (s, d) => invalidateCorpus(s, d)))
+
+  /** Derived release schedule: query name → releases to run after it
+    * (each cache's last sorted consumer, plus declared early points).
+    */
+  val cacheReleaseAfter: Map[String, Seq[(SparkSession, String) => Unit]] =
+    sessionCaches
+      .flatMap(c => (c.earlyReleaseAfter + c.lastConsumer).toSeq.map(_ -> c.invalidate))
+      .groupMap(_._1)(_._2)
 
   /** Train/heldout decontamination — the standard pre-training hygiene
     * check: a heldout doc is contaminated if it shares any exact

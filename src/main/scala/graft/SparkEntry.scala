@@ -221,7 +221,9 @@ object SparkEntry {
     // k-step funnel report over gap sessions (CoreOps.funnelSteps)
     "q114_funnel_report"        -> (Q.funnelReport(_, _)),
     // A/B readout: hash-split variants, per-variant conversion + lift
-    "q115_experiment_readout"   -> (Q.experimentReadout(_, _))
+    "q115_experiment_readout"   -> (Q.experimentReadout(_, _)),
+    // timeout-bounded funnel: 300s max step gap, attrition vs unbounded
+    "q116_funnel_timeout"       -> (Q.funnelTimeoutReport(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -66,6 +66,62 @@ object MetricsRepo {
     last
   }
 
+  /** Retention/compaction for the append-only run log. Policy: keep the
+    * most recent `keepRuns` distinct runs at FULL granularity; COARSEN
+    * older history to one representative run per `coarsenEvery`-wide
+    * run_seq bucket — the bucket's LAST run, kept WHOLE (all its checks),
+    * so any retained run is internally consistent and the drift query
+    * still sees a long-baseline trend at reduced resolution. Bounds both
+    * the row count (≈ keepRuns·checks + history/coarsenEvery·checks) and
+    * the file count (each append is one file; the rewrite collapses them)
+    * on a years-of-runs deployment, where the unbounded append log would
+    * otherwise grow without limit and tax every drift() read.
+    *
+    * Effect on drift(): within the full-granularity window, predecessors
+    * are unchanged; across the coarsened history, "previous run" becomes
+    * the previous RETAINED run, so a flagged jump means "moved more than
+    * tolerance since the last snapshot" — the correct reading for
+    * long-baseline trend review, stated here rather than hidden.
+    *
+    * The rewrite lands in `<path>__compact` then swaps via the
+    * filesystem's rename — not atomic against a concurrent reader on
+    * object stores; at scale this compaction belongs in a table format
+    * with atomic commit (the run-log analog of SCALE.md's
+    * storage-ownership rule), and callers serialize compaction with
+    * appends (one owner, e.g. the nightly run) either way. Idempotent:
+    * re-compacting an already-compacted log is a no-op on the retained
+    * set.
+    */
+  def compact(spark: SparkSession, path: String, keepRuns: Int = 100,
+              coarsenEvery: Long = 10L): Unit = {
+    require(keepRuns > 0 && coarsenEvery > 0, "retention knobs must be positive")
+    val log = load(spark, path)
+    // cutoff = smallest run_seq inside the full-granularity window; a
+    // single-row driver read of an aggregate over the (tiny) run list
+    val seqs = log.select("run_seq").distinct()
+      .orderBy(col("run_seq").desc).limit(keepRuns)
+      .agg(min("run_seq")).collect()
+    if (!seqs.isEmpty && !seqs.head.isNullAt(0)) {
+      val cutoff = seqs.head.getLong(0)
+      val recent = log.filter(col("run_seq") >= cutoff)
+      val coarse = log.filter(col("run_seq") < cutoff)
+        .withColumn("__keep", col("run_seq") ===
+          max(col("run_seq")).over(Window.partitionBy(
+            floor(col("run_seq") / lit(coarsenEvery)))))
+        .filter(col("__keep")).drop("__keep")
+      val tmp = path + "__compact"
+      recent.unionByName(coarse)
+        .select("run_seq", "run_id", "check", "metric", "passed")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+      ()
+    }
+  }
+
   /** Run-over-run drift: each (check, run) beside the previous run's
     * metric, flagged when the metric moved by more than `tolerance`
     * relative to its predecessor (|cur − prev| > tolerance · max(prev, 1);

@@ -21,14 +21,37 @@ object Tables {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Sessions must set
-    * spark.sql.legacy.parquet.nanosAsLong=true (Verify/Bench do); the raw
-    * int64 nanos are then truncated to a microsecond TimestampType here.
-    * Truncation is monotone, so ordering/max/window semantics survive; all
-    * driver-visible output formats timestamps at second granularity anyway.
+  /** Driver testdata has carried two timestamp flavors across rounds:
+    * TIMESTAMP(NANOS) (rounds 1-6; unreadable without nanosAsLong) and,
+    * after a regeneration, TIMESTAMP(MICROS) with isAdjustedToUTC=false —
+    * which Spark 4 reads as TIMESTAMP_NTZ. Downstream code and six
+    * rounds of driver compares assume session-local TimestampType, so
+    * normalize any NTZ column to it here, AT THE SOURCE. The session
+    * timezone is pinned to UTC everywhere (Verify/Bench/tests), making
+    * the cast value-exact (a naive timestamp reinterpreted as UTC), and
+    * normalizing keeps every consumer (window/funnel/session operators,
+    * oracle epoch math, getTimestamp row access) on one flavor instead
+    * of scattering per-query casts.
+    */
+  private def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name,
+        org.apache.spark.sql.functions.col(f.name).cast(TimestampType))
+    }
+  }
+
+  /** events.parquet has stored TIMESTAMP(NANOS) (rounds 1-6), which
+    * Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]) unless the
+    * session sets spark.sql.legacy.parquet.nanosAsLong=true (Verify/Bench
+    * do) — the raw int64 nanos are then truncated to a microsecond
+    * TimestampType here (truncation is monotone, so ordering/max/window
+    * semantics survive; driver-visible output formats timestamps at
+    * second granularity anyway). Regenerated testdata stores
+    * TIMESTAMP(MICROS) NTZ instead, handled by [[normalizeTimestamps]].
+    * Both flavors land on the same session-local TimestampType.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
@@ -38,7 +61,7 @@ object Tables {
         // epoch-nanos (~1.7e18) exceed double's 53-bit mantissa.
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
+      case _ => normalizeTimestamps(raw)
     }
   }
 

@@ -252,11 +252,27 @@ object CoreOps {
     * ts > prev condition evaluating null) when the session never reaches
     * it. Returns one row per session: user, sid, step0_ts..step{k−1}_ts,
     * steps_reached.
+    *
+    * `maxStepGapSec` bounds each TRANSITION: step i only counts when it
+    * occurs within that many seconds after step i−1 (real funnel analysis
+    * bounds transitions — "purchase within 5 min of click" — or a
+    * morning view and an unrelated evening purchase in one long session
+    * read as a conversion). The default (None) keeps the unbounded
+    * within-session semantics. Semantics stay GREEDY-EARLIEST: step i−1
+    * is the earliest qualifying event, and the timeout window opens from
+    * it — a later step-(i−1) event is never re-anchored to rescue a
+    * transition the earliest one misses. Greedy-earliest is the standard
+    * product-analytics contract (deterministic, monotone in the event
+    * stream) and keeps the operator k window passes over one shuffle;
+    * the rescue variant is a per-session sequence alignment that needs
+    * a sort-within-group pass, not a window fold.
     */
   def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
                   tsCol: String, tieCol: String, gapSec: Long,
-                  steps: Seq[String]): DataFrame = {
+                  steps: Seq[String],
+                  maxStepGapSec: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "at least one funnel step")
+    require(maxStepGapSec.forall(_ > 0), "maxStepGapSec must be positive")
     val wOrd = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(tieCol).asc)
     val sess = events
       .withColumn("__gap",
@@ -268,7 +284,11 @@ object CoreOps {
     val withSteps = steps.zipWithIndex.foldLeft(sess) { case (df, (st, i)) =>
       val cond =
         if (i == 0) col(typeCol) === st
-        else col(typeCol) === st && col(tsCol) > col(s"step${i - 1}_ts")
+        else {
+          val after = col(typeCol) === st && col(tsCol) > col(s"step${i - 1}_ts")
+          maxStepGapSec.fold(after)(g => after &&
+            unix_timestamp(col(tsCol)) - unix_timestamp(col(s"step${i - 1}_ts")) <= g)
+        }
       df.withColumn(s"step${i}_ts", min(when(cond, col(tsCol))).over(wSess))
     }
     val stepCols = steps.indices.map(i => s"step${i}_ts")

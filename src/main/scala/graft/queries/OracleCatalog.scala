@@ -1843,6 +1843,43 @@ object OracleCatalog {
         |UNION ALL SELECT 2, 'purchase', CAST(c2 AS BIGINT),
         |  CASE WHEN c0 > 0 THEN CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) END FROM c""".stripMargin,
 
+    // q116: timeout-bounded funnel — q114's chain with each transition
+    // additionally bounded to 300s after the previous step (greedy-
+    // earliest anchor), reported beside the unbounded chain
+    "q116_funnel_timeout" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |            date_trunc('second', ts) AS ts_sec FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+        |         OR (epoch(ts_sec) - epoch(lag(ts_sec) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
+        |g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+        |s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_sec END)
+        |         OVER (PARTITION BY user_id, sid) AS u0 FROM g),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_sec > u0 THEN ts_sec END)
+        |         OVER (PARTITION BY user_id, sid) AS u1,
+        |       min(CASE WHEN event_type = 'click' AND ts_sec > u0
+        |             AND epoch(ts_sec) - epoch(u0) <= 300 THEN ts_sec END)
+        |         OVER (PARTITION BY user_id, sid) AS b1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_sec > u1 THEN ts_sec END)
+        |         OVER (PARTITION BY user_id, sid) AS u2,
+        |       min(CASE WHEN event_type = 'purchase' AND ts_sec > b1
+        |             AND epoch(ts_sec) - epoch(b1) <= 300 THEN ts_sec END)
+        |         OVER (PARTITION BY user_id, sid) AS b2 FROM s1),
+        |sess AS (SELECT user_id, sid, max(u0) AS u0, max(u1) AS u1, max(u2) AS u2,
+        |           max(b1) AS b1, max(b2) AS b2 FROM s2 GROUP BY user_id, sid),
+        |c AS (SELECT count(u0) AS cu0, count(u1) AS cu1, count(u2) AS cu2,
+        |        count(u0) AS cb0, count(b1) AS cb1, count(b2) AS cb2 FROM sess)
+        |SELECT 0 AS step_idx, 'view' AS step, CAST(cb0 AS BIGINT) AS n_reached,
+        |  CAST(cu0 AS BIGINT) AS n_unbounded, CAST(cu0 - cb0 AS BIGINT) AS n_timed_out,
+        |  CASE WHEN cb0 > 0 THEN CAST(cb0 AS DOUBLE) / CAST(cb0 AS DOUBLE) END AS rate_vs_first FROM c
+        |UNION ALL SELECT 1, 'click', CAST(cb1 AS BIGINT), CAST(cu1 AS BIGINT),
+        |  CAST(cu1 - cb1 AS BIGINT),
+        |  CASE WHEN cb0 > 0 THEN CAST(cb1 AS DOUBLE) / CAST(cb0 AS DOUBLE) END FROM c
+        |UNION ALL SELECT 2, 'purchase', CAST(cb2 AS BIGINT), CAST(cu2 AS BIGINT),
+        |  CAST(cu2 - cb2 AS BIGINT),
+        |  CASE WHEN cb0 > 0 THEN CAST(cb2 AS DOUBLE) / CAST(cb0 AS DOUBLE) END FROM c""".stripMargin,
+
     // q115: A/B readout — md5-nibble variant split over the 2-step funnel
     // sessions; lift = conversion − control conversion (control lift ≡ 0)
     "q115_experiment_readout" ->

@@ -2610,6 +2610,40 @@ object QueryCatalog {
     agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Timeout-bounded funnel (q116): q114's funnel with each TRANSITION
+    * bounded — a step only counts within `maxStepGapSec` (300 s) of the
+    * previous step ([[graft.ops.CoreOps.funnelSteps]]' greedy-earliest
+    * timeout). Reports bounded reach beside unbounded reach and the
+    * difference (`n_timed_out`) per step — the attrition a timeout
+    * policy causes, which is the number an analyst actually wants when
+    * picking the bound. Two funnelSteps passes over events (each one
+    * user-key shuffle + k windows); the two 1-row aggregates join by
+    * broadcast. Step 0 has no incoming transition, so its bounded and
+    * unbounded counts are equal by construction.
+    */
+  def funnelTimeoutReport(s: SparkSession, dir: String): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val ev = Tables.events(s, dir).withColumn("ts_sec", date_trunc("second", col("ts")))
+    def counts(maxGap: Option[Long], pfx: String): DataFrame = {
+      val sess = graft.ops.CoreOps.funnelSteps(
+        ev, "user_id", "event_type", "ts_sec", "event_id", gapSec = 1800L,
+        steps = steps, maxStepGapSec = maxGap)
+      val cols = steps.indices.map(i =>
+        sum(when(col(s"step${i}_ts").isNotNull, 1L).otherwise(0L)).as(s"$pfx$i"))
+      sess.agg(cols.head, cols.tail: _*)
+    }
+    val joined = counts(Some(300L), "b").crossJoin(broadcast(counts(None, "u")))
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i).as("step_idx"), lit(st).as("step"),
+        col(s"b$i").as("n_reached"),
+        col(s"u$i").as("n_unbounded"),
+        (col(s"u$i") - col(s"b$i")).as("n_timed_out"),
+        when(col("b0") > 0,
+          col(s"b$i").cast("double") / col("b0").cast("double")).as("rate_vs_first"))
+    }
+    joined.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Experiment readout (q115): the A/B analysis every growth pipeline
     * runs on top of the funnel — deterministic 50/50 user assignment by
     * first md5 nibble (the q43 hash-split family: reproducible, crosses

@@ -174,6 +174,52 @@ object EventStreams {
       }
   }
 
+  /** foreachBatch sink for [[funnelProgress]]: append each Update-mode
+    * micro-batch's per-user progress rows to a parquet log (`batch_id`
+    * carried for provenance). The log is an upsert stream in the
+    * compacted-topic sense, but steps_reached is MONOTONE per user (the
+    * step machine never rewinds), so the live readout needs no
+    * latest-row dedup — max(steps_reached) per user IS the current
+    * state, making the readout order-free over the append log. At scale
+    * the same foreachBatch body lands in an upsert sink keyed by user;
+    * parquet-append + aggregate-on-read is the dependency-free
+    * equivalent with identical semantics.
+    */
+  def funnelProgressLog(progress: Dataset[FunnelProgress],
+                        logPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    progress.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[FunnelProgress], batchId: Long) =>
+        batch.toDF().withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(logPath)
+        ()
+      }
+      .start()
+
+  /** Per-step readout over the [[funnelProgressLog]] parquet log:
+    * n_reached(i) = users whose live steps_reached ≥ i+1 — the streaming
+    * face of the q114 funnel report at per-user-lifetime granularity
+    * (batch equivalent: [[graft.ops.CoreOps.funnelSteps]] with a gap
+    * wider than the feed, one session per user). StreamingSpec gates
+    * this EQUAL to the batch operator for in-order feeds; the no-rewind
+    * caveat means a cross-batch late step event can only make the stream
+    * UNDER-count a user's progress (stream ≤ batch per user, never
+    * over), which the same spec pins on a planted late arrival.
+    */
+  def funnelReadout(spark: org.apache.spark.sql.SparkSession, logPath: String,
+                    steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    val live = spark.read.parquet(logPath)
+      .groupBy("user_id").agg(max(col("steps_reached")).as("steps_reached"))
+    val counts = steps.indices.map(i =>
+      sum(when(col("steps_reached") >= i + 1, 1L).otherwise(0L)).as(s"c$i"))
+    val agg = live.agg(counts.head, counts.tail: _*)
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i).as("step_idx"), lit(st).as("step"), col(s"c$i").as("n_reached"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Watermarked stream-stream interval join — attribution: each click
     * joined to the same user's purchases within the following
     * `horizon`. Both sides carry watermarks and the join condition bounds

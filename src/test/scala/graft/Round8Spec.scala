@@ -193,6 +193,46 @@ class Round8Spec extends SparkSpec {
     assert(w.sameElements(Array(false)))
   }
 
+  test("MetricsRepo.compact: recent runs whole, old runs coarsened, drift still works") {
+    import graft.checks.{CheckResult, MetricsRepo}
+    val dir = java.nio.file.Files.createTempDirectory("metrics_compact").toString + "/log"
+    // 35 runs of 2 checks; dup_rows jumps at run 34 (inside the window)
+    // and at run 7 (inside the coarsened history)
+    (1L to 35L).foreach { seq =>
+      val dup = if (seq == 34L || seq == 7L) 50L else 0L
+      MetricsRepo.append(spark, dir, seq, s"build-$seq",
+        Seq(CheckResult("dup_rows", dup, passed = dup == 0L),
+            CheckResult("n_rows", 1000L + seq, passed = true)))
+    }
+    MetricsRepo.compact(spark, dir, keepRuns = 10, coarsenEvery = 8L)
+    val kept = MetricsRepo.load(spark, dir)
+      .select("run_seq").distinct().as[Long].collect().sorted.toSeq
+    // full window: 26..35; history buckets [0,8) [8,16) [16,24) [24,26)∩bucket[24,32)
+    // keep each bucket's LAST run below the cutoff: 7, 15, 23, 25
+    assert(kept == Seq(7L, 15L, 23L, 25L, 26L, 27L, 28L, 29L, 30L,
+      31L, 32L, 33L, 34L, 35L), s"retained runs: $kept")
+    // every retained run is WHOLE: both checks present
+    val perRun = MetricsRepo.load(spark, dir).groupBy("run_seq").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perRun.values.forall(_ == 2L), "a retained run lost checks")
+    // drift still flags the in-window jump (33→34) and the coarsened
+    // history's surviving jump is visible as 7's retained metric
+    val d = MetricsRepo.drift(spark, dir, tolerance = 0.5)
+      .filter(col("check") === "dup_rows")
+      .select("run_seq", "is_drift").as[(Long, Boolean)].collect().toMap
+    assert(d(34L), "in-window jump must still flag after compaction")
+    assert(d(15L), "coarsened 7(=50) → 15(=0) reads as a between-snapshots move")
+    // idempotent: a second compaction retains exactly the same runs
+    MetricsRepo.compact(spark, dir, keepRuns = 10, coarsenEvery = 8L)
+    val kept2 = MetricsRepo.load(spark, dir)
+      .select("run_seq").distinct().as[Long].collect().sorted.toSeq
+    assert(kept2 == kept, "compaction must be idempotent")
+    // the file count collapsed: one parquet part, not 35 appends
+    val parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(parts == 1, s"expected one compacted part file, got $parts")
+  }
+
   // ---- q111 token histogram ----------------------------------------------
 
   test("tokenHistogram: matches a driver-side bucket replay; shares sum to 1") {
@@ -310,6 +350,46 @@ class Round8Spec extends SparkSpec {
     assert(rows.length == 3)
     assert(rows.sliding(2).forall(p => p(0) >= p(1)))
     assert(rows.head > 0)
+  }
+
+  test("funnelSteps maxStepGapSec: bounds each transition, greedy-earliest anchor") {
+    import java.sql.Timestamp
+    def ts(sec: Long): Timestamp = new Timestamp(1700000000000L + sec * 1000L)
+    // u1: all transitions within 300s → full reach either way
+    // u2: view→click gap 400s → click times out (session survives: 400 < 1800)
+    // u3: click→purchase gap 400s → purchase times out, click kept
+    // u4: the greedy pin — a SECOND view at +350 would put the +400 click
+    //     in range, but the anchor is the EARLIEST view (+0), so the
+    //     click still times out; no re-anchoring rescue
+    val ev = Seq(
+      (1L, 1L, "view", ts(0)), (1L, 2L, "click", ts(100)), (1L, 3L, "purchase", ts(200)),
+      (2L, 4L, "view", ts(0)), (2L, 5L, "click", ts(400)),
+      (3L, 6L, "view", ts(0)), (3L, 7L, "click", ts(100)), (3L, 8L, "purchase", ts(500)),
+      (4L, 9L, "view", ts(0)), (4L, 10L, "view", ts(350)), (4L, 11L, "click", ts(400))
+    ).toDF("user_id", "event_id", "event_type", "ts_sec")
+    def reach(maxGap: Option[Long]): Map[Long, Int] =
+      graft.ops.CoreOps.funnelSteps(ev, "user_id", "event_type", "ts_sec",
+          "event_id", gapSec = 1800L, steps = Seq("view", "click", "purchase"),
+          maxStepGapSec = maxGap)
+        .select("user_id", "steps_reached").as[(Long, Int)].collect().toMap
+    assert(reach(Some(300L)) == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1))
+    assert(reach(None) == Map(1L -> 3, 2L -> 2, 3L -> 3, 4L -> 2))
+  }
+
+  test("funnelTimeoutReport: bounded ≤ unbounded, step0 equal, attrition adds up") {
+    val rows = Q.funnelTimeoutReport(spark, sf)
+      .orderBy("step_idx")
+      .select("n_reached", "n_unbounded", "n_timed_out")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 3)
+    assert(rows.head._1 == rows.head._2 && rows.head._3 == 0L,
+      "step 0 has no incoming transition to time out")
+    rows.foreach { case (b, u, t) =>
+      assert(b <= u, "timeout can only remove reach")
+      assert(t == u - b, "attrition must reconcile")
+    }
+    // bounded reach stays monotone down the funnel
+    assert(rows.map(_._1).sliding(2).forall(p => p(0) >= p(1)))
   }
 
   // ---- q115 experiment readout -------------------------------------------

@@ -402,6 +402,82 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel readout parity: foreachBatch log gated equal to batch funnelSteps in-order") {
+    // The corpusDedupStream contract pattern applied to the funnel:
+    // (1) for an IN-ORDER feed (every batch's events later than the
+    //     previous batch's), the streaming readout over the foreachBatch
+    //     progress log is EQUAL to CoreOps.funnelSteps on the same events
+    //     (gap wider than the feed ⇒ one session per user), per user and
+    //     per step;
+    // (2) the documented no-rewind trade-off: a step arriving in a LATER
+    //     batch than a subsequent step can only lower the stream's count
+    //     (stream ≤ batch per user) — pinned on a planted late click.
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val logDir = java.nio.file.Files.createTempDirectory("graft_funnel_log")
+      .toFile.getAbsolutePath + "/log"
+    val source = MemoryStream[Event]
+    val q = EventStreams.funnelProgressLog(
+      EventStreams.funnelProgress(source.toDS(), steps), logDir)
+    val batch1 = Seq(
+      Event(1, ts("2024-01-01 00:01:00"), 1, "view", 0.0),
+      Event(2, ts("2024-01-01 00:02:00"), 1, "click", 0.0),
+      Event(3, ts("2024-01-01 00:01:30"), 2, "view", 0.0),
+      Event(4, ts("2024-01-01 00:03:00"), 3, "purchase", 0.0)) // wrong first step
+    val batch2 = Seq(
+      Event(5, ts("2024-01-01 00:05:00"), 1, "purchase", 0.0),
+      Event(6, ts("2024-01-01 00:06:00"), 2, "click", 0.0),
+      Event(7, ts("2024-01-01 00:07:00"), 3, "view", 0.0))
+    try {
+      source.addData(batch1: _*); q.processAllAvailable()
+      source.addData(batch2: _*); q.processAllAvailable()
+
+      val streamed = EventStreams.funnelReadout(spark, logDir, steps)
+        .select("step_idx", "n_reached").as[(Int, Long)].collect().toMap
+      val sess = graft.ops.CoreOps.funnelSteps(
+        (batch1 ++ batch2).toDF(), "user_id", "event_type", "ts", "event_id",
+        gapSec = 86400L, steps = steps) // gap wider than the feed: 1 session/user
+      val batchPerUser = sess.groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("steps_reached").as("r"))
+        .as[(Long, Int)].collect().toMap
+      val batchCounts = steps.indices.map(i =>
+        i -> batchPerUser.values.count(_ >= i + 1).toLong).toMap
+      assert(streamed == batchCounts,
+        s"in-order readout must equal batch funnelSteps: $streamed vs $batchCounts")
+      assert(batchPerUser == Map(1L -> 3, 2L -> 2, 3L -> 1))
+
+      // (2) late cross-batch step: user 4's click belongs BETWEEN its view
+      // and purchase but arrives a batch after the purchase. The stream
+      // advances view→click (click is next-expected and later than the
+      // view) but never revisits the purchase: stream=2 < batch=3.
+      source.addData(
+        Event(8, ts("2024-01-01 01:00:00"), 4, "view", 0.0),
+        Event(9, ts("2024-01-01 01:05:00"), 4, "purchase", 0.0))
+      q.processAllAvailable()
+      source.addData(Event(10, ts("2024-01-01 01:02:00"), 4, "click", 0.0))
+      q.processAllAvailable()
+      val lateStream = EventStreams.funnelReadout(spark, logDir, steps)
+        .select("step_idx", "n_reached").as[(Int, Long)].collect().toMap
+      val lateBatch = graft.ops.CoreOps.funnelSteps(
+        (batch1 ++ batch2 ++ Seq(
+          Event(8, ts("2024-01-01 01:00:00"), 4, "view", 0.0),
+          Event(9, ts("2024-01-01 01:05:00"), 4, "purchase", 0.0),
+          Event(10, ts("2024-01-01 01:02:00"), 4, "click", 0.0))).toDF(),
+        "user_id", "event_type", "ts", "event_id", gapSec = 86400L, steps = steps)
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("steps_reached").as("r"))
+        .as[(Long, Int)].collect().toMap
+      assert(lateBatch(4L) == 3, "batch sees the full in-between sequence")
+      assert(lateStream(2) == lateBatch.values.count(_ >= 3) - 1,
+        "no-rewind: the stream must under-count user 4's purchase")
+      // ...and never OVER-counts: each step's stream count ≤ batch count
+      steps.indices.foreach { i =>
+        assert(lateStream(i) <= lateBatch.values.count(_ >= i + 1),
+          s"stream over-counts step $i")
+      }
+    } finally q.stop()
+  }
+
   test("corpusDedupStream: state stays bounded while set-contract matches batch") {
     // The BOUNDED-STATE corpus dedup (dropDuplicatesWithinWatermark):
     // (1) inside the lateness window it behaves exactly like the batch

@@ -3,10 +3,26 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Official numbers run at most local[16] even when the harness offers
+    // more cores. This box (Firecracker microVM kernel) has a rotating
+    // single-task straggler: one task per ~N stalls 5-10s of wall clock
+    // with zero guest-visible CPU contention and gc ~1s — host-side
+    // scheduling, not our code. Measured A/B, 3 full sf0.1 runs each,
+    // same box, same session caches (medians; "deviant" = a query whose
+    // max/min across the runs exceeds 2x):
+    //   local[32]               totals 331.6/193.4/152.5  median 193.4s, 23 deviant
+    //   local[32]+speculation   totals 327.2/277.9/236.3  median 277.9s, 40 deviant
+    //   local[16]               totals 144.8/181.2/128.8  median 144.8s, 14 deviant
+    // Speculation LOSES: the duplicate copies add load but the stall is
+    // host-side wall-clock, so the re-launched copy stalls just as often.
+    // Fewer concurrent threads both lowers the stall hit-rate and shrinks
+    // the per-stall damage. Override: SPARK_GRAFT_BENCH_MAX_THREADS.
+    val maxThreads = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_THREADS", "16").toInt
+    val threads = math.min(cpus, maxThreads)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet has TIMESTAMP(NANOS); read as long, converted in io.Tables

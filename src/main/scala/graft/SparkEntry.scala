@@ -223,7 +223,13 @@ object SparkEntry {
     // A/B readout: hash-split variants, per-variant conversion + lift
     "q115_experiment_readout"   -> (Q.experimentReadout(_, _)),
     // timeout-bounded funnel: 300s max step gap, attrition vs unbounded
-    "q116_funnel_timeout"       -> (Q.funnelTimeoutReport(_, _))
+    "q116_funnel_timeout"       -> (Q.funnelTimeoutReport(_, _)),
+    // KMV distinct sketch: deterministic estimate crosses the oracle exact
+    "q117_kmv_distinct"         -> (Q.kmvDistinctEstimate(_, _)),
+    // MAD robust outlier days over the daily revenue series
+    "q118_outlier_days"         -> (Q.outlierDays(_, _)),
+    // incremental rollup state merge, gated equal to full recompute
+    "q119_incremental_agg"      -> (Q.incrementalAggMerge(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

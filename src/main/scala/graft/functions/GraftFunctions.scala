@@ -74,6 +74,13 @@ object GraftFunctions {
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_distinct",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "kmv_distinct(hash52, k)")
+        KmvDistinct(exprs.head, staticIntArg(exprs(1), "kmv_distinct", "k"))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "t_digest_percentiles",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3,

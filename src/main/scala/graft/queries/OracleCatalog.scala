@@ -1880,6 +1880,65 @@ object OracleCatalog {
         |  CAST(cu2 - cb2 AS BIGINT),
         |  CASE WHEN cb0 > 0 THEN CAST(cb2 AS DOUBLE) / CAST(cb0 AS DOUBLE) END FROM c""".stripMargin,
 
+    // q117: KMV distinct — the estimate is a pure function of the input
+    // set (k smallest distinct 52-bit md5 hashes), so the oracle replays
+    // it exactly by sorting: kth hash, then (k−1)/(h_k/2^52) — the same
+    // two IEEE ops as KmvState.estimate. Fewer than k distinct hashes →
+    // est = the exact kept count (kth_hash null).
+    "q117_kmv_distinct" ->
+      """WITH hs AS (SELECT DISTINCT l_returnflag,
+        |  list_reduce([CAST(strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |               for i in generate_series(1, 13)], (a, x) -> a * 16 + x) AS hv
+        | FROM lineitem),
+        |r AS (SELECT l_returnflag, hv,
+        |        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+        |        COUNT(*) OVER (PARTITION BY l_returnflag) AS nh
+        |      FROM hs),
+        |k AS (SELECT l_returnflag, MAX(nh) AS nh,
+        |        MAX(CASE WHEN rn = 256 THEN hv END) AS h256
+        |      FROM r GROUP BY 1),
+        |e AS (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS nd_exact
+        |      FROM lineitem GROUP BY 1),
+        |f AS (SELECT k.l_returnflag, e.nd_exact,
+        |        CAST(LEAST(nh, 256) AS INTEGER) AS n_kept,
+        |        CASE WHEN nh >= 256 THEN h256 END AS kth_hash,
+        |        CASE WHEN nh >= 256
+        |             THEN CAST(255 AS DOUBLE) / (CAST(h256 AS DOUBLE) / 4503599627370496.0)
+        |             ELSE CAST(nh AS DOUBLE) END AS nd_kmv
+        |      FROM k JOIN e USING (l_returnflag))
+        |SELECT l_returnflag, nd_exact, n_kept, kth_hash, nd_kmv,
+        |  ABS(nd_kmv - CAST(nd_exact AS DOUBLE)) / CAST(nd_exact AS DOUBLE) AS rel_err
+        |FROM f ORDER BY l_returnflag""".stripMargin,
+
+    // q118: MAD outlier days — low medians (⌈n/2⌉-th order statistic via
+    // row_number, no interpolation) so med/mad are actual series values;
+    // the only derived double is abs_dev/mad
+    "q118_outlier_days" ->
+      """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |        count(*) AS n_events
+        |      FROM events GROUP BY 1),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue) AS rn,
+        |        COUNT(*) OVER () AS n FROM daily),
+        |m AS (SELECT revenue AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT daily.*, med, ABS(revenue - med) AS abs_dev FROM daily, m),
+        |r2 AS (SELECT *, ROW_NUMBER() OVER (ORDER BY abs_dev) AS rn,
+        |         COUNT(*) OVER () AS n FROM d),
+        |m2 AS (SELECT abs_dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT day, revenue, n_events, med, abs_dev, mad,
+        |  CASE WHEN mad > 0 THEN abs_dev / mad END AS robust_z,
+        |  CASE WHEN mad > 0 THEN abs_dev / mad > 3.5 ELSE abs_dev > 0 END AS is_outlier
+        |FROM d, m2 ORDER BY day""".stripMargin,
+
+    // q119: incremental aggregate maintenance CONTRACT — the oracle is
+    // the FULL RECOMPUTE over all events, so a hash match proves
+    // merge(agg(history), agg(delta)) == agg(history ∪ delta)
+    "q119_incremental_agg" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         | ${sumMoney("value")} AS total_value,
+         | ${fmtTs("max(ts)")} AS last_ts
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // q115: A/B readout — md5-nibble variant split over the 2-step funnel
     // sessions; lift = conversion − control conversion (control lift ≡ 0)
     "q115_experiment_readout" ->

@@ -2677,6 +2677,110 @@ object QueryCatalog {
           .over(Window.partitionBy()))
   }
 
+  /** KMV distinct estimate (q117): the k-minimum-values sketch
+    * ([[graft.functions.KmvDistinct]]) beside the exact distinct count,
+    * same grouping as q59's HLL contract so the two sketches compare
+    * directly. The gate is STRONGER than q59's: KMV's summary is a pure
+    * function of the input set (k smallest distinct hashes — no order,
+    * partition, or merge-shape dependence), so the oracle recomputes the
+    * identical k-th hash by sorting and the ESTIMATE crosses the engine
+    * boundary bit-exact, where HLL++'s estimate is engine-specific and
+    * only its error bound could be checked. 100 TB story: O(k) longs of
+    * mergeable state per group vs the full key shuffle of the exact
+    * count (computed here only to report rel_err); the map-side
+    * projection computes the 52-bit md5 hash in codegen, the aggregate
+    * child is a bare attribute.
+    */
+  def kmvDistinctEstimate(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"),
+        // 13 hex chars = 52 bits: h/2^52 is FP-exact (see KmvState.Norm)
+        conv(substring(md5(col("l_orderkey").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h52"))
+      .groupBy("l_returnflag")
+      .agg(
+        count_distinct(col("l_orderkey")).as("nd_exact"),
+        graft.functions.KmvDistinct.kmv_distinct(col("h52"), k).as("kmv"))
+      .select(col("l_returnflag"), col("nd_exact"),
+        col("kmv.n_kept").as("n_kept"),
+        col("kmv.kth_hash").as("kth_hash"),
+        col("kmv.est").as("nd_kmv"),
+        (abs(col("kmv.est") - col("nd_exact").cast("double")) /
+          col("nd_exact").cast("double")).as("rel_err"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Robust outlier days (q118): MAD-based anomaly detection over the
+    * daily revenue series — the data-quality gate that survives the
+    * outliers it hunts (mean/stddev z-scores are dragged by the very
+    * anomaly under test; median/MAD have a 50% breakdown point). Medians
+    * are LOW medians (the ⌈n/2⌉-th order statistic, selected by
+    * row_number — no interpolation), so every value is an actual series
+    * element and crosses engines bit-exact; the only derived double is
+    * the final abs_dev/mad division. Scale shape: raw events partial-
+    * aggregate to the day series first, so the windows and both median
+    * selections run over a frame of |days| rows (a metric series, not
+    * data volume) and the 1-row median/MAD frames broadcast.
+    */
+  def outlierDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sumMoney(col("value")).as("revenue"), count(lit(1)).as("n_events"))
+    // low median of a tiny frame: single-partition window is deliberate
+    def lowMedian(df: DataFrame, valueCol: String, as: String): DataFrame =
+      df.withColumn("rn", row_number().over(Window.orderBy(valueCol)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .filter(expr("rn = (n + 1) div 2"))
+        .select(col(valueCol).as(as))
+    val dev = daily.crossJoin(broadcast(lowMedian(daily, "revenue", "med")))
+      .withColumn("abs_dev", abs(col("revenue") - col("med")))
+    dev.crossJoin(broadcast(lowMedian(dev, "abs_dev", "mad")))
+      .withColumn("robust_z", when(col("mad") > 0, col("abs_dev") / col("mad")))
+      .withColumn("is_outlier",
+        when(col("mad") > 0, col("abs_dev") / col("mad") > lit(3.5))
+          .otherwise(col("abs_dev") > 0))
+      .select("day", "revenue", "n_events", "med", "abs_dev", "mad",
+        "robust_z", "is_outlier")
+      .orderBy("day")
+  }
+
+  /** Incremental aggregate maintenance (q119): the additive dual of
+    * q102's SCD2 merge — per-user rollup state (count, decimal sum,
+    * max ts) maintained by MERGING a delta aggregate into the history
+    * aggregate instead of rescanning history. CONTRACT: the oracle is
+    * the full recompute over all events verbatim, so the gate proves
+    * merge(agg(history), agg(delta)) == agg(history ∪ delta) — the
+    * commutative-monoid algebra (exact decimal +, count +, max) that
+    * makes the state mergeable under ANY split. At 100 TB the history
+    * side is a stored state table read at O(|keys|), the delta is the
+    * new partition, and the merge is one key-equi join with shuffle
+    * bounded by state size — this query simulates the split with a
+    * broadcast max(ts)−7d cutoff over one events scan.
+    */
+  def incrementalAggMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cut = ev.agg((max(col("ts")) - expr("INTERVAL 7 DAY")).as("cutoff"))
+    val tagged = ev.crossJoin(broadcast(cut))
+    def aggState(df: DataFrame): DataFrame =
+      df.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("total_dec"),
+        max(col("ts")).as("last_ts"))
+    val hist  = aggState(tagged.filter(col("ts") < col("cutoff"))).as("h")
+    val delta = aggState(tagged.filter(col("ts") >= col("cutoff"))).as("d")
+    hist.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("h.n_events"), lit(0L)) +
+          coalesce(col("d.n_events"), lit(0L))).as("n_events"),
+        (coalesce(col("h.total_dec"), lit(0).cast("decimal(28,4)")) +
+          coalesce(col("d.total_dec"), lit(0).cast("decimal(28,4)")))
+          .cast("double").as("total_value"),
+        date_format(greatest(col("h.last_ts"), col("d.last_ts")),
+          "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy("user_id")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

@@ -229,7 +229,9 @@ object SparkEntry {
     // MAD robust outlier days over the daily revenue series
     "q118_outlier_days"         -> (Q.outlierDays(_, _)),
     // incremental rollup state merge, gated equal to full recompute
-    "q119_incremental_agg"      -> (Q.incrementalAggMerge(_, _))
+    "q119_incremental_agg"      -> (Q.incrementalAggMerge(_, _)),
+    // product-quantization ADC top-k: the memory-bound ANN scale path
+    "q120_pq_ann"               -> (Q.pqAnnTopK(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -527,6 +527,46 @@ object OracleCatalog {
          |WHERE rank <= 5""".stripMargin
     },
 
+    // q120: product-quantization ADC + exact re-rank — codebooks are
+    // stride-sampled sub-vectors (the q30 convention), encoding is
+    // argmin L2² per (vector, subspace) with a cid tie-break, the
+    // approximate distance folds the m=8 table lookups in EXPLICIT j
+    // order (list(d ORDER BY j) → left fold, order-identical to Spark's
+    // array_sort(collect_list(struct(j,d))) fold), and the ADC top-50
+    // shortlist re-ranks by exact L2² over the raw vectors.
+    "q120_pq_ann" -> {
+      val l2 = "list_reduce([ (s.sv[i] - c.scv[i]) * (s.sv[i] - c.scv[i]) " +
+        "for i in generate_series(1, 8)], (a, x) -> a + x)"
+      val l2full = "list_reduce([ (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]) " +
+        "for i in generate_series(1, 64)], (a, x) -> a + x)"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |sub AS (SELECT vec_id, j, v[j*8+1 : (j+1)*8] AS sv
+         |        FROM e CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
+         |cb AS (SELECT vec_id AS cid, j, sv AS scv FROM sub WHERE vec_id % 10 = 0),
+         |dists AS (SELECT s.vec_id, s.j, c.cid, $l2 AS d
+         |          FROM sub s JOIN cb c USING (j)),
+         |codes AS (SELECT vec_id, j, cid FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rk
+         |            FROM dists) WHERE rk = 1),
+         |qt AS (SELECT vec_id AS query_id, j, cid, d FROM dists WHERE vec_id < 10),
+         |paired AS (SELECT qt.query_id, codes.vec_id, codes.j, qt.d
+         |           FROM codes JOIN qt ON codes.j = qt.j AND codes.cid = qt.cid
+         |           WHERE qt.query_id != codes.vec_id),
+         |scored AS (SELECT query_id, vec_id,
+         |    ${round4("list_reduce(list(d ORDER BY j), (a, x) -> a + x)")} AS approx_dist
+         |  FROM paired GROUP BY query_id, vec_id),
+         |short AS (SELECT query_id, vec_id, approx_dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, vec_id ASC) AS adc_rank
+         |    FROM scored) WHERE adc_rank <= 50),
+         |rr AS (SELECT short.query_id, short.vec_id, short.approx_dist,
+         |    ${round4(l2full)} AS dist
+         |  FROM short JOIN e cv ON short.vec_id = cv.vec_id
+         |             JOIN e qv ON short.query_id = qv.vec_id)
+         |SELECT query_id, vec_id, approx_dist, dist, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank FROM rr)
+         |WHERE rank <= 5""".stripMargin
+    },
+
     // media payload is encode(text) of documents (Multimodal.mediaFromDocuments)
     // — byte math is mirrorable: n_bytes via octet_length, byte_mean via a
     // hex-fold over the blob (integer byte sum is FP-exact, so the single

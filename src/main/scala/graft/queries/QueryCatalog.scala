@@ -338,6 +338,15 @@ object QueryCatalog {
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5)
   }
 
+  /** PQ ANN (q120): product-quantization ADC top-k — the memory-bound
+    * member of the ANN family (q22 exact / q25 LSH / q30 IVF / q68
+    * trained-IVF). See [[graft.sim.Similarity.pqTopK]].
+    */
+  def pqAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5)
+  }
+
   /** Threshold tuned to the synthetic corpus (max pairwise cosine ≈ 0.46:
     * 0.35 yields a non-trivial pair set); bucket width derived from corpus
     * size (Similarity.deriveNBits — sf0.01→4 bits, sf0.1→8 bits), mirrored

@@ -150,4 +150,42 @@ class SimilaritySpec extends SparkSpec {
     assert(dups.contains((7L, 99999L)), s"planted dup not found in ${dups.take(20).toSeq}")
     assert(dups.forall(p => p._1 < p._2))
   }
+
+  test("pqTopK: dense ranks, nondecreasing distances, deterministic re-run") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val run1 = Similarity.pqTopK(e, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+    val byQ = run1.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5), "5 neighbors per query")
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5), "ranks dense 1..5")
+      val ds = sorted.map(_._3).toSeq
+      assert(ds == ds.sorted, s"re-ranked distances not nondecreasing with rank: $ds")
+    }
+    // the j-ordered fold makes the double sum run-invariant (a bare sum()
+    // would float with partial-aggregation order)
+    val run2 = Similarity.pqTopK(e.repartition(7), q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+    assert(run1.sortBy(x => (x._1, x._4)).toSeq == run2.sortBy(x => (x._1, x._4)).toSeq,
+      "PQ results must not depend on partitioning")
+  }
+
+  test("pqTopK recall vs exact L2 top-k (ADC approximates the right metric)") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, l2sq(vecs(q), vecs(v))))
+        .sortBy { case (v, d) => (d, v) }.take(5).map(x => (q, x._1))
+    }.toSet
+    val pq = Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall vs exact L2 too low: $recall")
+  }
 }

@@ -231,7 +231,9 @@ object SparkEntry {
     // incremental rollup state merge, gated equal to full recompute
     "q119_incremental_agg"      -> (Q.incrementalAggMerge(_, _)),
     // product-quantization ADC top-k: the memory-bound ANN scale path
-    "q120_pq_ann"               -> (Q.pqAnnTopK(_, _))
+    "q120_pq_ann"               -> (Q.pqAnnTopK(_, _)),
+    // reliability table of the distilled quality classifier (q105)
+    "q121_calibration"          -> (Q.classifierCalibration(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1165,6 +1165,42 @@ object OracleCatalog {
          |  CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy
          |FROM c""".stripMargin,
 
+    // q121: calibration/reliability table of q105's student — same
+    // training replay, then floor(10·score) buckets clamped to [-1,10];
+    // the bucket mean routes through an exact DECIMAL(18,6) sum so it is
+    // partial-aggregation-order-independent in both engines
+    "q121_calibration" ->
+      s"""WITH ${statsCte("documents")},
+         |f AS (SELECT CAST(n_tokens AS BIGINT) AS x1, CAST(n_stop AS BIGINT) AS x2,
+         |        CASE WHEN $qualityExpr >= 0.8 THEN 1 ELSE 0 END AS y
+         |      FROM b),
+         |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |        CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+         |        CAST(sum(x1*x1) AS HUGEINT) AS s11, CAST(sum(x1*x2) AS HUGEINT) AS s12,
+         |        CAST(sum(x2*x2) AS HUGEINT) AS s22,
+         |        CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x1*y) AS HUGEINT) AS s1y,
+         |        CAST(sum(x2*y) AS HUGEINT) AS s2y
+         |      FROM f),
+         |w AS (SELECT
+         |   (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)) AS det,
+         |   (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) AS det0,
+         |   (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) AS det1,
+         |   (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) AS det2
+         |  FROM s),
+         |ww AS (SELECT CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE) AS w0,
+         |        CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE) AS w1,
+         |        CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE) AS w2 FROM w),
+         |p AS (SELECT f.y,
+         |        (ww.w0 + ww.w1 * CAST(f.x1 AS DOUBLE) + ww.w2 * CAST(f.x2 AS DOUBLE)) AS score
+         |      FROM f CROSS JOIN ww),
+         |bk AS (SELECT LEAST(GREATEST(CAST(floor(score * 10) AS INTEGER), -1), 10) AS bucket,
+         |        y, score FROM p)
+         |SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_score,
+         |  CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // q103: log-free CCNet perplexity buckets — exact-integer score sums
     // (Σ pair-count / Σ head-count), integer rank-third cut, doc_id
     // tiebreak; one double division per doc

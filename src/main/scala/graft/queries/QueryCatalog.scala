@@ -2320,7 +2320,10 @@ object QueryCatalog {
     * bit-exact replay, not the architecture. Reaches 96-97% agreement
     * with the teacher on this corpus (fp = 0: the student under-admits).
     */
-  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+  /** q105/q121 shared: integer features + label, and the decimal-Cramer
+    * least-squares weights (1-row frame, broadcast by callers).
+    */
+  private def qualityFeatsAndWeights(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val feats = t(s, dir, "documents").select(
       TextOps.tokenCount(col("text")).cast("long").as("x1"),
       TextOps.stopwordCount(col("text")).cast("long").as("x2"),
@@ -2349,6 +2352,11 @@ object QueryCatalog {
         (col("det0").cast("double") / col("det").cast("double")).as("w0"),
         (col("det1").cast("double") / col("det").cast("double")).as("w1"),
         (col("det2").cast("double") / col("det").cast("double")).as("w2"))
+    (feats, w)
+  }
+
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val (feats, w) = qualityFeatsAndWeights(s, dir)
     val scored = feats.crossJoin(broadcast(w))
       .select(col("y"), col("w0"), col("w1"), col("w2"),
         ((col("w0") + col("w1") * col("x1").cast("double")
@@ -2363,6 +2371,36 @@ object QueryCatalog {
       .select(col("n_docs"), col("w0"), col("w1"), col("w2"),
         col("tp"), col("fp"), col("tn"), col("fn"),
         ((col("tp") + col("tn")).cast("double") / col("n_docs").cast("double")).as("accuracy"))
+  }
+
+  /** Classifier calibration (q121): the reliability table of q105's
+    * distilled student — raw score bucketed into tenths (floor(10·s),
+    * clamped to [-1, 10] so out-of-range scores land in catch-all bins),
+    * per bucket the empirical positive rate beside the mean score. A
+    * well-calibrated score has pos_rate ≈ mean_score per bin; the gap is
+    * the calibration error a deployment would temperature-scale away.
+    * Determinism: scores are w·x doubles (identical per q105's gate),
+    * floor-of-double bucketing is exact, and the bucket mean routes
+    * through an exact decimal(18,6) sum — never a bare double sum(),
+    * whose partial-aggregation order floats. One documents scan; the
+    * 1-row weight frame broadcasts; output is ≤ 12 rows.
+    */
+  def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    val (feats, w) = qualityFeatsAndWeights(s, dir)
+    feats.crossJoin(broadcast(w))
+      .select(col("y"),
+        (col("w0") + col("w1") * col("x1").cast("double")
+          + col("w2") * col("x2").cast("double")).as("score"))
+      .withColumn("bucket",
+        least(greatest(floor(col("score") * 10).cast("int"), lit(-1)), lit(10)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_pos"),
+        sum(col("score").cast("decimal(18,6)")).as("ssum"))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        (col("ssum").cast("double") / col("n_docs").cast("double")).as("mean_score"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double")).as("pos_rate"))
+      .orderBy("bucket")
   }
 
   /** Cluster-keeper selection by quality (q106): within each near-dup

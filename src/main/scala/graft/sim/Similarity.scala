@@ -476,10 +476,14 @@ object Similarity {
         Window.partitionBy("vec_id", "j").orderBy(asc("d"), asc("cid"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("j"), col("cid"))
-    // ADC tables: the query rows of the SAME dists frame, all centroids
+    // ADC tables: same sub-distance expression, but restrict to the
+    // query sub-vectors BEFORE the codebook join — computing the full
+    // dists frame twice would be a second whole-corpus pass (measured:
+    // ~40% of q120's sf0.1 time before this cut)
     val qIds = queries.select(col(idCol).as("query_id"))
-    val qt = dists.join(broadcast(qIds), col("vec_id") === col("query_id"))
-      .select(col("query_id"), col("j"), col("cid"), col("d"))
+    val qt = sub.join(broadcast(qIds), col("vec_id") === col("query_id"))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("query_id"), col("j"), col("cid"), l2sq.as("d"))
     // approx distance = j-ordered fold of the m table lookups
     val scored = codes.join(broadcast(qt), Seq("j", "cid"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -121,4 +121,28 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.filter(col("payload").isNotNull).count() == 0)
   }
+
+  test("kmv_distinct over zero rows: empty sketch, estimate 0, null kth hash") {
+    val row = Seq.empty[Long].toDF("h")
+      .agg(graft.functions.KmvDistinct.kmv_distinct(col("h"), 16).as("kmv"))
+      .head().getStruct(0)
+    assert(row.getInt(0) == 0 && row.isNullAt(1) && row.getDouble(2) == 0.0)
+  }
+
+  test("kmv_distinct ignores nulls (SQL aggregate convention)") {
+    val row = Seq[Option[Long]](Some(1L), None, Some(2L), None, Some(1L)).toDF("h")
+      .agg(graft.functions.KmvDistinct.kmv_distinct(col("h"), 16).as("kmv"))
+      .head().getStruct(0)
+    assert(row.getInt(0) == 2 && row.getDouble(2) == 2.0)
+  }
+
+  test("pqTopK on a corpus smaller than the shortlist still ranks what exists") {
+    // 5 vectors, one of them the query: 4 candidates < shortlist(50) < k(5)+
+    val vecs = (0 until 5).map(i => (i.toLong, Array.fill(64)(i.toFloat / 10)))
+    val e = vecs.toDF("vec_id", "embedding")
+    val out = graft.sim.Similarity.pqTopK(
+      e, e.filter(col("vec_id") === 0), k = 5, centroidStride = 2).collect()
+    assert(out.length == 4, s"4 candidates expected, got ${out.length}")
+    assert(out.map(_.getInt(4)).sorted.toSeq == (1 to 4), "dense ranks over the short corpus")
+  }
 }

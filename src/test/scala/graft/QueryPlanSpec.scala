@@ -166,4 +166,50 @@ class QueryPlanSpec extends SparkSpec {
     assert(!hnPlan.contains("CartesianProduct"),
       s"anchor side must broadcast:\n${hnPlan.take(1500)}")
   }
+
+  test("q117 KMV: object hash aggregate with map-side partial state, hash in codegen projection") {
+    val plan = executedPlan(QueryCatalog.kmvDistinctEstimate(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"kmv_distinct must run as an object hash aggregate:\n${plan.take(1500)}")
+    assert(plan.contains("partial_kmv_distinct"),
+      s"KMV state must partial-aggregate map-side (O(k) per partition crosses the shuffle):\n${plan.take(1500)}")
+    // the 52-bit md5 hash is computed in the scan-side projection, so the
+    // aggregate's child is a bare attribute (no per-row interpreted eval)
+    assert(plan.contains("conv(substring(md5"),
+      s"hash should be a codegen'd projection below the aggregate:\n${plan.take(2000)}")
+  }
+
+  test("q118 outlier days: day series aggregates by hash; median frames broadcast, never cartesian") {
+    val plan = executedPlan(QueryCatalog.outlierDays(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row median/MAD frames must broadcast:\n${plan.take(1500)}")
+    assert(plan.contains("HashAggregate") && plan.contains("partial_"),
+      s"daily revenue must map-side combine before the series windows:\n${plan.take(1500)}")
+  }
+
+  test("q119 incremental merge: state join is key-equi; only the 1-row cutoff nests") {
+    val plan = executedPlan(QueryCatalog.incrementalAggMerge(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"cutoff must broadcast:\n${plan.take(1500)}")
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nested <= 2, s"only the broadcast cutoff may nest (got $nested):\n${plan.take(1500)}")
+    assert(plan.contains("FullOuter"),
+      s"history/delta states must merge by full-outer key join:\n${plan.take(1500)}")
+  }
+
+  test("q120 PQ: codebooks/tables/queries broadcast; encode+score joins are equi, never cartesian") {
+    val plan = executedPlan(QueryCatalog.pqAnnTopK(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"PQ must never form a cross pair space:\n${plan.take(1500)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"codebooks and ADC tables must ride broadcast hash joins:\n${plan.take(1500)}")
+  }
+
+  test("q121 calibration: one documents scan per stage, weight frame broadcasts") {
+    val plan = executedPlan(QueryCatalog.classifierCalibration(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row weight frame must broadcast:\n${plan.take(1500)}")
+    assert(plan.contains("HashAggregate"),
+      s"bucket rollup must hash-aggregate:\n${plan.take(1500)}")
+  }
 }

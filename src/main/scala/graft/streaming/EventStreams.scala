@@ -174,6 +174,43 @@ object EventStreams {
       }
   }
 
+  final case class RollupState(user_id: Long, n_events: Long,
+                               value_1e4: Long, last_ts: java.sql.Timestamp)
+
+  /** Streaming incremental rollup — the streaming face of q119's
+    * commutative-monoid aggregate maintenance
+    * ([[graft.queries.QueryCatalog.incrementalAggMerge]]): per-user
+    * (count, exact scaled-decimal sum, max ts) state merged under
+    * mapGroupsWithState. The money sum is carried as a LONG of 1e4-scaled
+    * units — each event's value rounds exactly like Spark's
+    * `cast(decimal(18,4))` (BigDecimal.valueOf → setScale HALF_UP), and
+    * long addition is the decimal monoid with zero drift, so the
+    * streaming state equals the batch aggregate EXACTLY for any batch
+    * split (StreamingSpec pins the parity). State is 3 fields per live
+    * user — bounded by active keys, never stream length; Update-mode
+    * emissions are the upsert feed a state table compacts.
+    */
+  def rollupStream(events: Dataset[Event]): Dataset[RollupState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[RollupState, RollupState](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[RollupState]) =>
+          val evs  = batch.toSeq
+          val add  = evs.map(e =>
+            BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .bigDecimal.movePointRight(4).longValueExact()).sum
+          val prev = state.getOption
+          val next = RollupState(
+            userId,
+            prev.map(_.n_events).getOrElse(0L) + evs.size,
+            prev.map(_.value_1e4).getOrElse(0L) + add,
+            (prev.map(_.last_ts) ++ evs.map(_.ts)).maxBy(_.getTime))
+          state.update(next)
+          next
+      }
+  }
+
   /** foreachBatch sink for [[funnelProgress]]: append each Update-mode
     * micro-batch's per-user progress rows to a parquet log (`batch_id`
     * carried for provenance). The log is an upsert stream in the

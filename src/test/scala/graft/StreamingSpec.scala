@@ -557,4 +557,45 @@ class StreamingSpec extends SparkSpec {
       assert(latest.getLong(0) == 2 && latest.getDouble(1) == 5.0)
     } finally q.stop()
   }
+
+  test("rollupStream: streaming monoid state equals the batch aggregate exactly, any batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val source = MemoryStream[Event]
+    val q = EventStreams.runToMemory(
+      EventStreams.rollupStream(source.toDS()).toDF(), "rollup_test")
+    // values chosen to exercise decimal(18,4) rounding (HALF_UP at the
+    // 5th digit) — the case a double accumulator would drift on
+    val b1 = Seq(Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.00005),
+                 Event(2, ts("2024-01-01 00:20:00"), 2, "view",  2.5),
+                 Event(3, ts("2024-01-01 00:30:00"), 1, "view",  0.12344))
+    val b2 = Seq(Event(4, ts("2024-01-01 01:00:00"), 1, "buy",   10.0),
+                 Event(5, ts("2024-01-01 01:30:00"), 3, "click", 7.77777))
+    val b3 = Seq(Event(6, ts("2024-01-01 02:00:00"), 2, "click", 0.00004))
+    try {
+      Seq(b1, b2, b3).foreach { b => source.addData(b: _*); q.processAllAvailable() }
+      // update-mode emissions accumulate; n_events is monotone per user,
+      // so max_by picks each user's final state
+      val streamed = spark.sql(
+        """SELECT user_id, max(n_events) AS n_events,
+          |  max_by(value_1e4, n_events) AS value_1e4,
+          |  max_by(last_ts, n_events) AS last_ts
+          |FROM rollup_test GROUP BY user_id""".stripMargin)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getAs[Timestamp]("last_ts"))).toMap
+      // the batch aggregate q119 gates: count / exact decimal sum / max ts
+      val batch = (b1 ++ b2 ++ b3).toDS()
+        .groupBy(col("user_id")).agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("dec"),
+          max(col("ts")).as("last_ts"))
+        .collect().map { r =>
+          val scaled = r.getDecimal(2).movePointRight(4).longValueExact()
+          r.getLong(0) -> (r.getLong(1), scaled, r.getAs[Timestamp]("last_ts"))
+        }.toMap
+      assert(streamed == batch,
+        s"streaming state diverged from the batch monoid:\n  stream=$streamed\n  batch=$batch")
+    } finally q.stop()
+  }
 }

@@ -233,7 +233,9 @@ object SparkEntry {
     // product-quantization ADC top-k: the memory-bound ANN scale path
     "q120_pq_ann"               -> (Q.pqAnnTopK(_, _)),
     // reliability table of the distilled quality classifier (q105)
-    "q121_calibration"          -> (Q.classifierCalibration(_, _))
+    "q121_calibration"          -> (Q.classifierCalibration(_, _)),
+    // IVF-PQ: probed cells bound the pair space, codes bound the reads
+    "q122_ivfpq_ann"            -> (Q.ivfPqAnnTopK(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

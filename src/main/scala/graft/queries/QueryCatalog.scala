@@ -347,6 +347,15 @@ object QueryCatalog {
     Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5)
   }
 
+  /** IVF-PQ ANN (q122): the production composition — IVF probes bound
+    * WHICH vectors score, PQ codes bound HOW. See
+    * [[graft.sim.Similarity.ivfPqTopK]].
+    */
+  def ivfPqAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), 5)
+  }
+
   /** Threshold tuned to the synthetic corpus (max pairwise cosine ≈ 0.46:
     * 0.35 yields a non-trivial pair set); bucket width derived from corpus
     * size (Similarity.deriveNBits — sf0.01→4 bits, sf0.1→8 bits), mirrored

@@ -452,7 +452,8 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, dim: Int = 64, centroidStride: Int = 10,
              shortlist: Int = 50,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             candidates: Option[DataFrame] = None): DataFrame = {
     require(dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
@@ -484,9 +485,14 @@ object Similarity {
     val qt = sub.join(broadcast(qIds), col("vec_id") === col("query_id"))
       .join(broadcast(cb), Seq("j"))
       .select(col("query_id"), col("j"), col("cid"), l2sq.as("d"))
-    // approx distance = j-ordered fold of the m table lookups
-    val scored = codes.join(broadcast(qt), Seq("j", "cid"))
+    // approx distance = j-ordered fold of the m table lookups; an IVF
+    // caller gates the pair space to its probed cells (left-semi on the
+    // candidate pairs) BEFORE the aggregation
+    val pairedAll = codes.join(broadcast(qt), Seq("j", "cid"))
       .filter(col("query_id") =!= col("vec_id"))
+    val paired = candidates.fold(pairedAll)(c =>
+      pairedAll.join(c.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_semi"))
+    val scored = paired
       .groupBy("query_id", "vec_id")
       .agg(array_sort(collect_list(struct(col("j"), col("d")))).as("jd"))
       .select(col("query_id"), col("vec_id"),
@@ -509,5 +515,56 @@ object Similarity {
         roundScore(exactL2).as("dist"))
     val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("vec_id"))
     reranked.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ (Jégou et al. TPAMI'11 §V) — the production trillion-scale
+    * ANN composition: IVF restricts WHICH vectors each query scores
+    * (nProbe nearest cells, the partition-bound dial), PQ decides HOW
+    * each survivor is scored (m-code ADC, the memory-bound dial), and
+    * the exact re-rank bounds the raw-vector reads to the shortlist.
+    * At 100 TB the corpus is partitioned BY cell and stored as codes:
+    * a query touches nProbe partitions and reads m bytes per vector —
+    * both dials independent of corpus size.
+    *
+    * Implementation composes the proven parts: [[ivfTopK]]'s cell
+    * assignment (stride centroids, cosine, min-cid ties) produces the
+    * candidate pairs; [[pqTopK]] gates its ADC pair space with them
+    * (left-semi before the aggregation). The DuckDB oracle replays the
+    * whole composition.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nProbe: Int = 4, ivfStride: Int = 50,
+                m: Int = 8, dim: Int = 64, pqStride: Int = 10,
+                shortlist: Int = 50,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val centroids = c.filter(col("vec_id") % ivfStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val corpusCells = c
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("cid"),
+        cosineFromNorms(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    // probe by ranking the query against ALL centroids (its own cell is
+    // rank 1; the q30 probe shape)
+    val qProbe = c.join(broadcast(queries.select(col(idCol).as("query_id"))),
+        col("vec_id") === col("query_id"))
+      .join(broadcast(centroids))
+      .select(col("query_id"),  col("cid"),
+        cosineFromNorms(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val cands = corpusCells.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    pqTopK(corpus, queries, k, m, dim, pqStride, shortlist, idCol, vecCol,
+      candidates = Some(cands))
   }
 }

@@ -188,4 +188,27 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.intersect(pq).size.toDouble / exact.size
     assert(recall >= 0.4, s"PQ recall vs exact L2 too low: $recall")
   }
+
+  test("ivfPqTopK: subset of PQ's pair space, k-or-fewer ranked rows per query") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val ivfpq = Similarity.ivfPqTopK(e, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+    val byQ = ivfpq.groupBy(_._1)
+    assert(byQ.size == 10, "every query answered")
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 5 && rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        "dense ranks within the probed cells")
+    }
+    // probing can only REMOVE candidates vs whole-corpus PQ; whatever
+    // survives must re-rank to the same relative order when shared
+    val pq = Similarity.pqTopK(e, q, 50).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
+    val shared = ivfpq.flatMap { case (qid, vid, rk) => pq.get((qid, vid)).map(prk => (qid, rk, prk)) }
+    shared.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(_._2).map(_._3).toSeq
+      assert(ordered == ordered.sorted,
+        s"IVF-PQ must preserve PQ's exact-rerank order on shared pairs: $ordered")
+    }
+  }
 }

@@ -235,7 +235,9 @@ object SparkEntry {
     // reliability table of the distilled quality classifier (q105)
     "q121_calibration"          -> (Q.classifierCalibration(_, _)),
     // IVF-PQ: probed cells bound the pair space, codes bound the reads
-    "q122_ivfpq_ann"            -> (Q.ivfPqAnnTopK(_, _))
+    "q122_ivfpq_ann"            -> (Q.ivfPqAnnTopK(_, _)),
+    // BPE APPLICATION: encode the corpus with the trained merges
+    "q123_bpe_encode"           -> (Q.bpeEncodeCorpus(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

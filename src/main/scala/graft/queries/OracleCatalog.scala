@@ -567,6 +567,43 @@ object OracleCatalog {
          |WHERE rank <= 5""".stripMargin
     },
 
+    // q123: BPE corpus encoding — q94's pairTop+fold unrolled EXACTLY
+    // nMerges=8 times over the (tok, freq, sym) vocabulary, then every
+    // document's words join the encoded vocab and roll up per doc
+    "q123_bpe_encode" -> {
+      val nMerges = 8
+      def pairTop(src: String, m: String) =
+        s"""p$m AS (SELECT p.a AS a, p.b AS b, sum(freq) AS cnt
+           |      FROM (SELECT freq, unnest([struct_pack(a := sym[i], b := sym[i+1])
+           |                                 for i in generate_series(1, len(sym)-1)]) AS p
+           |            FROM $src) GROUP BY p.a, p.b),
+           |$m AS (SELECT a, b, a || b AS ab FROM p$m
+           |       ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+      def fold(src: String, m: String, out: String) =
+        s"""$out AS (SELECT tok, freq,
+           |        list_reduce(list_transform(sym, c -> [c]),
+           |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $m.a AND x[1] = $m.b
+           |                           THEN list_append(acc[1:len(acc)-1], $m.ab)
+           |                           ELSE list_concat(acc, x) END) AS sym
+           |      FROM $src, $m)""".stripMargin
+      val steps = (1 to nMerges).map { i =>
+        s"${pairTop(s"s${i - 1}", s"m$i")},\n${fold(s"s${i - 1}", s"m$i", s"s$i")}"
+      }.mkString(",\n")
+      raw"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+           |w AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
+           |s0 AS (SELECT tok, freq, [tok[i] for i in generate_series(1, length(tok))] AS sym FROM w),
+           |$steps,
+           |enc AS (SELECT tok, CAST(length(tok) AS BIGINT) AS nchr,
+           |          CAST(len(sym) AS BIGINT) AS nsym FROM s$nMerges),
+           |dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           |       FROM documents)
+           |SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(nchr) AS BIGINT) AS n_chars, CAST(sum(nsym) AS BIGINT) AS n_symbols,
+           |  CAST(sum(nchr) AS DOUBLE) / CAST(sum(nsym) AS DOUBLE) AS compression
+           |FROM dw JOIN enc USING (tok)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     // q122: IVF-PQ — q30's cell assignment/probing gates q120's ADC pair
     // space (JOIN cand), then the same shortlist + exact re-rank
     "q122_ivfpq_ann" -> {

@@ -1927,6 +1927,34 @@ object QueryCatalog {
     * Tie-breaks (count desc, pair asc) and the greedy LEFT-to-right
     * non-overlapping fold are pinned in both engines.
     */
+  /** Highest-count adjacent symbol pair of a (freq, sym) frame — the BPE
+    * training step, ties (count desc, pair asc) as the oracle replays.
+    */
+  private def bpeTopPair(df: DataFrame): DataFrame = df
+    .select(col("freq"), explode(zip_with(
+      col("sym"), slice(col("sym"), lit(2), greatest(size(col("sym")) - 1, lit(0))),
+      (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+    .filter(col("p.b").isNotNull)
+    .groupBy(col("p.a").as("pair_a"), col("p.b").as("pair_b"))
+    .agg(sum(col("freq")).as("pair_count"))
+    .orderBy(desc("pair_count"), asc("pair_a"), asc("pair_b")).limit(1)
+    .select(col("pair_a"), col("pair_b"),
+      concat(col("pair_a"), col("pair_b")).as("merged"), col("pair_count"))
+
+  /** Apply one merge to every sym array: the canonical greedy
+    * left-to-right fold (merge non-overlapping occurrences; a merged
+    * symbol never re-merges with a following pair_b in the same pass).
+    * Broadcast 1-row merge frame; other columns pass through.
+    */
+  private def bpeApplyMerge(df: DataFrame, m: DataFrame): DataFrame = df
+    .crossJoin(broadcast(m.select("pair_a", "pair_b", "merged")))
+    .withColumn("sym", aggregate(col("sym"), array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0
+          && element_at(acc, -1) === col("pair_a") && x === col("pair_b"),
+        concat(slice(acc, lit(1), size(acc) - 1), array(col("merged"))))
+        .otherwise(concat(acc, array(x)))))
+    .drop("pair_a", "pair_b", "merged")
+
   def bpeVocab(s: SparkSession, dir: String,
                targetVocab: Int = 32, // documents charset is 24 chars → 8 merges
                maxMerges: Int = 10    // safety bound == the oracle's unroll depth
@@ -1941,28 +1969,10 @@ object QueryCatalog {
     val base = sym.select(explode(col("sym")).as("c")).distinct().count()
     val nMerges = math.min(math.max(targetVocab - base, 0L), maxMerges.toLong).toInt
 
-    def topPair(df: DataFrame): DataFrame = df
-      .select(col("freq"), explode(zip_with(
-        col("sym"), slice(col("sym"), lit(2), greatest(size(col("sym")) - 1, lit(0))),
-        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
-      .filter(col("p.b").isNotNull)
-      .groupBy(col("p.a").as("pair_a"), col("p.b").as("pair_b"))
-      .agg(sum(col("freq")).as("pair_count"))
-      .orderBy(desc("pair_count"), asc("pair_a"), asc("pair_b")).limit(1)
-      .select(col("pair_a"), col("pair_b"),
-        concat(col("pair_a"), col("pair_b")).as("merged"), col("pair_count"))
-
     val steps = (1 to nMerges).map { i =>
-      val m = topPair(sym).localCheckpoint() // 1 row, eager; read twice below
+      val m = bpeTopPair(sym).localCheckpoint() // 1 row, eager; read twice below
       if (i < nMerges) {
-        sym = sym.crossJoin(broadcast(m.select("pair_a", "pair_b", "merged")))
-          .withColumn("sym", aggregate(col("sym"), array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0
-                && element_at(acc, -1) === col("pair_a") && x === col("pair_b"),
-              concat(slice(acc, lit(1), size(acc) - 1), array(col("merged"))))
-              .otherwise(concat(acc, array(x)))))
-          .select("freq", "sym")
-          .localCheckpoint()
+        sym = bpeApplyMerge(sym, m).select("freq", "sym").localCheckpoint()
       }
       m.select(lit(i).cast("int").as("step"), col("pair_a"), col("pair_b"),
         col("merged"), col("pair_count"), lit(base + i).as("vocab_size_after"))
@@ -1977,6 +1987,43 @@ object QueryCatalog {
           org.apache.spark.sql.types.StructField("pair_count", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("vocab_size_after", org.apache.spark.sql.types.LongType)))))
       .orderBy("step")
+  }
+
+  /** BPE corpus encoding (q123): APPLY a trained merge sequence to every
+    * document — the half of the tokenizer story q92/q94 only train.
+    * Exactly `nMerges` greedy merges (a fixed count, so the oracle
+    * unrolls the same depth), trained and applied on the VOCABULARY
+    * (distinct words), then joined back to the corpus: encoding cost is
+    * O(|vocab|·merges), corpus cost is one word join + an integer
+    * rollup — the shape that holds when the corpus is 100 TB but the
+    * vocabulary is millions. Per doc: words, chars, post-BPE symbols,
+    * and the compression ratio a tokenizer budget planner needs.
+    */
+  def bpeEncodeCorpus(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    var sym = words.select(col("tok"), col("freq"),
+        transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1))).as("sym"))
+      .localCheckpoint()
+    (1 to nMerges).foreach { _ =>
+      val m = bpeTopPair(sym).localCheckpoint()
+      sym = bpeApplyMerge(sym, m).select("tok", "freq", "sym").localCheckpoint()
+    }
+    val encoded = sym.select(col("tok"),
+      length(col("tok")).cast("long").as("nchr"),
+      size(col("sym")).cast("long").as("nsym"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .join(encoded, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nchr")).as("n_chars"),
+        sum(col("nsym")).as("n_symbols"))
+      .withColumn("compression",
+        col("n_chars").cast("double") / col("n_symbols").cast("double"))
+      .orderBy("doc_id")
   }
 
   /** Space-Saving heavy hitters (q95): the over-estimating dual of q91's

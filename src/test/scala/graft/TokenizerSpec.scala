@@ -53,4 +53,19 @@ class TokenizerSpec extends SparkSpec {
     assert(m94(0).getString(0) == m92.getString(0), "first merge differs from q92")
     assert(m94(1).getString(0) == m92.getString(1), "second merge differs from q92")
   }
+
+  test("bpeEncodeCorpus: encoding is lossless (symbols concatenate back to chars) and compresses") {
+    val rows = Q.bpeEncodeCorpus(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nc, ns) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // merges only glue adjacent symbols: total chars are invariant and
+      // the symbol count can only shrink, never below one per word
+      assert(ns <= nc, s"doc ${r.getLong(0)}: more symbols than chars")
+      assert(ns >= nw, s"doc ${r.getLong(0)}: fewer symbols than words")
+      assert(r.getDouble(4) == nc.toDouble / ns.toDouble)
+    }
+    // 8 merges on this corpus must actually compress somewhere
+    assert(rows.exists(r => r.getLong(3) < r.getLong(2)), "no doc compressed at all")
+  }
 }

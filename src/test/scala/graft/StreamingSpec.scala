@@ -598,4 +598,41 @@ class StreamingSpec extends SparkSpec {
         s"streaming state diverged from the batch monoid:\n  stream=$streamed\n  batch=$batch")
     } finally q.stop()
   }
+
+  test("rollupStream state survives stop/restart via checkpoint (fault tolerance)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[Event]
+    val root = java.nio.file.Files.createTempDirectory("rollup_ckpt_").toString
+    val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    // memory sink can't recover from a checkpoint — the recoverable
+    // production shape is the foreachBatch upsert log (funnelProgressLog)
+    def start() = EventStreams.rollupStream(source.toDS()).toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir); ()
+      }
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    source.addData(
+      Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:20:00"), 1, "view",  2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: per-user state must RESUME, not reset,
+    // and the already-committed micro-batch must not replay (counts would
+    // read 5, not 3, if it did)
+    val q2 = start()
+    try {
+      source.addData(Event(3, ts("2024-01-01 01:00:00"), 1, "buy", 3.0))
+      q2.processAllAvailable()
+      val last = spark.read.parquet(outDir)
+        .filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+        .orderBy(org.apache.spark.sql.functions.desc("n_events"))
+        .select("n_events", "value_1e4").head()
+      assert(last.getLong(0) == 3, s"state must resume across restart, got ${last.getLong(0)}")
+      assert(last.getLong(1) == 60000L, s"sum must carry across restart, got ${last.getLong(1)}")
+    } finally q2.stop()
+  }
 }

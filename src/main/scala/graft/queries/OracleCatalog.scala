@@ -585,7 +585,7 @@ object OracleCatalog {
            |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $m.a AND x[1] = $m.b
            |                           THEN list_append(acc[1:len(acc)-1], $m.ab)
            |                           ELSE list_concat(acc, x) END) AS sym
-           |      FROM $src, $m)""".stripMargin
+           |      FROM $src LEFT JOIN $m ON true)""".stripMargin
       val steps = (1 to nMerges).map { i =>
         s"${pairTop(s"s${i - 1}", s"m$i")},\n${fold(s"s${i - 1}", s"m$i", s"s$i")}"
       }.mkString(",\n")
@@ -1136,7 +1136,7 @@ object OracleCatalog {
            |                           THEN list_append(acc[1:len(acc)-1], $m.ab)
            |                           ELSE list_concat(acc, x) END) AS sym,
            |        $m.ab AS $label${if (label == "merge2") ", merge1" else ""}
-           |      FROM $src, $m)""".stripMargin
+           |      FROM $src LEFT JOIN $m ON true)""".stripMargin
       raw"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
            |w AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
            |s0 AS (SELECT tok, freq, [tok[i] for i in generate_series(1, length(tok))] AS sym FROM w),
@@ -1169,7 +1169,7 @@ object OracleCatalog {
            |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $m.a AND x[1] = $m.b
            |                           THEN list_append(acc[1:len(acc)-1], $m.ab)
            |                           ELSE list_concat(acc, x) END) AS sym
-           |      FROM $src, $m)""".stripMargin
+           |      FROM $src LEFT JOIN $m ON true)""".stripMargin
       val steps = (1 to maxMerges).map { i =>
         s"${pairTop(s"s${i - 1}", s"m$i")},\n${fold(s"s${i - 1}", s"m$i", s"s$i")}"
       }.mkString(",\n")

@@ -1861,7 +1861,7 @@ object QueryCatalog {
       .select(col("ma"), col("mb"), concat(col("ma"), col("mb")).as("mab"))
 
     def applyMerge(df: DataFrame, merge: DataFrame, label: String): DataFrame = df
-      .crossJoin(broadcast(merge))
+      .join(broadcast(merge), lit(true), "left") // empty merge ⇒ sym unchanged (see bpeApplyMerge)
       .withColumn("sym", aggregate(col("sym"), array().cast("array<string>"),
         (acc, x) => when(size(acc) > 0
             && element_at(acc, -1) === col("ma") && x === col("mb"),
@@ -1944,10 +1944,14 @@ object QueryCatalog {
   /** Apply one merge to every sym array: the canonical greedy
     * left-to-right fold (merge non-overlapping occurrences; a merged
     * symbol never re-merges with a following pair_b in the same pass).
-    * Broadcast 1-row merge frame; other columns pass through.
+    * Broadcast 1-row merge frame; other columns pass through. LEFT join
+    * on true, not crossJoin: an exhausted corpus (no adjacent pairs
+    * left) yields an EMPTY merge frame, and a crossJoin would silently
+    * wipe the vocabulary — with the left join the null pair never
+    * matches and every sym passes through unchanged.
     */
   private def bpeApplyMerge(df: DataFrame, m: DataFrame): DataFrame = df
-    .crossJoin(broadcast(m.select("pair_a", "pair_b", "merged")))
+    .join(broadcast(m.select("pair_a", "pair_b", "merged")), lit(true), "left")
     .withColumn("sym", aggregate(col("sym"), array().cast("array<string>"),
       (acc, x) => when(size(acc) > 0
           && element_at(acc, -1) === col("pair_a") && x === col("pair_b"),

@@ -136,6 +136,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(row.getInt(0) == 2 && row.getDouble(2) == 2.0)
   }
 
+  test("bpeEncodeCorpus on a pair-exhausted corpus keeps the vocabulary (no crossJoin wipe)") {
+    // every word is a single char: topPair is EMPTY from round 1; the
+    // merge application must pass sym through unchanged, not destroy it
+    val dir = java.nio.file.Files.createTempDirectory("bpe_edge_").toString
+    Seq((1L, "a b c", "en", "src0", 5L), (2L, "b c a", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.QueryCatalog.bpeEncodeCorpus(spark, dir).collect()
+    assert(rows.length == 2, s"vocabulary wiped: ${rows.length} docs survived")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3 && r.getLong(2) == 3 && r.getLong(3) == 3,
+        s"single-char words must encode to themselves: $r")
+    }
+  }
+
   test("pqTopK on a corpus smaller than the shortlist still ranks what exists") {
     // 5 vectors, one of them the query: 4 candidates < shortlist(50) < k(5)+
     val vecs = (0 until 5).map(i => (i.toLong, Array.fill(64)(i.toFloat / 10)))

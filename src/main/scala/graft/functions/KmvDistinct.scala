@@ -109,11 +109,23 @@ case class KmvDistinct(
     StructField("est", DoubleType, nullable = false)))
   override def nullable: Boolean = false
 
+  // reject non-integral children at ANALYSIS time — without this a
+  // `kmv_distinct(CAST(h AS DOUBLE), k)` SQL call would analyze fine and
+  // then ClassCastException per row at execution
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kmv_distinct requires an integral hash column, got ${dt.sql}")
+    }
+
   override def createAggregationBuffer(): KmvState = new KmvState(k)
 
   override def update(buffer: KmvState, input: InternalRow): KmvState = {
     val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Long])
+    if (v != null) buffer.add(v.asInstanceOf[java.lang.Number].longValue)
     buffer
   }
 

@@ -199,6 +199,64 @@ object OracleCatalog {
     * rounded doubles are bit-identical. Plain round() is engine-divergent
     * on shortest-repr ties (the q21 r1 mismatch). */
   private def round4(x: String): String = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
+
+  /** Shared q120/q122 PQ pipeline: stride-sampled sub-space codebooks,
+    * argmin-L2² encode (cid tie-break), j-ordered ADC fold, top-50
+    * shortlist, exact L2² re-rank. `ivfGate = true` prepends q30's cell
+    * assignment/probing and gates the ADC pair space with the candidate
+    * pairs — ONE source so a tie-break/rounding fix can't drift between
+    * the two entries (mirrors pqTopK's optional `candidates` param).
+    */
+  private def pqAnnSql(ivfGate: Boolean): String = {
+    def dotOf(a: String, b: String) =
+      s"list_reduce([$a[i] * $b[i] for i in generate_series(1, len($a))], (acc, x) -> acc + x)"
+    val l2 = "list_reduce([ (s.sv[i] - c.scv[i]) * (s.sv[i] - c.scv[i]) " +
+      "for i in generate_series(1, 8)], (a, x) -> a + x)"
+    val l2full = "list_reduce([ (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]) " +
+      "for i in generate_series(1, 64)], (a, x) -> a + x)"
+    val ivfCtes = if (!ivfGate) "" else
+      s"""en AS (SELECT vec_id, v, sqrt($dotSelf) AS nrm FROM e),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id % 50 = 0),
+         |sims AS (SELECT en.vec_id, en.nrm, cent.cid,
+         |    CASE WHEN (en.nrm * cent.cnrm) = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE ${dotOf("en.v", "cent.cv")} / (en.nrm * cent.cnrm) END AS sim
+         |  FROM en CROSS JOIN cent),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk FROM sims),
+         |corp AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1),
+         |qcell AS (SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE vec_id < 10 AND rk <= 4),
+         |cand AS (SELECT DISTINCT qcell.query_id, corp.vec_id
+         |         FROM corp JOIN qcell USING (cell)
+         |         WHERE qcell.query_id != corp.vec_id),
+         |""".stripMargin
+    val candJoin = if (ivfGate)
+      "\n           JOIN cand ON cand.query_id = qt.query_id AND cand.vec_id = codes.vec_id" else ""
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${ivfCtes}sub AS (SELECT vec_id, j, v[j*8+1 : (j+1)*8] AS sv
+       |        FROM e CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
+       |cb AS (SELECT vec_id AS cid, j, sv AS scv FROM sub WHERE vec_id % 10 = 0),
+       |dists AS (SELECT s.vec_id, s.j, c.cid, $l2 AS d
+       |          FROM sub s JOIN cb c USING (j)),
+       |codes AS (SELECT vec_id, j, cid FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rk
+       |            FROM dists) WHERE rk = 1),
+       |qt AS (SELECT vec_id AS query_id, j, cid, d FROM dists WHERE vec_id < 10),
+       |paired AS (SELECT qt.query_id, codes.vec_id, codes.j, qt.d
+       |           FROM codes JOIN qt ON codes.j = qt.j AND codes.cid = qt.cid$candJoin
+       |           WHERE qt.query_id != codes.vec_id),
+       |scored AS (SELECT query_id, vec_id,
+       |    ${round4("list_reduce(list(d ORDER BY j), (a, x) -> a + x)")} AS approx_dist
+       |  FROM paired GROUP BY query_id, vec_id),
+       |short AS (SELECT query_id, vec_id, approx_dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, vec_id ASC) AS adc_rank
+       |    FROM scored) WHERE adc_rank <= 50),
+       |rr AS (SELECT short.query_id, short.vec_id, short.approx_dist,
+       |    ${round4(l2full)} AS dist
+       |  FROM short JOIN e cv ON short.vec_id = cv.vec_id
+       |             JOIN e qv ON short.query_id = qv.vec_id)
+       |SELECT query_id, vec_id, approx_dist, dist, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank FROM rr)
+       |WHERE rank <= 5""".stripMargin
+  }
   private val embCte =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |en AS (SELECT vec_id, v, sqrt($dotSelf) AS nrm FROM e),
@@ -527,45 +585,8 @@ object OracleCatalog {
          |WHERE rank <= 5""".stripMargin
     },
 
-    // q120: product-quantization ADC + exact re-rank — codebooks are
-    // stride-sampled sub-vectors (the q30 convention), encoding is
-    // argmin L2² per (vector, subspace) with a cid tie-break, the
-    // approximate distance folds the m=8 table lookups in EXPLICIT j
-    // order (list(d ORDER BY j) → left fold, order-identical to Spark's
-    // array_sort(collect_list(struct(j,d))) fold), and the ADC top-50
-    // shortlist re-ranks by exact L2² over the raw vectors.
-    "q120_pq_ann" -> {
-      val l2 = "list_reduce([ (s.sv[i] - c.scv[i]) * (s.sv[i] - c.scv[i]) " +
-        "for i in generate_series(1, 8)], (a, x) -> a + x)"
-      val l2full = "list_reduce([ (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]) " +
-        "for i in generate_series(1, 64)], (a, x) -> a + x)"
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |sub AS (SELECT vec_id, j, v[j*8+1 : (j+1)*8] AS sv
-         |        FROM e CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
-         |cb AS (SELECT vec_id AS cid, j, sv AS scv FROM sub WHERE vec_id % 10 = 0),
-         |dists AS (SELECT s.vec_id, s.j, c.cid, $l2 AS d
-         |          FROM sub s JOIN cb c USING (j)),
-         |codes AS (SELECT vec_id, j, cid FROM (
-         |            SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rk
-         |            FROM dists) WHERE rk = 1),
-         |qt AS (SELECT vec_id AS query_id, j, cid, d FROM dists WHERE vec_id < 10),
-         |paired AS (SELECT qt.query_id, codes.vec_id, codes.j, qt.d
-         |           FROM codes JOIN qt ON codes.j = qt.j AND codes.cid = qt.cid
-         |           WHERE qt.query_id != codes.vec_id),
-         |scored AS (SELECT query_id, vec_id,
-         |    ${round4("list_reduce(list(d ORDER BY j), (a, x) -> a + x)")} AS approx_dist
-         |  FROM paired GROUP BY query_id, vec_id),
-         |short AS (SELECT query_id, vec_id, approx_dist FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, vec_id ASC) AS adc_rank
-         |    FROM scored) WHERE adc_rank <= 50),
-         |rr AS (SELECT short.query_id, short.vec_id, short.approx_dist,
-         |    ${round4(l2full)} AS dist
-         |  FROM short JOIN e cv ON short.vec_id = cv.vec_id
-         |             JOIN e qv ON short.query_id = qv.vec_id)
-         |SELECT query_id, vec_id, approx_dist, dist, CAST(rank AS INTEGER) AS rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank FROM rr)
-         |WHERE rank <= 5""".stripMargin
-    },
+    // q120: product-quantization ADC + exact re-rank — see pqAnnSql
+    "q120_pq_ann" -> pqAnnSql(ivfGate = false),
 
     // q123: BPE corpus encoding — q94's pairTop+fold unrolled EXACTLY
     // nMerges=8 times over the (tok, freq, sym) vocabulary, then every
@@ -605,53 +626,8 @@ object OracleCatalog {
     },
 
     // q122: IVF-PQ — q30's cell assignment/probing gates q120's ADC pair
-    // space (JOIN cand), then the same shortlist + exact re-rank
-    "q122_ivfpq_ann" -> {
-      def dotOf(a: String, b: String) =
-        s"list_reduce([$a[i] * $b[i] for i in generate_series(1, len($a))], (acc, x) -> acc + x)"
-      val l2 = "list_reduce([ (s.sv[i] - c.scv[i]) * (s.sv[i] - c.scv[i]) " +
-        "for i in generate_series(1, 8)], (a, x) -> a + x)"
-      val l2full = "list_reduce([ (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]) " +
-        "for i in generate_series(1, 64)], (a, x) -> a + x)"
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |en AS (SELECT vec_id, v, sqrt($dotSelf) AS nrm FROM e),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id % 50 = 0),
-         |sims AS (SELECT en.vec_id, en.nrm, cent.cid,
-         |    CASE WHEN (en.nrm * cent.cnrm) = 0 THEN CAST(0.0 AS DOUBLE)
-         |      ELSE ${dotOf("en.v", "cent.cv")} / (en.nrm * cent.cnrm) END AS sim
-         |  FROM en CROSS JOIN cent),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk FROM sims),
-         |corp AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1),
-         |qc AS (SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE vec_id < 10 AND rk <= 4),
-         |cand AS (SELECT DISTINCT qc.query_id, corp.vec_id
-         |         FROM corp JOIN qc USING (cell)
-         |         WHERE qc.query_id != corp.vec_id),
-         |sub AS (SELECT vec_id, j, v[j*8+1 : (j+1)*8] AS sv
-         |        FROM e CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
-         |cb AS (SELECT vec_id AS cid, j, sv AS scv FROM sub WHERE vec_id % 10 = 0),
-         |dists AS (SELECT s.vec_id, s.j, c.cid, $l2 AS d
-         |          FROM sub s JOIN cb c USING (j)),
-         |codes AS (SELECT vec_id, j, cid FROM (
-         |            SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rk
-         |            FROM dists) WHERE rk = 1),
-         |qt AS (SELECT vec_id AS query_id, j, cid, d FROM dists WHERE vec_id < 10),
-         |paired AS (SELECT qt.query_id, codes.vec_id, codes.j, qt.d
-         |           FROM codes JOIN qt ON codes.j = qt.j AND codes.cid = qt.cid
-         |           JOIN cand ON cand.query_id = qt.query_id AND cand.vec_id = codes.vec_id),
-         |scored AS (SELECT query_id, vec_id,
-         |    ${round4("list_reduce(list(d ORDER BY j), (a, x) -> a + x)")} AS approx_dist
-         |  FROM paired GROUP BY query_id, vec_id),
-         |short AS (SELECT query_id, vec_id, approx_dist FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, vec_id ASC) AS adc_rank
-         |    FROM scored) WHERE adc_rank <= 50),
-         |rr AS (SELECT short.query_id, short.vec_id, short.approx_dist,
-         |    ${round4(l2full)} AS dist
-         |  FROM short JOIN e cv ON short.vec_id = cv.vec_id
-         |             JOIN e qv ON short.query_id = qv.vec_id)
-         |SELECT query_id, vec_id, approx_dist, dist, CAST(rank AS INTEGER) AS rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank FROM rr)
-         |WHERE rank <= 5""".stripMargin
-    },
+    // space; same shared pipeline (pqAnnSql) with the candidate gate on
+    "q122_ivfpq_ann" -> pqAnnSql(ivfGate = true),
 
     // media payload is encode(text) of documents (Multimodal.mediaFromDocuments)
     // — byte math is mirrorable: n_bytes via octet_length, byte_mean via a

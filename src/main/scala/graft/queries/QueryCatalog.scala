@@ -1847,8 +1847,7 @@ object QueryCatalog {
     val words = t(s, dir, "documents")
       .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
-    val sym0 = words.withColumn("sym",
-      transform(sequence(lit(1), length(col("tok"))), i => col("tok").substr(i, lit(1))))
+    val sym0 = words.withColumn("sym", bpeChars(col("tok")))
 
     def topPair(df: DataFrame): DataFrame = df
       .select(col("freq"), explode(zip_with(
@@ -1927,6 +1926,17 @@ object QueryCatalog {
     * Tie-breaks (count desc, pair asc) and the greedy LEFT-to-right
     * non-overlapping fold are pinned in both engines.
     */
+  /** Character array of a token, empty-safe: `sequence(1, length)` on an
+    * empty string is sequence(1,0) = [1,0] (descending!), which would
+    * yield sym=["",""] while DuckDB's generate_series(1,0) is empty —
+    * the guard makes both engines produce [] for the '' token a
+    * whitespace-only document tokenizes to.
+    */
+  private def bpeChars(tok: Column): Column =
+    when(length(tok) >= 1,
+      transform(sequence(lit(1), length(tok)), i => tok.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
+
   /** Highest-count adjacent symbol pair of a (freq, sym) frame — the BPE
     * training step, ties (count desc, pair asc) as the oracle replays.
     */
@@ -1966,9 +1976,7 @@ object QueryCatalog {
     val words = t(s, dir, "documents")
       .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
-    var sym = words.select(col("freq"),
-        transform(sequence(lit(1), length(col("tok"))),
-          i => col("tok").substr(i, lit(1))).as("sym"))
+    var sym = words.select(col("freq"), bpeChars(col("tok")).as("sym"))
       .localCheckpoint()
     val base = sym.select(explode(col("sym")).as("c")).distinct().count()
     val nMerges = math.min(math.max(targetVocab - base, 0L), maxMerges.toLong).toInt
@@ -2007,9 +2015,7 @@ object QueryCatalog {
     val words = t(s, dir, "documents")
       .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
-    var sym = words.select(col("tok"), col("freq"),
-        transform(sequence(lit(1), length(col("tok"))),
-          i => col("tok").substr(i, lit(1))).as("sym"))
+    var sym = words.select(col("tok"), col("freq"), bpeChars(col("tok")).as("sym"))
       .localCheckpoint()
     (1 to nMerges).foreach { _ =>
       val m = bpeTopPair(sym).localCheckpoint()
@@ -2831,9 +2837,13 @@ object QueryCatalog {
     * data volume) and the 1-row median/MAD frames broadcast.
     */
   def outlierDays(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the day series feeds four plan branches (its own
+    // median, the deviation frame, the MAD median, the output) — without
+    // materialization the events scan + aggregation runs 4x
     val daily = Tables.events(s, dir)
       .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
       .agg(sumMoney(col("value")).as("revenue"), count(lit(1)).as("n_events"))
+      .localCheckpoint()
     // low median of a tiny frame: single-partition window is deliberate
     def lowMedian(df: DataFrame, valueCol: String, as: String): DataFrame =
       df.withColumn("rn", row_number().over(Window.orderBy(valueCol)))
@@ -2842,6 +2852,7 @@ object QueryCatalog {
         .select(col(valueCol).as(as))
     val dev = daily.crossJoin(broadcast(lowMedian(daily, "revenue", "med")))
       .withColumn("abs_dev", abs(col("revenue") - col("med")))
+      .localCheckpoint()
     dev.crossJoin(broadcast(lowMedian(dev, "abs_dev", "mad")))
       .withColumn("robust_z", when(col("mad") > 0, col("abs_dev") / col("mad")))
       .withColumn("is_outlier",
@@ -2862,8 +2873,11 @@ object QueryCatalog {
     * makes the state mergeable under ANY split. At 100 TB the history
     * side is a stored state table read at O(|keys|), the delta is the
     * new partition, and the merge is one key-equi join with shuffle
-    * bounded by state size — this query simulates the split with a
-    * broadcast max(ts)−7d cutoff over one events scan.
+    * bounded by state size. This query SIMULATES the split with a
+    * broadcast max(ts)−7d cutoff, which costs three events scans here
+    * (cutoff aggregate + the two filtered branches) — acceptable for
+    * the contract gate; in production the history side is a stored
+    * state table, so only the delta partition is ever scanned.
     */
   def incrementalAggMerge(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)

@@ -297,25 +297,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     val centroids = centroidsOverride.getOrElse(
-        c.filter(col("vec_id") % centroidStride === 0)
-          .select(col("vec_id").as("cid"), col("v").as("cv")))
-      .withColumn("cnrm", norm(col("cv")))
-    val corpusCells = c
-      .join(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        cosineFromNorms(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("sim"))
-      .withColumn("rk", row_number().over(Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      c.filter(col("vec_id") % centroidStride === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
+    val corpusCells = assignCells(c, centroids)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qnrm", norm(col("qv")))
-    val queryCells = q
-      .join(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("qnrm"), col("cid"),
-        cosineFromNorms(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")).as("sim"))
-      .withColumn("rk", row_number().over(Window.partitionBy("query_id").orderBy(desc("sim"), asc("cid"))))
-      .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qnrm"), col("cid").as("cell"))
+    val queryCells = probeCells(q, centroids, nProbe)
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
@@ -366,9 +353,10 @@ object Similarity {
   }
 
   /** Nearest-centroid cell assignment — one broadcast-centroid pass over
-    * the corpus, ties broken by centroid id (the same assignment block
-    * [[ivfTopK]] uses inline). Input `c` must carry (vec_id, v, nrm);
-    * centroids (cid, cv). Returns (vec_id, v, nrm, cell).
+    * the corpus, ties broken by centroid id; the single source of the
+    * assignment convention ([[ivfTopK]], [[ivfPqTopK]] and
+    * [[semanticDedup]] all ride it). Input `c` must carry (vec_id, v,
+    * nrm); centroids (cid, cv). Returns (vec_id, v, nrm, cell).
     */
   def assignCells(c: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cid"), col("cv")).withColumn("cnrm", norm(col("cv")))
@@ -379,6 +367,23 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+  }
+
+  /** The query-side dual of [[assignCells]]: each query's `nProbe`
+    * nearest cells (same cosine, same min-cid tie-break). Input `q`
+    * must carry (query_id, qv, qnrm); centroids (cid, cv). Single
+    * source for the probe convention — [[ivfTopK]] and [[ivfPqTopK]]
+    * both ride it.
+    */
+  def probeCells(q: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+    val cents = centroids.select(col("cid"), col("cv")).withColumn("cnrm", norm(col("cv")))
+    q.join(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cid"),
+        cosineFromNorms(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cid").as("cell"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -448,6 +453,11 @@ object Similarity {
     * Catalyst partial-aggregates map-side. At 100 TB the codes column
     * (m bytes/row) is the ONLY corpus data the ADC stage reads — combine
     * with IVF cells (probe, then ADC within the cell) for IVF-PQ.
+    *
+    * PRECONDITION (the q22/q25/q30 family convention): `queries` must be
+    * a subset of `corpus` — query sub-vectors and ADC tables are derived
+    * from the corpus frame by id, so an id absent from the corpus gets
+    * no table and silently contributes zero output rows.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, dim: Int = 64, centroidStride: Int = 10,
@@ -541,26 +551,13 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val centroids = c.filter(col("vec_id") % ivfStride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-      .withColumn("cnrm", norm(col("cv")))
-    val corpusCells = c
-      .join(broadcast(centroids))
-      .select(col("vec_id"), col("cid"),
-        cosineFromNorms(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-    // probe by ranking the query against ALL centroids (its own cell is
-    // rank 1; the q30 probe shape)
-    val qProbe = c.join(broadcast(queries.select(col(idCol).as("query_id"))),
+    val corpusCells = assignCells(c, centroids).select("vec_id", "cell")
+    // probe with the query vectors pulled from the corpus frame (the
+    // family's queries-subset-of-corpus convention)
+    val qv = c.join(broadcast(queries.select(col(idCol).as("query_id"))),
         col("vec_id") === col("query_id"))
-      .join(broadcast(centroids))
-      .select(col("query_id"),  col("cid"),
-        cosineFromNorms(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("sim"), asc("cid"))))
-      .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("cid").as("cell"))
+      .select(col("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val qProbe = probeCells(qv, centroids, nProbe).select("query_id", "cell")
     val cands = corpusCells.join(broadcast(qProbe), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))

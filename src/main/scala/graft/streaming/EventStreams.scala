@@ -201,11 +201,15 @@ object EventStreams {
             BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)
               .bigDecimal.movePointRight(4).longValueExact()).sum
           val prev = state.getOption
+          // full Timestamp ordering, NOT maxBy(_.getTime): getTime is
+          // millisecond-truncated, and the batch max(ts) this state is
+          // contractually equal to compares at full (nanos) precision
           val next = RollupState(
             userId,
             prev.map(_.n_events).getOrElse(0L) + evs.size,
             prev.map(_.value_1e4).getOrElse(0L) + add,
-            (prev.map(_.last_ts) ++ evs.map(_.ts)).maxBy(_.getTime))
+            (prev.map(_.last_ts) ++ evs.map(_.ts))
+              .max(Ordering.fromLessThan[java.sql.Timestamp](_.before(_))))
           state.update(next)
           next
       }

@@ -179,12 +179,14 @@ class QueryPlanSpec extends SparkSpec {
       s"hash should be a codegen'd projection below the aggregate:\n${plan.take(2000)}")
   }
 
-  test("q118 outlier days: day series aggregates by hash; median frames broadcast, never cartesian") {
+  test("q118 outlier days: median frames broadcast, never cartesian; events scanned zero times in the final plan") {
     val plan = executedPlan(QueryCatalog.outlierDays(spark, sf))
     assert(!plan.contains("CartesianProduct"),
       s"1-row median/MAD frames must broadcast:\n${plan.take(1500)}")
-    assert(plan.contains("HashAggregate") && plan.contains("partial_"),
-      s"daily revenue must map-side combine before the series windows:\n${plan.take(1500)}")
+    // the day series is localCheckpointed once; the final plan must read
+    // the materialized series, never re-scan events (was 4 scans)
+    assert(!plan.contains("Scan parquet"),
+      s"final plan must run off the checkpointed day series:\n${plan.take(1500)}")
   }
 
   test("q119 incremental merge: state join is key-equi; only the 1-row cutoff nests") {

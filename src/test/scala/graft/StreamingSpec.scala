@@ -572,7 +572,12 @@ class StreamingSpec extends SparkSpec {
                  Event(3, ts("2024-01-01 00:30:00"), 1, "view",  0.12344))
     val b2 = Seq(Event(4, ts("2024-01-01 01:00:00"), 1, "buy",   10.0),
                  Event(5, ts("2024-01-01 01:30:00"), 3, "click", 7.77777))
-    val b3 = Seq(Event(6, ts("2024-01-01 02:00:00"), 2, "click", 0.00004))
+    val b3 = Seq(Event(6, ts("2024-01-01 02:00:00"), 2, "click", 0.00004),
+                 // sub-millisecond pair: getTime is equal for both, so a
+                 // maxBy(_.getTime) state would keep whichever arrives
+                 // first — the full-Timestamp ordering must keep .0009
+                 Event(7, ts("2024-01-01 02:00:00.0001"), 4, "view", 1.0),
+                 Event(8, ts("2024-01-01 02:00:00.0009"), 4, "view", 1.0))
     try {
       Seq(b1, b2, b3).foreach { b => source.addData(b: _*); q.processAllAvailable() }
       // update-mode emissions accumulate; n_events is monotone per user,

@@ -237,7 +237,9 @@ object SparkEntry {
     // IVF-PQ: probed cells bound the pair space, codes bound the reads
     "q122_ivfpq_ann"            -> (Q.ivfPqAnnTopK(_, _)),
     // BPE APPLICATION: encode the corpus with the trained merges
-    "q123_bpe_encode"           -> (Q.bpeEncodeCorpus(_, _))
+    "q123_bpe_encode"           -> (Q.bpeEncodeCorpus(_, _)),
+    // custom DSv2 TSV connector: filter+column pushdown inside the scan
+    "q124_tsv_source"           -> (Q.tsvSourceCountries(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

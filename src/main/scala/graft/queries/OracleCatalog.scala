@@ -588,6 +588,20 @@ object OracleCatalog {
     // q120: product-quantization ADC + exact re-rank — see pqAnnSql
     "q120_pq_ann" -> pqAnnSql(ivfGate = false),
 
+    // q124: custom DSv2 TSV connector — DuckDB reads the SAME file with
+    // the same \N-null and binary-collation conventions, so a hash match
+    // is a row-for-row check of the connector's in-reader pushed-filter
+    // evaluation (the Spark plan has no post-scan Filter node at all)
+    "q124_tsv_source" -> {
+      val path = graft.sources.GraftTsv.seedTsvPath
+      s"""SELECT iso, nicename, phonecode
+         |FROM read_csv('$path', delim = '\t', header = false,
+         |  all_varchar = true, nullstr = '\\N',
+         |  names = ['id', 'iso', 'name', 'nicename', 'iso3', 'numcode', 'phonecode'])
+         |WHERE iso >= 'M' AND iso3 IS NOT NULL
+         |ORDER BY iso""".stripMargin
+    },
+
     // q123: BPE corpus encoding — q94's pairTop+fold unrolled EXACTLY
     // nMerges=8 times over the (tok, freq, sym) vocabulary, then every
     // document's words join the encoded vocab and roll up per doc

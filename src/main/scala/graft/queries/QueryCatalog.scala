@@ -2902,6 +2902,27 @@ object QueryCatalog {
       .orderBy("user_id")
   }
 
+  /** Custom DSv2 source read (q124): the reference's country seed TSV
+    * through [[graft.sources.GraftTsv]] — a from-scratch DataSourceV2
+    * connector with filter AND column pushdown. Both predicates
+    * (`iso >= 'M'`, `iso3 IS NOT NULL`) push into the reader and the
+    * post-scan plan carries NO Filter node (QueryPlanSpec pins it), so
+    * the oracle row-for-row check is exactly a check of the reader's
+    * own filter evaluation; the projection pushes as the pruned
+    * ReadSchema. Note iso3 is a FILTER-only column — pruned out of the
+    * output but still evaluated inside the scan.
+    */
+  def tsvSourceCountries(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.GraftTsv.seedTsvPath
+    s.read.format("graft-tsv")
+      .schema("id string, iso string, name string, nicename string, " +
+        "iso3 string, numcode string, phonecode string")
+      .option("path", path).load()
+      .filter(col("iso") >= "M" && col("iso3").isNotNull)
+      .select(col("iso"), col("nicename"), col("phonecode"))
+      .orderBy("iso")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

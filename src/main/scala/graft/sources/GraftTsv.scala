@@ -48,10 +48,10 @@ class GraftTsv extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = GraftTsv.pathOf(options)
-    val first = {
-      val src = scala.io.Source.fromFile(path, "UTF-8")
+    val first = GraftTsv.dataFiles(path).headOption.map { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
       try src.getLines().nextOption().getOrElse("") finally src.close()
-    }
+    }.getOrElse("")
     val n = if (first.isEmpty) 0 else first.split('\t').length
     StructType((0 until n).map(i =>
       org.apache.spark.sql.types.StructField(s"c$i", StringType, nullable = true)))
@@ -72,6 +72,28 @@ object GraftTsv {
   private[sources] def field(raw: String): String =
     if (raw == "\\N") null else raw
 
+  /** null → `\N`, else the raw value (the writer-side dual). */
+  private[sources] def unfield(v: String): String =
+    if (v == null) "\\N" else v
+
+  /** A path is either a single TSV file or a directory of `part-*.tsv`
+    * files (what [[TsvBatchWrite]] commits); dotfiles and in-flight
+    * `.tmp-*` task outputs are never visible to readers.
+    */
+  private[sources] def dataFiles(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.map(_.toString)
+        .filter { f =>
+          val name = java.nio.file.Paths.get(f).getFileName.toString
+          name.endsWith(".tsv") && !name.startsWith(".")
+        }.toList.sorted
+      finally s.close()
+    } else List(path)
+  }
+
   /** The country-seed TSV as a real filesystem path: the classpath
     * resource may live inside a jar (sbt fork), which neither this
     * connector's file reader nor the DuckDB oracle can open — so it is
@@ -89,14 +111,21 @@ object GraftTsv {
   }
 }
 
-final case class TsvTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
+final case class TsvTable(tableSchema: StructType, path: String)
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graft-tsv: `path` option is required")
   override def schema(): StructType = tableSchema
   override def name(): String = s"graft-tsv:$path"
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsvScanBuilder(schema, path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TsvWriteBuilder(info.schema(), path)
 }
 
 final class TsvScanBuilder(fullSchema: StructType, path: String)
@@ -135,7 +164,7 @@ final case class TsvScan(fullSchema: StructType, required: StructType,
   override def description(): String =
     s"graft-tsv $path, PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(TsvPartition(path))
+    GraftTsv.dataFiles(path).map(f => TsvPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     TsvReaderFactory(fullSchema.fieldNames, required.fieldNames, pushed)
 }
@@ -191,4 +220,75 @@ final class TsvPartitionReader(path: String, allCols: Array[String],
 
   override def get(): InternalRow = current
   override def close(): Unit = src.close()
+}
+
+// ---- write path: the V2 commit protocol in miniature ---------------------
+// Each task writes dir/.tmp-<uuid>; its commit MESSAGE carries the temp
+// name; only the driver-side job commit renames temps to part-<i>.tsv
+// (readers never list dotfiles, so uncommitted and aborted task output is
+// invisible). Truncate (SaveMode.Overwrite) deletes committed parts at
+// job commit, after the new temps are safely written.
+
+import org.apache.spark.sql.connector.write._
+
+final class TsvWriteBuilder(schema: StructType, path: String)
+  extends WriteBuilder with SupportsTruncate {
+  require(schema.fields.forall(_.dataType == StringType),
+    s"graft-tsv writes string columns only (cast upstream); got ${schema.simpleString}")
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = TsvBatchWrite(schema, path, doTruncate)
+  }
+}
+
+final case class TsvCommit(tmpName: String) extends WriterCommitMessage
+
+final case class TsvBatchWrite(schema: StructType, path: String, doTruncate: Boolean)
+  extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    TsvWriterFactory(path, schema.length)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    if (doTruncate) GraftTsv.dataFiles(path).foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    messages.zipWithIndex.foreach { case (TsvCommit(tmp), i) =>
+      java.nio.file.Files.move(dir.resolve(tmp), dir.resolve(f"part-$i%05d.tsv"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    messages.foreach {
+      case TsvCommit(tmp) => java.nio.file.Files.deleteIfExists(dir.resolve(tmp))
+      case _ => ()
+    }
+  }
+}
+
+final case class TsvWriterFactory(path: String, nCols: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TsvDataWriter(path, nCols)
+}
+
+final class TsvDataWriter(path: String, nCols: Int) extends DataWriter[InternalRow] {
+  private val tmpName = s".tmp-${java.util.UUID.randomUUID()}"
+  private val out = java.nio.file.Files.newBufferedWriter(
+    java.nio.file.Paths.get(path).resolve(tmpName), java.nio.charset.StandardCharsets.UTF_8)
+
+  override def write(record: InternalRow): Unit = {
+    val fields = (0 until nCols).map { i =>
+      GraftTsv.unfield(if (record.isNullAt(i)) null else record.getUTF8String(i).toString)
+    }
+    out.write(fields.mkString("\t"))
+    out.write("\n")
+  }
+  override def commit(): WriterCommitMessage = { out.close(); TsvCommit(tmpName) }
+  override def abort(): Unit = {
+    out.close()
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path).resolve(tmpName))
+  }
+  override def close(): Unit = ()
 }

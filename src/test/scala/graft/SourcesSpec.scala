@@ -63,6 +63,25 @@ class SourcesSpec extends SparkSpec {
     assert(pushedRows == residualRows && pushedRows.nonEmpty)
   }
 
+  test("write path: commit-protocol roundtrip, \\N nulls, overwrite truncates, temps invisible") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_w").toString + "/out"
+    val df = seed.select("iso", "nicename", "iso3") // iso3 carries nulls → \N roundtrip
+    df.repartition(3).write.format("graft-tsv").option("path", dir).mode("overwrite").save()
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(files.nonEmpty && files.forall(f => f.startsWith("part-") && f.endsWith(".tsv")),
+      s"only committed parts may be visible: $files")
+    def readBack = spark.read.format("graft-tsv")
+      .schema("iso string, nicename string, iso3 string").option("path", dir).load()
+    val a = df.collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    val b = readBack.collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(a == b && b.exists(_._3.isEmpty), "roundtrip must preserve rows AND nulls")
+    // overwrite truncates the previous committed parts
+    Seq(("ZZ", "Zed", null: String)).toDF("iso", "nicename", "iso3")
+      .write.format("graft-tsv").option("path", dir).mode("overwrite").save()
+    assert(readBack.count() == 1)
+  }
+
   test("q124 query shape: rows nonempty, ordered by iso, filter-only column pruned from output") {
     val rows = QueryCatalog.tsvSourceCountries(spark, sf).collect()
     assert(rows.nonEmpty && rows.forall(_.getString(0) >= "M"))

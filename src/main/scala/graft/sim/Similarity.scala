@@ -546,11 +546,15 @@ object Similarity {
                 nProbe: Int = 4, ivfStride: Int = 50,
                 m: Int = 8, dim: Int = 64, pqStride: Int = 10,
                 shortlist: Int = 50,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                centroidsOverride: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val centroids = c.filter(col("vec_id") % ivfStride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // stride-sampled cells by default; pass kmeansCentroids(...) output
+    // for trained cells (the q68 pattern)
+    val centroids = centroidsOverride.getOrElse(
+      c.filter(col("vec_id") % ivfStride === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
     val corpusCells = assignCells(c, centroids).select("vec_id", "cell")
     // probe with the query vectors pulled from the corpus frame (the
     // family's queries-subset-of-corpus convention)

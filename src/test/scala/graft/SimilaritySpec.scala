@@ -211,4 +211,16 @@ class SimilaritySpec extends SparkSpec {
         s"IVF-PQ must preserve PQ's exact-rerank order on shared pairs: $ordered")
     }
   }
+
+  test("ivfPqTopK with k-means-trained cells returns ranked neighbors per query") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val trained = Similarity.kmeansCentroids(e, dim = 64, k = 8, iters = 2)
+    val out = Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), 5,
+      centroidsOverride = Some(trained)).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 5, "every query answered under trained cells")
+    byQ.values.foreach { rows =>
+      assert(rows.nonEmpty && rows.map(_.getInt(4)).sorted.toSeq == (1 to rows.length))
+    }
+  }
 }

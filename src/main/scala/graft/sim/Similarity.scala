@@ -508,10 +508,28 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         roundScore(aggregate(transform(col("jd"), e => e.getField("d")),
           lit(0.0), (acc, d) => acc + d)).as("approx_dist"))
-    val wAdc = Window.partitionBy("query_id").orderBy(asc("approx_dist"), asc("vec_id"))
-    val short = scored.withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= shortlist)
-      .select(col("query_id"), col("vec_id"), col("approx_dist"))
+    // shortlist selection through the bounded-heap [[TopK.TopKAgg]] — NOT a
+    // row_number window: the ADC stage scores every corpus vector per query
+    // (PQ's design), and a window over that stream shuffles |corpus| rows
+    // into ONE partition per query and sorts them. The Aggregator keeps
+    // ≤shortlist entries per query through the partial/merge tree, so the
+    // shuffle carries k-entry buffers and nothing sorts a full group.
+    // Distances are negated on the way in (TopKAgg ranks score DESC, id ASC
+    // — exactly asc(approx_dist), asc(vec_id) on the negation; IEEE
+    // negation is exact, so values and ties are identical to the window
+    // form, which SimilaritySpec asserts).
+    val short = {
+      import scored.sparkSession.implicits._
+      scored.select(col("query_id"), col("vec_id"), col("approx_dist"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => TopK.Scored(t._2, -t._3))
+        .agg(TopK.TopKAgg(shortlist).toColumn)
+        .toDF("query_id", "topk")
+        .select(col("query_id"), explode(col("topk.entries")).as("e"))
+        .select(col("query_id"), col("e.id").as("vec_id"),
+          (-col("e.score")).as("approx_dist"))
+    }
     // exact re-rank of the shortlist only: |queries|·shortlist full-vector
     // distance evaluations — the raw-vector reads PQ exists to bound
     val qv = e.select(col("vec_id").as("query_id"), col("v").as("qvec"))

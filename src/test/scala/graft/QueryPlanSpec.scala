@@ -207,6 +207,21 @@ class QueryPlanSpec extends SparkSpec {
       s"codebooks and ADC tables must ride broadcast hash joins:\n${plan.take(1500)}")
   }
 
+  test("q120 PQ shortlist: bounded-heap aggregate, NOT a window over the full ADC stream") {
+    val plan = executedPlan(QueryCatalog.pqAnnTopK(spark, sf))
+    // the ADC stage scores every corpus vector per query; its shortlist must
+    // partial-aggregate (k-entry heap state crossing the shuffle), never
+    // shuffle |corpus| scored rows into one partition per query and sort.
+    assert(plan.contains("ObjectHashAggregate"),
+      s"ADC shortlist must run through the bounded-heap typed Aggregator:\n${plan.take(1500)}")
+    // exactly two windows may remain: the encode arg-min over ksub
+    // sub-centroids (bounded by codebook size) and the exact re-rank over
+    // the ≤shortlist rows per query — never a third over the ADC scores
+    val windows = "(?m)^\\s*[+:*-]*\\s*Window\\b".r.findAllIn(plan).size
+    assert(windows <= 2,
+      s"expected ≤2 bounded windows (encode arg-min + shortlist re-rank), got $windows:\n${plan.take(2000)}")
+  }
+
   test("q121 calibration: one documents scan per stage, weight frame broadcasts") {
     val plan = executedPlan(QueryCatalog.classifierCalibration(spark, sf))
     assert(!plan.contains("CartesianProduct"),

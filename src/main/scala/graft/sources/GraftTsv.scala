@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,29 +18,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * machinery the built-in formats hide:
   *
   *   - `TableProvider` + `DataSourceRegister` (`format("graft-tsv")`),
-  *     user-supplied or inferred (c0..cN, all-string) schema;
+  *     user-supplied typed schema (string/int/bigint/double) or inferred
+  *     (c0..cN, all-string);
   *   - `SupportsPushDownRequiredColumns`: the reader PARSES every line
   *     but EMITS only the pruned columns — `.explain` shows the narrowed
   *     ReadSchema;
-  *   - `SupportsPushDownFilters`: string comparisons, null tests and
-  *     prefix matches evaluate INSIDE the reader; pushed filters are
-  *     removed from the post-scan plan entirely (no Filter node), so
-  *     correctness rides on the reader's own evaluation — which the
-  *     q124 DuckDB oracle checks row-for-row. Filters may reference
-  *     columns OUTSIDE the pruned projection (evaluated on the parsed
-  *     line, not the emitted row) — the planner guarantees nothing
-  *     about that on purpose, and this source handles it.
+  *   - `SupportsPushDownFilters`: comparisons (typed per the declared
+  *     column — int/long/double compare numerically, strings binary),
+  *     null tests, prefix matches, IN sets, AND/OR evaluate INSIDE the
+  *     reader; pushed filters are removed from the post-scan plan
+  *     entirely (no Filter node), so correctness rides on the reader's
+  *     own evaluation — which the q124 DuckDB oracle checks row-for-row.
+  *     Filters may reference columns OUTSIDE the pruned projection
+  *     (evaluated on the parsed line, not the emitted row) — the planner
+  *     guarantees nothing about that on purpose, and this source handles
+  *     it. Declaring a column as a numeric type is what makes numeric
+  *     predicates pushable: on an all-string schema Catalyst wraps the
+  *     attribute in a Cast, which is not translatable to a source Filter
+  *     — typed pushdown is a property of the schema, not of the filter.
+  *   - line-range SPLITS: each file is divided into `split_bytes`-sized
+  *     byte ranges aligned to line boundaries ('\n' never occurs inside
+  *     a UTF-8 multibyte sequence, so byte-level splitting is UTF-8
+  *     safe); a split owns every line that STARTS inside it, the first
+  *     split also owns offset 0. One task per split — the same contract
+  *     FileScan gives parquet.
   *
-  * All columns are strings by design (the TSV carries no types); cast
-  * downstream. Comparisons are binary/lexicographic — identical
-  * semantics in Spark (UTF8String), this reader (String.compareTo on
-  * ASCII) and DuckDB (default binary collation), which is what lets the
-  * oracle cross-check the pushed-filter evaluation.
-  *
-  * Scale note: the seed is one partition by design (239 rows). A real
-  * deployment splits by line-range offsets per file block — the
-  * `planInputPartitions` seam is where those splits go; nothing else
-  * changes.
+  * String comparisons are binary/lexicographic — identical semantics in
+  * Spark (UTF8String), this reader (String.compareTo) and DuckDB
+  * (default binary collation), which is what lets the oracle cross-check
+  * the pushed-filter evaluation. A line with the wrong field count or an
+  * unparsable numeric field fails with the file, byte offset, and line
+  * text — never an index error.
   */
 class GraftTsv extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-tsv"
@@ -63,11 +71,28 @@ class GraftTsv extends TableProvider with DataSourceRegister {
 }
 
 object GraftTsv {
+  /** Default split size; `split_bytes` option overrides (min 1). */
+  val DefaultSplitBytes: Long = 32L * 1024 * 1024
+
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null, "graft-tsv: `path` option is required")
     p
   }
+
+  private[sources] def splitBytesOf(options: CaseInsensitiveStringMap): Long = {
+    val raw = options.get("split_bytes")
+    if (raw == null) DefaultSplitBytes
+    else {
+      val v = try raw.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"graft-tsv: split_bytes must be a long, got '$raw'")
+      }
+      require(v >= 1, s"graft-tsv: split_bytes must be >= 1, got $v")
+      v
+    }
+  }
+
   /** `\N` → null, else the raw field (MySQL dump convention). */
   private[sources] def field(raw: String): String =
     if (raw == "\\N") null else raw
@@ -75,6 +100,9 @@ object GraftTsv {
   /** null → `\N`, else the raw value (the writer-side dual). */
   private[sources] def unfield(v: String): String =
     if (v == null) "\\N" else v
+
+  private[sources] val readableTypes: Set[DataType] =
+    Set(StringType, IntegerType, LongType, DoubleType)
 
   /** A path is either a single TSV file or a directory of `part-*.tsv`
     * files (what [[TsvBatchWrite]] commits); dotfiles and in-flight
@@ -115,36 +143,59 @@ final case class TsvTable(tableSchema: StructType, path: String)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graft-tsv: `path` option is required")
+  require(tableSchema.fields.forall(f => GraftTsv.readableTypes.contains(f.dataType)),
+    s"graft-tsv columns must be string/int/bigint/double; got ${tableSchema.simpleString}")
   override def schema(): StructType = tableSchema
   override def name(): String = s"graft-tsv:$path"
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TsvScanBuilder(schema, path)
+    new TsvScanBuilder(schema, path, GraftTsv.splitBytesOf(options))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     : org.apache.spark.sql.connector.write.WriteBuilder =
     new TsvWriteBuilder(info.schema(), path)
 }
 
-final class TsvScanBuilder(fullSchema: StructType, path: String)
+final class TsvScanBuilder(fullSchema: StructType, path: String, splitBytes: Long)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
 
+  /** A comparison is pushable when the literal's runtime type matches the
+    * DECLARED column type — Catalyst has already coerced literals to the
+    * attribute type, so a mismatch means an implicit cast we must not
+    * second-guess.
+    */
+  private def typed(a: String, v: Any): Boolean =
+    fullSchema.fields.find(_.name == a).exists { f =>
+      (f.dataType, v) match {
+        case (StringType, _: String)             => true
+        case (IntegerType, _: java.lang.Integer) => true
+        case (LongType, _: java.lang.Long)       => true
+        case (DoubleType, _: java.lang.Double)   => true
+        case _                                   => false
+      }
+    }
+
+  private def isString(a: String): Boolean =
+    fullSchema.fields.exists(f => f.name == a && f.dataType == StringType)
+
   private def supported(f: Filter): Boolean = f match {
-    case EqualTo(a, _: String)            => fullSchema.fieldNames.contains(a)
-    case GreaterThan(a, _: String)        => fullSchema.fieldNames.contains(a)
-    case GreaterThanOrEqual(a, _: String) => fullSchema.fieldNames.contains(a)
-    case LessThan(a, _: String)           => fullSchema.fieldNames.contains(a)
-    case LessThanOrEqual(a, _: String)    => fullSchema.fieldNames.contains(a)
-    case StringStartsWith(a, _)           => fullSchema.fieldNames.contains(a)
-    case IsNotNull(a)                     => fullSchema.fieldNames.contains(a)
-    case IsNull(a)                        => fullSchema.fieldNames.contains(a)
-    case And(l, r)                        => supported(l) && supported(r)
-    case _                                => false
+    case EqualTo(a, v)            => typed(a, v)
+    case GreaterThan(a, v)        => typed(a, v)
+    case GreaterThanOrEqual(a, v) => typed(a, v)
+    case LessThan(a, v)           => typed(a, v)
+    case LessThanOrEqual(a, v)    => typed(a, v)
+    case In(a, vs)                => vs.forall(v => v == null || typed(a, v))
+    case StringStartsWith(a, _)   => isString(a)
+    case IsNotNull(a)             => fullSchema.fieldNames.contains(a)
+    case IsNull(a)                => fullSchema.fieldNames.contains(a)
+    case And(l, r)                => supported(l) && supported(r)
+    case Or(l, r)                 => supported(l) && supported(r)
+    case _                        => false
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -154,64 +205,155 @@ final class TsvScanBuilder(fullSchema: StructType, path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = TsvScan(fullSchema, required, pushed, path)
+  override def build(): Scan = TsvScan(fullSchema, required, pushed, path, splitBytes)
 }
 
 final case class TsvScan(fullSchema: StructType, required: StructType,
-                         pushed: Array[Filter], path: String) extends Scan with Batch {
+                         pushed: Array[Filter], path: String, splitBytes: Long)
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-tsv $path, PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    GraftTsv.dataFiles(path).map(f => TsvPartition(f): InputPartition).toArray
+    GraftTsv.dataFiles(path).flatMap { f =>
+      val size = java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      (0L until size by splitBytes).map(start =>
+        TsvPartition(f, start, math.min(start + splitBytes, size)))
+    }.map(p => p: InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    TsvReaderFactory(fullSchema.fieldNames, required.fieldNames, pushed)
+    TsvReaderFactory(fullSchema, required.fieldNames, pushed)
 }
 
-final case class TsvPartition(path: String) extends InputPartition
+/** One byte range of one file; owns every line that STARTS in
+  * [start, end) (offset 0 belongs to the first split).
+  */
+final case class TsvPartition(path: String, start: Long, end: Long) extends InputPartition
 
-final case class TsvReaderFactory(allCols: Array[String], requiredCols: Array[String],
+final case class TsvReaderFactory(fullSchema: StructType, requiredCols: Array[String],
                                   pushed: Array[Filter]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TsvPartitionReader(partition.asInstanceOf[TsvPartition].path,
-      allCols, requiredCols, pushed)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TsvPartition]
+    new TsvPartitionReader(p.path, p.start, p.end, fullSchema, requiredCols, pushed)
+  }
 }
 
-final class TsvPartitionReader(path: String, allCols: Array[String],
+final class TsvPartitionReader(path: String, start: Long, end: Long,
+                               fullSchema: StructType,
                                requiredCols: Array[String], pushed: Array[Filter])
   extends PartitionReader[InternalRow] {
 
+  private val allCols = fullSchema.fieldNames
+  private val types: Array[DataType] = fullSchema.fields.map(_.dataType)
   private val idx = allCols.zipWithIndex.toMap
   private val outIdx = requiredCols.map(idx)
-  private val src = scala.io.Source.fromFile(path, "UTF-8")
-  private val lines = src.getLines()
+
+  private val in = new java.io.BufferedInputStream(
+    new java.io.FileInputStream(path), 64 * 1024)
+  private var pos: Long = 0L
   private var current: InternalRow = _
+
+  // seek to the split start, then discard the partial line the previous
+  // split owns ('\n' is never a UTF-8 continuation byte, so scanning raw
+  // bytes for it is encoding-safe)
+  locally {
+    var toSkip = start
+    while (toSkip > 0) {
+      val n = in.skip(toSkip)
+      if (n <= 0) toSkip = 0 else toSkip -= n
+    }
+    pos = start
+    if (start > 0) {
+      var b = in.read()
+      while (b != -1 && b != '\n') { pos += 1; b = in.read() }
+      if (b == '\n') pos += 1
+    }
+  }
+
+  /** Read the next raw line (without terminator), or null at EOF.
+    * Advances `pos` past the line and its '\n'.
+    */
+  private def readLine(): String = {
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+    if (b == '\n') pos += 1
+    val s = buf.toString("UTF-8")
+    if (s.nonEmpty && s.last == '\r') s.init else s
+  }
+
+  private def malformed(lineStart: Long, line: String, why: String): Nothing =
+    throw new IllegalArgumentException(
+      s"graft-tsv: malformed line in $path at byte $lineStart: $why; line: '$line'")
+
+  /** Parse one line into typed field values per the declared schema. */
+  private def parse(line: String, lineStart: Long): Array[Any] = {
+    // -1: keep trailing empty fields, the seed has none but a general TSV may
+    val raw = line.split("\t", -1)
+    if (raw.length != allCols.length)
+      malformed(lineStart, line,
+        s"expected ${allCols.length} tab-separated fields, got ${raw.length}")
+    Array.tabulate[Any](raw.length) { i =>
+      val s = GraftTsv.field(raw(i))
+      if (s == null) null
+      else types(i) match {
+        case StringType  => s
+        case IntegerType => try s.toInt catch { case _: NumberFormatException =>
+          malformed(lineStart, line, s"column '${allCols(i)}' declared int, got '$s'") }
+        case LongType    => try s.toLong catch { case _: NumberFormatException =>
+          malformed(lineStart, line, s"column '${allCols(i)}' declared bigint, got '$s'") }
+        case DoubleType  => try s.toDouble catch { case _: NumberFormatException =>
+          malformed(lineStart, line, s"column '${allCols(i)}' declared double, got '$s'") }
+        case other => throw new IllegalStateException(s"unreadable type $other")
+      }
+    }
+  }
+
+  /** Typed three-way compare; both sides are non-null values of the
+    * column's declared type.
+    */
+  private def cmp(x: Any, v: Any): Int = (x, v) match {
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: Int, b: Int)       => java.lang.Integer.compare(a, b)
+    case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
+    case (a: Double, b: Double) => java.lang.Double.compare(a, b)
+    case _ => throw new IllegalStateException(s"type-mismatched pushed comparison: $x vs $v")
+  }
 
   /** Evaluate one pushed filter on the FULL parsed line (null-safe SQL
     * semantics: a comparison on null is not-true).
     */
-  private def eval(f: Filter, row: Array[String]): Boolean = f match {
-    case EqualTo(a, v: String)            => row(idx(a)) != null && row(idx(a)) == v
-    case GreaterThan(a, v: String)        => row(idx(a)) != null && row(idx(a)).compareTo(v) > 0
-    case GreaterThanOrEqual(a, v: String) => row(idx(a)) != null && row(idx(a)).compareTo(v) >= 0
-    case LessThan(a, v: String)           => row(idx(a)) != null && row(idx(a)).compareTo(v) < 0
-    case LessThanOrEqual(a, v: String)    => row(idx(a)) != null && row(idx(a)).compareTo(v) <= 0
-    case StringStartsWith(a, p)           => row(idx(a)) != null && row(idx(a)).startsWith(p)
-    case IsNotNull(a)                     => row(idx(a)) != null
-    case IsNull(a)                        => row(idx(a)) == null
-    case And(l, r)                        => eval(l, row) && eval(r, row)
+  private def eval(f: Filter, row: Array[Any]): Boolean = f match {
+    case EqualTo(a, v)            => row(idx(a)) != null && cmp(row(idx(a)), v) == 0
+    case GreaterThan(a, v)        => row(idx(a)) != null && cmp(row(idx(a)), v) > 0
+    case GreaterThanOrEqual(a, v) => row(idx(a)) != null && cmp(row(idx(a)), v) >= 0
+    case LessThan(a, v)           => row(idx(a)) != null && cmp(row(idx(a)), v) < 0
+    case LessThanOrEqual(a, v)    => row(idx(a)) != null && cmp(row(idx(a)), v) <= 0
+    case In(a, vs)                =>
+      row(idx(a)) != null && vs.exists(v => v != null && cmp(row(idx(a)), v) == 0)
+    case StringStartsWith(a, p)   =>
+      row(idx(a)) != null && row(idx(a)).asInstanceOf[String].startsWith(p)
+    case IsNotNull(a)             => row(idx(a)) != null
+    case IsNull(a)                => row(idx(a)) == null
+    case And(l, r)                => eval(l, row) && eval(r, row)
+    case Or(l, r)                 => eval(l, row) || eval(r, row)
     case other => throw new IllegalStateException(s"unpushable filter leaked: $other")
   }
 
   override def next(): Boolean = {
-    while (lines.hasNext) {
-      // -1: keep trailing empty fields, the seed has none but a general
-      // TSV may
-      val parsed = lines.next().split("\t", -1).map(GraftTsv.field)
+    // a line belongs to this split iff it STARTS before `end`
+    while (pos < end) {
+      val lineStart = pos
+      val line = readLine()
+      if (line == null) return false
+      val parsed = parse(line, lineStart)
       if (pushed.forall(eval(_, parsed))) {
         current = new GenericInternalRow(
-          outIdx.map(i => UTF8String.fromString(parsed(i))): Array[Any])
+          outIdx.map[Any](i => parsed(i) match {
+            case s: String => UTF8String.fromString(s)
+            case other     => other
+          }))
         return true
       }
     }
@@ -219,15 +361,17 @@ final class TsvPartitionReader(path: String, allCols: Array[String],
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = src.close()
+  override def close(): Unit = in.close()
 }
 
 // ---- write path: the V2 commit protocol in miniature ---------------------
 // Each task writes dir/.tmp-<uuid>; its commit MESSAGE carries the temp
-// name; only the driver-side job commit renames temps to part-<i>.tsv
-// (readers never list dotfiles, so uncommitted and aborted task output is
-// invisible). Truncate (SaveMode.Overwrite) deletes committed parts at
-// job commit, after the new temps are safely written.
+// name; only the driver-side job commit renames temps to
+// part-<jobId>-<i>.tsv (readers never list dotfiles, so uncommitted and
+// aborted task output is invisible). Part names carry a per-job id so a
+// SaveMode.Append job can never collide with — and silently overwrite —
+// a previous commit's files. Truncate (SaveMode.Overwrite) deletes
+// committed parts at job commit, after the new temps are safely written.
 
 import org.apache.spark.sql.connector.write._
 
@@ -238,13 +382,15 @@ final class TsvWriteBuilder(schema: StructType, path: String)
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = TsvBatchWrite(schema, path, doTruncate)
+    override def toBatch: BatchWrite = TsvBatchWrite(schema, path, doTruncate,
+      java.util.UUID.randomUUID().toString.take(8))
   }
 }
 
 final case class TsvCommit(tmpName: String) extends WriterCommitMessage
 
-final case class TsvBatchWrite(schema: StructType, path: String, doTruncate: Boolean)
+final case class TsvBatchWrite(schema: StructType, path: String, doTruncate: Boolean,
+                               jobId: String)
   extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
@@ -255,8 +401,9 @@ final case class TsvBatchWrite(schema: StructType, path: String, doTruncate: Boo
     if (doTruncate) GraftTsv.dataFiles(path).foreach(f =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
     messages.zipWithIndex.foreach { case (TsvCommit(tmp), i) =>
-      java.nio.file.Files.move(dir.resolve(tmp), dir.resolve(f"part-$i%05d.tsv"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // job-unique target names: no REPLACE_EXISTING — a collision is a
+      // bug and must surface, never silently drop a prior commit's data
+      java.nio.file.Files.move(dir.resolve(tmp), dir.resolve(f"part-$jobId%s-$i%05d.tsv"))
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -280,7 +427,14 @@ final class TsvDataWriter(path: String, nCols: Int) extends DataWriter[InternalR
 
   override def write(record: InternalRow): Unit = {
     val fields = (0 until nCols).map { i =>
-      GraftTsv.unfield(if (record.isNullAt(i)) null else record.getUTF8String(i).toString)
+      val v = GraftTsv.unfield(if (record.isNullAt(i)) null else record.getUTF8String(i).toString)
+      // the read side has no escaping convention, so a tab/newline in a
+      // value would silently corrupt the file (extra columns/rows on
+      // read-back); reject rather than write unreadable data
+      if (v.indexOf('\t') >= 0 || v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0)
+        throw new IllegalArgumentException(
+          s"graft-tsv: value contains an unescapable tab/newline (column $i): '$v'")
+      v
     }
     out.write(fields.mkString("\t"))
     out.write("\n")

@@ -82,6 +82,96 @@ class SourcesSpec extends SparkSpec {
     assert(readBack.count() == 1)
   }
 
+  test("line-range splits: small split_bytes plans a multi-partition scan with identical rows") {
+    val whole = seed.collect().map(_.toSeq).toSet
+    val split = spark.read.format("graft-tsv")
+      .schema("id string, iso string, name string, nicename string, " +
+        "iso3 string, numcode string, phonecode string")
+      .option("path", path).option("split_bytes", "512").load()
+    assert(split.rdd.getNumPartitions > 4,
+      s"512-byte splits over the ~6KB seed must plan several partitions, " +
+        s"got ${split.rdd.getNumPartitions}")
+    assert(split.collect().map(_.toSeq).toSet == whole && whole.size == 239,
+      "byte-range splits must partition the line set exactly (no dup/loss at boundaries)")
+  }
+
+  private def typedSeed = spark.read.format("graft-tsv")
+    .schema("id int, iso string, name string, nicename string, " +
+      "iso3 string, numcode int, phonecode bigint")
+    .option("path", path).load()
+
+  test("typed schema: numeric comparisons push into the reader and compare numerically") {
+    val df = typedSeed.filter(col("numcode") > 300 && col("phonecode") <= 100)
+      .select("iso", "numcode", "phonecode")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case f: FilterExec => f }.isEmpty,
+      s"typed comparisons must push; none may survive as a Filter node:\n$plan")
+    assert(plan.toString.contains("GreaterThan(numcode,300)"),
+      s"scan must advertise the pushed numeric filter:\n${plan.toString.take(1200)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getInt(1) > 300 && r.getLong(2) <= 100),
+      "numeric pushdown must compare as numbers, not strings")
+    // the numeric-vs-string distinction that makes typed pushdown matter:
+    // string compare would call "1000" < "300" true
+    val big = typedSeed.filter(col("numcode") >= 1000).select("numcode").collect()
+    assert(big.forall(_.getInt(0) >= 1000))
+  }
+
+  test("typed IN-set pushdown evaluates inside the reader") {
+    val df = typedSeed.filter(col("numcode").isin(4, 8, 12)).select("iso", "numcode")
+    df.write.format("noop").mode("overwrite").save()
+    assert(df.queryExecution.executedPlan.collect { case f: FilterExec => f }.isEmpty,
+      "IN on a typed column must push")
+    assert(df.collect().map(_.getInt(1)).toSet.subsetOf(Set(4, 8, 12)))
+  }
+
+  test("malformed input fails with file/byte/line context, never an index error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_bad")
+    val f = dir.resolve("bad.tsv")
+    java.nio.file.Files.writeString(f, "a\tb\tc\nshort\tline\n")
+    val df = spark.read.format("graft-tsv").schema("x string, y string, z string")
+      .option("path", f.toString).load()
+    val e = intercept[org.apache.spark.SparkException] { df.collect() }
+    val msg = e.getCause.getMessage
+    assert(msg.contains("bad.tsv") && msg.contains("expected 3") && msg.contains("short\tline"),
+      s"error must name the file and offending line: $msg")
+    val g = dir.resolve("badnum.tsv")
+    java.nio.file.Files.writeString(g, "1\tok\nnotanint\tok\n")
+    val dg = spark.read.format("graft-tsv").schema("n int, s string")
+      .option("path", g.toString).load()
+    val e2 = intercept[org.apache.spark.SparkException] { dg.collect() }
+    assert(e2.getCause.getMessage.contains("declared int") &&
+      e2.getCause.getMessage.contains("notanint"))
+  }
+
+  test("append never overwrites a prior commit: job-unique part names, union on read-back") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_app").toString + "/out"
+    Seq(("AA", "first")).toDF("iso", "nicename")
+      .write.format("graft-tsv").option("path", dir).mode("overwrite").save()
+    Seq(("BB", "second")).toDF("iso", "nicename")
+      .write.format("graft-tsv").option("path", dir).mode("append").save()
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(files.size == 2 && files.distinct.size == 2,
+      s"two single-partition commits must leave two distinct parts: $files")
+    val back = spark.read.format("graft-tsv").schema("iso string, nicename string")
+      .option("path", dir).load().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("AA", "first"), ("BB", "second")),
+      s"append must preserve the prior commit's rows: $back")
+  }
+
+  test("writer rejects tab/newline in values instead of corrupting the file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_esc").toString + "/out"
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq(("AA", "has\ttab")).toDF("iso", "nicename")
+        .write.format("graft-tsv").option("path", dir).mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("unescapable") ||
+      Option(e.getCause).exists(_.getMessage.contains("unescapable")))
+  }
+
   test("q124 query shape: rows nonempty, ordered by iso, filter-only column pruned from output") {
     val rows = QueryCatalog.tsvSourceCountries(spark, sf).collect()
     assert(rows.nonEmpty && rows.forall(_.getString(0) >= "M"))

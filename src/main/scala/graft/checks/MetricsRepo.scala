@@ -116,8 +116,17 @@ object MetricsRepo {
         .write.mode("overwrite").parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+      // backup-first swap: at every point of this sequence a full copy of
+      // the log exists under SOME name (a delete-then-rename would leave a
+      // crash window with no data at all — the backup makes any crash
+      // manually recoverable). Stale backups from a prior crash are
+      // cleared first so the rename cannot fail on an existing target.
+      val p = new org.apache.hadoop.fs.Path(path)
+      val bak = new org.apache.hadoop.fs.Path(path + "__old")
+      fs.delete(bak, true)
+      fs.rename(p, bak)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+      fs.delete(bak, true)
       ()
     }
   }

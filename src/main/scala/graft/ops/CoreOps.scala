@@ -286,8 +286,11 @@ object CoreOps {
         if (i == 0) col(typeCol) === st
         else {
           val after = col(typeCol) === st && col(tsCol) > col(s"step${i - 1}_ts")
+          // microsecond precision: unix_timestamp() truncates to whole
+          // seconds, so a 300.9s gap would pass a 300s bound on sub-second
+          // data; unix_micros compares at the timestamp's full resolution
           maxStepGapSec.fold(after)(g => after &&
-            unix_timestamp(col(tsCol)) - unix_timestamp(col(s"step${i - 1}_ts")) <= g)
+            unix_micros(col(tsCol)) - unix_micros(col(s"step${i - 1}_ts")) <= g * 1000000L)
         }
       df.withColumn(s"step${i}_ts", min(when(cond, col(tsCol))).over(wSess))
     }

@@ -376,6 +376,24 @@ class Round8Spec extends SparkSpec {
     assert(reach(None) == Map(1L -> 3, 2L -> 2, 3L -> 3, 4L -> 2))
   }
 
+  test("funnelSteps maxStepGapSec compares at microsecond precision, not truncated seconds") {
+    import java.sql.Timestamp
+    def tsMs(ms: Long): Timestamp = new Timestamp(1700000000000L + ms)
+    // u1: view→click gap 300.9s — unix_timestamp() truncation would read
+    // it as 300s and pass a 300s bound; the true gap exceeds it
+    // u2: gap exactly 300.0s — inclusive bound, counts
+    val ev = Seq(
+      (1L, 1L, "view", tsMs(0)), (1L, 2L, "click", tsMs(300900)),
+      (2L, 3L, "view", tsMs(0)), (2L, 4L, "click", tsMs(300000))
+    ).toDF("user_id", "event_id", "event_type", "ts_sec")
+    val reach = graft.ops.CoreOps.funnelSteps(ev, "user_id", "event_type", "ts_sec",
+        "event_id", gapSec = 1800L, steps = Seq("view", "click"),
+        maxStepGapSec = Some(300L))
+      .select("user_id", "steps_reached").as[(Long, Int)].collect().toMap
+    assert(reach == Map(1L -> 1, 2L -> 2),
+      s"300.9s must exceed a 300s bound on sub-second data: $reach")
+  }
+
   test("funnelTimeoutReport: bounded ≤ unbounded, step0 equal, attrition adds up") {
     val rows = Q.funnelTimeoutReport(spark, sf)
       .orderBy("step_idx")

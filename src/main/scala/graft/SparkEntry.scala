@@ -239,7 +239,9 @@ object SparkEntry {
     // BPE APPLICATION: encode the corpus with the trained merges
     "q123_bpe_encode"           -> (Q.bpeEncodeCorpus(_, _)),
     // custom DSv2 TSV connector: filter+column pushdown inside the scan
-    "q124_tsv_source"           -> (Q.tsvSourceCountries(_, _))
+    "q124_tsv_source"           -> (Q.tsvSourceCountries(_, _)),
+    // PQ with TRAINED sub-space codebooks (one Lloyd refinement per j)
+    "q125_pq_trained"           -> (Q.pqAnnTrained(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

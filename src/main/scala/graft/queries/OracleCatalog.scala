@@ -207,7 +207,7 @@ object OracleCatalog {
     * pairs — ONE source so a tie-break/rounding fix can't drift between
     * the two entries (mirrors pqTopK's optional `candidates` param).
     */
-  private def pqAnnSql(ivfGate: Boolean): String = {
+  private def pqAnnSql(ivfGate: Boolean, trainedCb: Boolean = false): String = {
     def dotOf(a: String, b: String) =
       s"list_reduce([$a[i] * $b[i] for i in generate_series(1, len($a))], (acc, x) -> acc + x)"
     val l2 = "list_reduce([ (s.sv[i] - c.scv[i]) * (s.sv[i] - c.scv[i]) " +
@@ -230,10 +230,29 @@ object OracleCatalog {
          |""".stripMargin
     val candJoin = if (ivfGate)
       "\n           JOIN cand ON cand.query_id = qt.query_id AND cand.vec_id = codes.vec_id" else ""
+    // trained codebooks: ONE Lloyd refinement of the stride init per
+    // sub-space — assign every sub-vector (L2², min-cid ties), then
+    // quantized-exact component means (the q68 construction, per j)
+    val cbCtes =
+      if (!trainedCb)
+        "cb AS (SELECT vec_id AS cid, j, sv AS scv FROM sub WHERE vec_id % 10 = 0),"
+      else
+        s"""cb0 AS (SELECT vec_id AS cid, j, sv AS scv FROM sub WHERE vec_id % 10 = 0),
+           |d0 AS (SELECT s.vec_id, s.j, s.sv, c.cid, $l2 AS d
+           |       FROM sub s JOIN cb0 c USING (j)),
+           |a0 AS (SELECT vec_id, j, sv, cid FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rk
+           |         FROM d0) WHERE rk = 1),
+           |xx AS (SELECT j, cid, unnest(generate_series(1, 8)) AS pos,
+           |        unnest([floor(sv[i] * 1000000.0 + 0.5) for i in generate_series(1, 8)]) AS xq
+           |       FROM a0),
+           |mm AS (SELECT j, cid, pos, sum(xq) / (1000000.0 * CAST(count(*) AS DOUBLE)) AS m
+           |       FROM xx GROUP BY j, cid, pos),
+           |cb AS (SELECT j, cid, list(m ORDER BY pos) AS scv FROM mm GROUP BY j, cid),""".stripMargin
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |${ivfCtes}sub AS (SELECT vec_id, j, v[j*8+1 : (j+1)*8] AS sv
        |        FROM e CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
-       |cb AS (SELECT vec_id AS cid, j, sv AS scv FROM sub WHERE vec_id % 10 = 0),
+       |$cbCtes
        |dists AS (SELECT s.vec_id, s.j, c.cid, $l2 AS d
        |          FROM sub s JOIN cb c USING (j)),
        |codes AS (SELECT vec_id, j, cid FROM (
@@ -638,6 +657,11 @@ object OracleCatalog {
            |FROM dw JOIN enc USING (tok)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // q125: trained-codebook PQ — pqAnnSql with one Lloyd refinement of
+    // each sub-space codebook replayed in the CTEs (the q68 quantized-
+    // mean construction applied per sub-space j)
+    "q125_pq_trained" -> pqAnnSql(ivfGate = false, trainedCb = true),
 
     // q122: IVF-PQ — q30's cell assignment/probing gates q120's ADC pair
     // space; same shared pipeline (pqAnnSql) with the candidate gate on

@@ -356,6 +356,16 @@ object QueryCatalog {
     Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), 5)
   }
 
+  /** Trained-codebook PQ ANN (q125): q120 with one Lloyd refinement of
+    * each sub-space codebook (per-sub-space k-means, the q68 quantized-
+    * mean construction) — the production recall path the stride-sample
+    * codebooks approximate. The oracle replays the training verbatim.
+    */
+  def pqAnnTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5, trainCodebooks = true)
+  }
+
   /** Threshold tuned to the synthetic corpus (max pairwise cosine ≈ 0.46:
     * 0.35 yields a non-trivial pair set); bucket width derived from corpus
     * size (Similarity.deriveNBits — sf0.01→4 bits, sf0.1→8 bits), mirrored

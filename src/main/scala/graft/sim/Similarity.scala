@@ -37,7 +37,7 @@ object Similarity {
     when(n === 0, lit(0.0)).otherwise(d / n)
   }
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[graft] def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Cosine from a precomputed pair dot + per-vector norms. Inside pairwise
     * joins ALWAYS use this with norms computed once per vector — `cosine()`
@@ -463,22 +463,14 @@ object Similarity {
              m: Int = 8, dim: Int = 64, centroidStride: Int = 10,
              shortlist: Int = 50,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             candidates: Option[DataFrame] = None): DataFrame = {
+             candidates: Option[DataFrame] = None,
+             trainCodebooks: Boolean = false): DataFrame = {
     require(dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    // (vec_id, j, sv): the m sub-vectors of every corpus vector
-    val sub = e
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("v"))
-      .select(col("vec_id"), col("j"),
-        slice(col("v"), col("j") * dsub + 1, lit(dsub)).as("sv"))
-    // per-subspace codebooks: stride-sampled sub-vectors, keyed by donor id
-    val cb = sub.filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("cid"), col("j"), col("sv").as("scv"))
-    // exact L2² sub-distances of every (vector, subspace, centroid)
-    val l2sq = aggregate(
-      zip_with(col("sv"), col("scv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+    val sub = pqSubVectors(e, m, dsub)
+    val l2sq = pqSubL2
+    val cb = pqCodebooks(sub, centroidStride, trainCodebooks)
     val dists = sub.join(broadcast(cb), Seq("j")).select(
       col("vec_id"), col("j"), col("cid"), l2sq.as("d"))
     // encode: nearest sub-centroid per (vector, subspace), ties to min cid
@@ -545,6 +537,53 @@ object Similarity {
     reranked.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** (vec_id, j, sv): the m dsub-wide sub-vectors of every corpus vector. */
+  private[graft] def pqSubVectors(e: DataFrame, m: Int, dsub: Int): DataFrame =
+    e.select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("v"))
+      .select(col("vec_id"), col("j"),
+        slice(col("v"), col("j") * dsub + 1, lit(dsub)).as("sv"))
+
+  /** Exact L2² between the `sv` and `scv` columns of a joined sub-vector
+    * × codebook frame. */
+  private[graft] def pqSubL2: Column = aggregate(
+    zip_with(col("sv"), col("scv"), (x, y) => (x - y) * (x - y)),
+    lit(0.0), (acc, d) => acc + d)
+
+  /** Per-subspace codebooks (j, cid, scv): stride-sampled sub-vectors
+    * keyed by donor id — and, when `trainCodebooks`, ONE Lloyd refinement
+    * per sub-space (the q68 pattern in each of the m sub-spaces
+    * independently): assign every sub-vector to its nearest init centroid
+    * (L2², min-cid ties), recompute each centroid as the quantized-exact
+    * component mean (floor(x·1e6+0.5) integer sums — associative, so
+    * bit-identical under any partition order AND in the DuckDB oracle
+    * replay). Centroids whose cell empties drop out, exactly as in
+    * [[kmeansCentroids]]. Lloyd's monotonicity holds per sub-space:
+    * assignment then mean-update can only lower the quantization
+    * objective Σ min_c d(sv, c)² (SimilaritySpec measures it on this
+    * output).
+    */
+  private[graft] def pqCodebooks(sub: DataFrame, centroidStride: Int,
+                                 trainCodebooks: Boolean): DataFrame = {
+    val cb0 = sub.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cid"), col("j"), col("sv").as("scv"))
+    if (!trainCodebooks) cb0
+    else {
+      val assigned = sub.join(broadcast(cb0), Seq("j"))
+        .select(col("vec_id"), col("j"), col("sv"), col("cid"), pqSubL2.as("d"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id", "j").orderBy(asc("d"), asc("cid"))))
+        .filter(col("rk") === 1)
+      assigned
+        .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("j", "cid", "pos")
+        .agg((sum(floor(col("x") * lit(1e6) + lit(0.5))) /
+          (lit(1e6) * count(lit(1)).cast("double"))).as("mn"))
+        .groupBy("j", "cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pm"))
+        .select(col("j"), col("cid"), transform(col("pm"), e => e.getField("mn")).as("scv"))
+    }
+  }
+
   /** IVF-PQ (Jégou et al. TPAMI'11 §V) — the production trillion-scale
     * ANN composition: IVF restricts WHICH vectors each query scores
     * (nProbe nearest cells, the partition-bound dial), PQ decides HOW
@@ -565,7 +604,8 @@ object Similarity {
                 m: Int = 8, dim: Int = 64, pqStride: Int = 10,
                 shortlist: Int = 50,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                centroidsOverride: Option[DataFrame] = None): DataFrame = {
+                centroidsOverride: Option[DataFrame] = None,
+                trainCodebooks: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     // stride-sampled cells by default; pass kmeansCentroids(...) output
@@ -584,6 +624,6 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
     pqTopK(corpus, queries, k, m, dim, pqStride, shortlist, idCol, vecCol,
-      candidates = Some(cands))
+      candidates = Some(cands), trainCodebooks = trainCodebooks)
   }
 }

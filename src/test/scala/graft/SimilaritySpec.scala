@@ -189,6 +189,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"PQ recall vs exact L2 too low: $recall")
   }
 
+  test("trained codebooks: ADC quantization error shrinks, recall >= the stride baseline") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until 10L).flatMap { qi =>
+      vecs.keys.filter(_ != qi).toSeq
+        .map(v => (v, l2sq(vecs(qi), vecs(v))))
+        .sortBy { case (v, d) => (d, v) }.take(5).map(x => (qi, x._1))
+    }.toSet
+    def recallOf(trained: Boolean): Double = {
+      val got = Similarity.pqTopK(e, q, 5, trainCodebooks = trained).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val stride = recallOf(trained = false)
+    val trained = recallOf(trained = true)
+    assert(trained >= stride,
+      s"one Lloyd refinement must not lose recall: trained=$trained stride=$stride")
+    // Lloyd monotonicity measured on the REAL codebook output: the
+    // quantization objective Σ_vec Σ_j min_c L2²(sv, c) cannot increase
+    // through assign→mean-update→reassign (the ≤1e-6 quantized-mean
+    // perturbation is orders below the improvement)
+    val eV = e.select(col("vec_id"),
+      graft.sim.Similarity.asDouble(col("embedding")).as("v"))
+    val sub = Similarity.pqSubVectors(eV, m = 8, dsub = 8)
+    def objective(trainedCb: Boolean): Double = {
+      val cb = Similarity.pqCodebooks(sub, centroidStride = 10, trainCodebooks = trainedCb)
+      sub.join(broadcast(cb), Seq("j"))
+        .select(col("vec_id"), col("j"), Similarity.pqSubL2.as("d"))
+        .groupBy("vec_id", "j").agg(min(col("d")).as("d"))
+        .agg(sum(col("d"))).head().getDouble(0)
+    }
+    val objStride = objective(false)
+    val objTrained = objective(true)
+    assert(objTrained < objStride,
+      s"trained codebooks must quantize tighter: $objTrained vs $objStride")
+  }
+
   test("ivfPqTopK: subset of PQ's pair space, k-or-fewer ranked rows per query") {
     val e = Tables.table(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") < 10)

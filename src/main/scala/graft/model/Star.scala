@@ -32,8 +32,9 @@ object Star {
                               dimProduct: DataFrame, dimInvoice: DataFrame,
                               fct: DataFrame)
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), StarSchema]
+  private val cache = graft.util.SessionScoped.cache[StarSchema]("star",
+    s => Seq(s.dimCustomer, s.dimDatetime, s.dimProduct, s.dimInvoice, s.fct)
+      .foreach(_.unpersist(blocking = true)))
 
   /** Build-or-reuse the persisted star for (session, dir). persist() is
     * lazy: each frame materializes on its first consuming action, so a
@@ -46,7 +47,7 @@ object Star {
     */
   def build(spark: SparkSession, sfDir: String): StarSchema = {
     graft.queries.CacheAccess.record("star")
-    cache.getOrElseUpdate((spark, sfDir), {
+    cache.getOrElseUpdate(spark, sfDir) {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val dc = dimCustomer(spark, sfDir).persist(lvl)
       val dd = dimDatetime(spark, sfDir).persist(lvl)
@@ -54,15 +55,12 @@ object Star {
       val di = dimInvoice(spark, sfDir).persist(lvl)
       val f  = fctFromDims(spark, sfDir, di, dp, dd).persist(lvl)
       StarSchema(dc, dd, dp, di, f)
-    })
+    }
   }
 
   /** Drop the cached star for (session, dir) and unpersist its frames. */
   def invalidate(spark: SparkSession, sfDir: String): Unit =
-    cache.remove((spark, sfDir)).foreach { s =>
-      Seq(s.dimCustomer, s.dimDatetime, s.dimProduct, s.dimInvoice, s.fct)
-        .foreach(_.unpersist(blocking = true))
-    }
+    cache.invalidate(spark, sfDir)
 
   /** dim_customer (reference: include/dbt/models/transform/dim_customer.sql:1-13):
     * DISTINCT + not-null key filter + surrogate key + LEFT JOIN to the

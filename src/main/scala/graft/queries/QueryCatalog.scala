@@ -162,12 +162,17 @@ object QueryCatalog {
     * [[Dedup.minhashCandidatePairs]]; consumers must NOT release its
     * blocks — [[invalidateCandidatePairs]] owns that.
     */
+  private def dropCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(true))
+
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.util.SessionScoped.cache[DataFrame]("candidatePairs", dropCheckpointBlocks)
 
   private def docCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     CacheAccess.record("candidatePairs")
-    pairsCache.getOrElseUpdate((s, dir),
+    pairsCache.getOrElseUpdate(s, dir)(
       Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text"))
   }
 
@@ -176,11 +181,7 @@ object QueryCatalog {
     * re-evaluate a frame derived from them).
     */
   def invalidateCandidatePairs(s: SparkSession, dir: String): Unit =
-    pairsCache.remove((s, dir)).foreach { df =>
-      df.queryExecution.logical.collect {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }.foreach(_.unpersist(true))
-    }
+    pairsCache.invalidate(s, dir)
 
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     docCandidatePairs(s, dir)
@@ -194,27 +195,23 @@ object QueryCatalog {
     * block release, sequenced after the last sorted-order consumer (q54).
     */
   private val compCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.util.SessionScoped.cache[DataFrame]("components", dropCheckpointBlocks)
 
   private def docComponents(s: SparkSession, dir: String): DataFrame = {
     CacheAccess.record("components")
-    compCache.getOrElseUpdate((s, dir), {
+    compCache.getOrElseUpdate(s, dir) {
       val docs  = t(s, dir, "documents")
       val pairs = Dedup.nearDupPairsFrom(docCandidatePairs(s, dir), docs,
         "doc_id", "text", shingleN = 3, threshold = 0.8)
       graft.dedup.Components.connectedComponents(
         pairs, "doc_a", "doc_b", docs.select("doc_id"), "doc_id")
-    })
+    }
   }
 
   /** Drop the cached component map for (session, dir) and free its
     * checkpoint blocks (non-recomputable; see invalidateCandidatePairs). */
   def invalidateComponents(s: SparkSession, dir: String): Unit =
-    compCache.remove((s, dir)).foreach { df =>
-      df.queryExecution.logical.collect {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }.foreach(_.unpersist(true))
-    }
+    compCache.invalidate(s, dir)
 
   /** n-gram Jaccard between consecutive docs (by id) within each source —
     * a linear, oracle-checkable slice of the pairwise similarity operator.
@@ -242,7 +239,9 @@ object QueryCatalog {
     */
   private final case class CachedCorpus(deduped: DataFrame, clean: DataFrame)
   private val corpusCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CachedCorpus]
+    graft.util.SessionScoped.cache[CachedCorpus]("corpus", c => {
+      c.clean.unpersist(blocking = true); c.deduped.unpersist(blocking = true)
+    })
 
   /** Drop the cached clean corpus for (session, dir) and unpersist both
     * frames it holds — the mirror of Star.invalidate. Call after
@@ -250,13 +249,11 @@ object QueryCatalog {
     * no implicit invalidation on data change.
     */
   def invalidateCorpus(s: SparkSession, dir: String): Unit =
-    corpusCache.remove((s, dir)).foreach { c =>
-      c.clean.unpersist(blocking = true); c.deduped.unpersist(blocking = true)
-    }
+    corpusCache.invalidate(s, dir)
 
   def cleanedCorpus(s: SparkSession, dir: String): DataFrame = {
     CacheAccess.record("corpus")
-    corpusCache.getOrElseUpdate((s, dir), {
+    corpusCache.getOrElseUpdate(s, dir) {
       val docs = t(s, dir, "documents")
       val scored = docs.select(
         col("doc_id"), col("text"),
@@ -277,7 +274,7 @@ object QueryCatalog {
       val clean = e.join(nearDups, e("doc_id") === nearDups("doc_b"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       CachedCorpus(e, clean)
-    }).clean
+    }.clean
   }
 
   /** Flagship LLM-data-pipeline composition: quality filter → exact dedup
@@ -577,11 +574,11 @@ object QueryCatalog {
     * persist is the local analog.
     */
   private val gramsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.util.SessionScoped.cache[DataFrame]("splitGrams", _.unpersist(blocking = true))
 
   private def splitGrams(s: SparkSession, dir: String): DataFrame = {
     CacheAccess.record("splitGrams")
-    gramsCache.getOrElseUpdate((s, dir),
+    gramsCache.getOrElseUpdate(s, dir)(
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), splitCol(col("doc_id")).as("split"),
           explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
@@ -591,7 +588,7 @@ object QueryCatalog {
 
   /** Drop the cached gram table for (session, dir) and unpersist it. */
   def invalidateSplitGrams(s: SparkSession, dir: String): Unit =
-    gramsCache.remove((s, dir)).foreach(_.unpersist(blocking = true))
+    gramsCache.invalidate(s, dir)
 
   /** Session-cache lifecycle for a SORTED full-catalog sweep (the bench /
     * verify shape): after the LAST sorted-order consumer of each cache

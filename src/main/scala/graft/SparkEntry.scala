@@ -241,7 +241,9 @@ object SparkEntry {
     // custom DSv2 TSV connector: filter+column pushdown inside the scan
     "q124_tsv_source"           -> (Q.tsvSourceCountries(_, _)),
     // PQ with TRAINED sub-space codebooks (one Lloyd refinement per j)
-    "q125_pq_trained"           -> (Q.pqAnnTrained(_, _))
+    "q125_pq_trained"           -> (Q.pqAnnTrained(_, _)),
+    // real javax.imageio PNG round trip behind the multimodal codec seam
+    "q126_image_decode"         -> (Q.imageDecode(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

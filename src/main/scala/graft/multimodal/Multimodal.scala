@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata (BASELINE.json north star). The actual media decode
-  * is STUBBED (no image/audio libs in this container — see
-  * [[FakeDecoder]]); everything Spark-side — schema, batching, partition
+  * with typed metadata (BASELINE.json north star). The IMAGE decode is
+  * REAL — `javax.imageio` PNG encode/decode executor-side
+  * ([[syntheticPng]]/[[decodeImages]], oracle-checked by q126); audio and
+  * video demux remain stubbed (no codec libs in this container — see
+  * [[FakeDecoder]]). Everything Spark-side — schema, batching, partition
   * shape, UDF signature — is real and tested.
   *
   * Scale notes: media bytes ride in the row (parquet binary), so
@@ -88,6 +90,86 @@ object Multimodal {
       .withColumn("frame",
         col("content").substr(col("frame_idx") * frameBytes * stride + 1, lit(frameBytes)))
       .select("media_id", "modality", "frame_idx", "frame")
+
+  final case class DecodedImage(media_id: Long, width: Int, height: Int,
+                                n_pixels: Long, sum_luma: Long, mean_luma: Double)
+
+  /** Deterministic PNG payload for an id: a gray gradient
+    * `g(x,y) = (x·7 + y·11 + id·13) mod 256` over a `(4 + id%5) ×
+    * (3 + id%4)` canvas, encoded with the REAL `javax.imageio` PNG
+    * writer. PNG is lossless, so a correct decode recovers every pixel —
+    * which is what lets the q126 DuckDB oracle check the codec round
+    * trip by replaying the gradient arithmetic instead of parsing PNG.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 4 + (id % 5).toInt
+    val h = 3 + (id % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((x * 7 + y * 11 + id * 13) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (media_id, content) of real PNG bytes for the given ids — encoding
+    * runs executor-side in the same mapPartitions batch shape the decode
+    * uses.
+    */
+  def pngMedia(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+        it.map(id => (id, syntheticPng(id)))
+      }
+      .toDF("media_id", "content")
+  }
+
+  /** REAL image decode through `javax.imageio` — the codec seam made
+    * concrete for the image modality (audio/video demux remain stubbed:
+    * no codec libs in this container). Same boundary as
+    * [[extractFeatures]]: mapPartitions, per-partition codec init
+    * (`setUseCache(false)`), rows streamed. Undecodable payloads are
+    * dropped (flatMap), the standard posture for a corrupt-media scan.
+    * `sum_luma` sums one channel per pixel (the images are gray, r=g=b)
+    * as an exact integer; `mean_luma` is the single IEEE divide both
+    * engines replay.
+    */
+  def decodeImages(media: DataFrame): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, content) =>
+          Option(content)
+            .flatMap(b => Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b))))
+            .map { img =>
+              val w = img.getWidth
+              val h = img.getHeight
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+                y += 1
+              }
+              val n = w.toLong * h
+              DecodedImage(id, w, h, n, sum, sum.toDouble / n)
+            }
+        }
+      }
+  }
 
   /** Build a media table from documents (text bytes as the opaque payload) —
     * the fixture generator used by tests and the rows-only query.

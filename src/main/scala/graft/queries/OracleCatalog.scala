@@ -658,6 +658,26 @@ object OracleCatalog {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    // q126: real javax.imageio PNG round trip — the engine encodes a
+    // deterministic gray gradient per id and decodes it back through the
+    // actual codec; PNG is lossless, so the oracle replays the gradient
+    // ARITHMETIC (never parses PNG) and the hash match proves the codec
+    // recovered every pixel and the true canvas dimensions.
+    "q126_image_decode" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |        CAST(4 + (doc_id % 5) AS INTEGER) AS width,
+        |        CAST(3 + (doc_id % 4) AS INTEGER) AS height
+        |      FROM documents WHERE doc_id < 100),
+        |px AS (SELECT media_id, width, height, x, y,
+        |        (x * 7 + y * 11 + media_id * 13) % 256 AS g
+        |       FROM ids, unnest(generate_series(0, width - 1)) AS ux(x),
+        |                 unnest(generate_series(0, height - 1)) AS uy(y))
+        |SELECT media_id, width, height,
+        |  CAST(width AS BIGINT) * height AS n_pixels,
+        |  CAST(sum(g) AS BIGINT) AS sum_luma,
+        |  CAST(sum(g) AS DOUBLE) / (CAST(width AS BIGINT) * height) AS mean_luma
+        |FROM px GROUP BY media_id, width, height ORDER BY media_id""".stripMargin,
+
     // q125: trained-codebook PQ — pqAnnSql with one Lloyd refinement of
     // each sub-space codebook replayed in the CTEs (the q68 quantized-
     // mean construction applied per sub-space j)

@@ -353,6 +353,21 @@ object QueryCatalog {
     Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), 5)
   }
 
+  /** Real image codec round trip (q126): deterministic gray-gradient
+    * PNGs are ENCODED with javax.imageio executor-side, then DECODED back
+    * through [[graft.multimodal.Multimodal.decodeImages]] — the concrete
+    * codec behind the multimodal seam. The oracle replays the gradient
+    * arithmetic (PNG is lossless), so the hash match proves the decode
+    * recovered every pixel and the true dimensions.
+    */
+  def imageDecode(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id")
+    graft.multimodal.Multimodal.decodeImages(
+        graft.multimodal.Multimodal.pngMedia(ids))
+      .toDF()
+      .orderBy("media_id")
+  }
+
   /** Trained-codebook PQ ANN (q125): q120 with one Lloyd refinement of
     * each sub-space codebook (per-sub-space k-means, the q68 quantized-
     * mean construction) — the production recall path the stride-sample

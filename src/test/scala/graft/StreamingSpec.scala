@@ -640,4 +640,57 @@ class StreamingSpec extends SparkSpec {
       assert(last.getLong(1) == 60000L, s"sum must carry across restart, got ${last.getLong(1)}")
     } finally q2.stop()
   }
+
+  test("rollupStream restart under the RocksDB state store provider (spillable state)") {
+    // the default HDFSBackedStateStoreProvider keeps every key's state on
+    // the executor heap — at a 100 TB-scale keyspace state must spill;
+    // RocksDB is the production provider. Same stop/restart contract,
+    // with the provider recorded in (and recovered from) the checkpoint.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val source = MemoryStream[Event]
+      val root = java.nio.file.Files.createTempDirectory("rollup_rocks_").toString
+      val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+      def start() = EventStreams.rollupStream(source.toDS()).toDF()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      source.addData(
+        Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:20:00"), 1, "view",  2.0))
+      q1.processAllAvailable()
+      // the provider must actually be RocksDB, not silently the default:
+      // its state-operator custom metrics are rocksdb-prefixed
+      import scala.jdk.CollectionConverters._
+      val metrics = q1.lastProgress.stateOperators.head.customMetrics.keySet().asScala
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected rocksdb state metrics, got: $metrics")
+      q1.stop()
+      val q2 = start()
+      try {
+        source.addData(Event(3, ts("2024-01-01 01:00:00"), 1, "buy", 3.0))
+        q2.processAllAvailable()
+        val last = spark.read.parquet(outDir)
+          .filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+          .orderBy(org.apache.spark.sql.functions.desc("n_events"))
+          .select("n_events", "value_1e4").head()
+        assert(last.getLong(0) == 3,
+          s"RocksDB state must resume across restart, got ${last.getLong(0)}")
+        assert(last.getLong(1) == 60000L,
+          s"sum must carry across restart, got ${last.getLong(1)}")
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

@@ -243,7 +243,13 @@ object SparkEntry {
     // PQ with TRAINED sub-space codebooks (one Lloyd refinement per j)
     "q125_pq_trained"           -> (Q.pqAnnTrained(_, _)),
     // real javax.imageio PNG round trip behind the multimodal codec seam
-    "q126_image_decode"         -> (Q.imageDecode(_, _))
+    "q126_image_decode"         -> (Q.imageDecode(_, _)),
+    // fully-trained IVF-PQ: trained cells + trained codebooks + re-rank
+    "q127_ivfpq_trained"        -> (Q.ivfPqTrained(_, _)),
+    // generic MERGE upsert/delete — the lakehouse MERGE INTO primitive
+    "q128_merge_upsert"         -> (Q.mergeUpsert(_, _)),
+    // equi-depth histogram from exact order statistics (per group)
+    "q129_equidepth_hist"       -> (Q.equiDepthHist(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -302,4 +302,65 @@ object CoreOps {
         stepCols.map(c => when(col(c).isNotNull, 1).otherwise(0))
           .reduce(_ + _).cast("int"))
   }
+
+  /** Generic MERGE (the lakehouse `MERGE INTO` in DataFrame form — Delta/
+    * Iceberg upsert semantics on a plain table):
+    *
+    *   - matched + delete flag   → row removed;
+    *   - matched + upsert        → row REPLACED by the change row;
+    *   - unmatched + upsert      → row inserted;
+    *   - unmatched + delete flag → no-op (idempotent deletes).
+    *
+    * `changes` carries the target's full schema plus `isDeleteCol`, at
+    * most one change per key (the caller dedup-keeps-latest first — the
+    * [[dedupKeepLatest]] composition — exactly as a CDC feed is
+    * compacted before merge). Shape: ONE left-anti join on the key plus
+    * a union — no window, no shuffle beyond the key. At 100 TB this is
+    * the copy-on-write MERGE a lakehouse runs: co-partition both sides
+    * by key bucket so the anti join is shuffle-free, and only the
+    * buckets containing changed keys rewrite.
+    */
+  def mergeInto(target: DataFrame, changes: DataFrame, keyCol: String,
+                isDeleteCol: String = "is_delete"): DataFrame = {
+    val survivors = target.join(
+      changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    survivors.unionByName(
+      changes.filter(!col(isDeleteCol)).drop(isDeleteCol))
+  }
+
+  /** Per-group EQUI-DEPTH histogram: within each group, rank rows by
+    * (value, tie…) and assign bucket = ⌊(rank−1)·B / n⌋ — exact order
+    * statistics, so every bucket holds ⌊n/B⌋ or ⌈n/B⌉ rows (the
+    * equal-POPULATION dual of q63's equal-width buckets; this is the
+    * histogram a query optimizer or a per-source score-calibration step
+    * actually wants, because equal-width collapses under skew). All
+    * bucket arithmetic is integer (rank·B DIV n), identical in any
+    * engine — no float boundary can land differently.
+    *
+    * Scale: the window partitions by the GROUP columns, so each sort is
+    * group-sized and groups spread across tasks — never a global
+    * single-partition sort. For one global histogram at 100 TB, use
+    * repartitionByRange + per-partition offsets (or q39's GK sketch when
+    * approximate boundaries suffice).
+    *
+    * Output: (group…, bucket, n_rows, lo, hi), bucket ∈ [0, B).
+    */
+  def equiDepthHistogram(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, tieCols: Seq[String],
+                         buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (a global histogram would single-partition sort; " +
+        "see the Scaladoc for the global-scale shape)")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((valueCol +: tieCols).map(c => asc(c)): _*)
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("bucket",
+        expr(s"((__rk - 1) * $buckets) DIV __n").cast("int"))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
 }

@@ -207,23 +207,51 @@ object OracleCatalog {
     * pairs — ONE source so a tie-break/rounding fix can't drift between
     * the two entries (mirrors pqTopK's optional `candidates` param).
     */
-  private def pqAnnSql(ivfGate: Boolean, trainedCb: Boolean = false): String = {
+  private def pqAnnSql(ivfGate: Boolean, trainedCb: Boolean = false,
+                       trainedCells: Boolean = false): String = {
     def dotOf(a: String, b: String) =
       s"list_reduce([$a[i] * $b[i] for i in generate_series(1, len($a))], (acc, x) -> acc + x)"
+    def normOf(a: String) =
+      s"sqrt(list_reduce([$a[i] * $a[i] for i in generate_series(1, len($a))], (acc, x) -> acc + x))"
     val l2 = "list_reduce([ (s.sv[i] - c.scv[i]) * (s.sv[i] - c.scv[i]) " +
       "for i in generate_series(1, 8)], (a, x) -> a + x)"
     val l2full = "list_reduce([ (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]) " +
       "for i in generate_series(1, 64)], (a, x) -> a + x)"
+    require(!trainedCells || ivfGate, "trained cells imply the IVF gate")
+    // trained cells: the q68 one-iteration quantized-mean k-means replayed
+    // verbatim (same ~10-cell init stride, same assignment tie-breaks,
+    // nProbe=3 per q68's convention); stride cells otherwise (q30's %50,
+    // nProbe=4)
+    val cellCent = if (!trainedCells)
+      "cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id % 50 = 0),"
+    else
+      s"""st AS (SELECT greatest(1, count(*) // 10) AS stride FROM embeddings),
+         |init AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT stride FROM st) = 0),
+         |initn AS (SELECT cid, cv, ${normOf("cv")} AS cnrm FROM init),
+         |csims0 AS (SELECT en.vec_id, en.v, initn.cid,
+         |    CASE WHEN (en.nrm * initn.cnrm) = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE ${dotOf("en.v", "initn.cv")} / (en.nrm * initn.cnrm) END AS sim
+         |  FROM en CROSS JOIN initn),
+         |cr0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk FROM csims0),
+         |ca0 AS (SELECT vec_id, v, cid FROM cr0 WHERE rk = 1),
+         |cxx AS (SELECT cid,
+         |        unnest(generate_series(1, len(v))) AS pos,
+         |        unnest([floor(v[i] * 1000000.0 + 0.5) for i in generate_series(1, len(v))]) AS xq
+         |      FROM ca0),
+         |cmm AS (SELECT cid, pos, sum(xq) / (1000000.0 * CAST(count(*) AS DOUBLE)) AS m FROM cxx GROUP BY cid, pos),
+         |ctr AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cmm GROUP BY cid),
+         |cent AS (SELECT cid, cv, ${normOf("cv")} AS cnrm FROM ctr),""".stripMargin
+    val nProbe = if (trainedCells) 3 else 4
     val ivfCtes = if (!ivfGate) "" else
       s"""en AS (SELECT vec_id, v, sqrt($dotSelf) AS nrm FROM e),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id % 50 = 0),
+         |$cellCent
          |sims AS (SELECT en.vec_id, en.nrm, cent.cid,
          |    CASE WHEN (en.nrm * cent.cnrm) = 0 THEN CAST(0.0 AS DOUBLE)
          |      ELSE ${dotOf("en.v", "cent.cv")} / (en.nrm * cent.cnrm) END AS sim
          |  FROM en CROSS JOIN cent),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk FROM sims),
          |corp AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1),
-         |qcell AS (SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE vec_id < 10 AND rk <= 4),
+         |qcell AS (SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE vec_id < 10 AND rk <= $nProbe),
          |cand AS (SELECT DISTINCT qcell.query_id, corp.vec_id
          |         FROM corp JOIN qcell USING (cell)
          |         WHERE qcell.query_id != corp.vec_id),
@@ -682,6 +710,39 @@ object OracleCatalog {
     // each sub-space codebook replayed in the CTEs (the q68 quantized-
     // mean construction applied per sub-space j)
     "q125_pq_trained" -> pqAnnSql(ivfGate = false, trainedCb = true),
+
+    // q128: generic MERGE — change derivation + anti-join/union replayed;
+    // bal+100.0 is one IEEE double add in both engines
+    "q128_merge_upsert" ->
+      """WITH t AS (SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer),
+        |ch AS (
+        |  SELECT k, name, bal + 100.0 AS bal, false AS is_delete FROM t WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, name, bal, true FROM t WHERE k % 7 = 3
+        |  UNION ALL
+        |  SELECT k + 1000000, 'NEW_' || name, bal, false FROM t WHERE k % 7 = 5)
+        |SELECT k, name, bal FROM (
+        |  SELECT k, name, bal FROM t ANTI JOIN ch USING (k)
+        |  UNION ALL
+        |  SELECT k, name, bal FROM ch WHERE NOT is_delete)
+        |ORDER BY k""".stripMargin,
+
+    // q129: equi-depth histogram — rank·B DIV n bucket assignment is
+    // pure integer arithmetic, identical in both engines
+    "q129_equidepth_hist" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(((rk - 1) * 8) // n AS INTEGER) AS bucket,
+        |  count(*) AS n_rows, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q127: fully-trained IVF-PQ — q68's trained cells gate the pair
+    // space, q125's trained codebooks quantize it; one pqAnnSql source
+    "q127_ivfpq_trained" -> pqAnnSql(ivfGate = true, trainedCb = true,
+      trainedCells = true),
 
     // q122: IVF-PQ — q30's cell assignment/probing gates q120's ADC pair
     // space; same shared pipeline (pqAnnSql) with the candidate gate on

@@ -368,6 +368,22 @@ object QueryCatalog {
       .orderBy("media_id")
   }
 
+  /** Fully-trained IVF-PQ (q127): the complete production ANN — q68's
+    * one-iteration quantized-mean k-means trains the IVF CELLS, q125's
+    * per-sub-space Lloyd refinement trains the PQ CODEBOOKS, and the
+    * probed cells gate the ADC pair space before the shortlist + exact
+    * re-rank. Every stage's training is replayed verbatim in the oracle.
+    * At 100 TB: partition by trained cell, store codes — a query touches
+    * nProbe partitions and reads m bytes/vector.
+    */
+  def ivfPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(emb, dim = 64, k = 10, iters = 1,
+      quantizedMeans = true)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5, nProbe = 3,
+      centroidsOverride = Some(cents), trainCodebooks = true)
+  }
+
   /** Trained-codebook PQ ANN (q125): q120 with one Lloyd refinement of
     * each sub-space codebook (per-sub-space k-means, the q68 quantized-
     * mean construction) — the production recall path the stride-sample
@@ -2884,6 +2900,41 @@ object QueryCatalog {
         "robust_z", "is_outlier")
       .orderBy("day")
   }
+
+  /** Generic MERGE upsert (q128): [[graft.ops.CoreOps.mergeInto]] driven
+    * over the customer table with a deterministic CDC batch derived from
+    * it — custkey % 7 == 0 rows get an account-balance update (+100.0,
+    * one IEEE add both engines), % 7 == 3 rows are deleted, % 7 == 5
+    * rows insert a new key (custkey + 1,000,000). The oracle replays
+    * the change derivation and the anti-join/union construction.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    val changes = cust.filter(col("k") % 7 === 0)
+        .select(col("k"), col("name"), (col("bal") + lit(100.0)).as("bal"),
+          lit(false).as("is_delete"))
+      .unionByName(cust.filter(col("k") % 7 === 3)
+        .select(col("k"), col("name"), col("bal"), lit(true).as("is_delete")))
+      .unionByName(cust.filter(col("k") % 7 === 5)
+        .select((col("k") + lit(1000000L)).as("k"),
+          concat(lit("NEW_"), col("name")).as("name"), col("bal"),
+          lit(false).as("is_delete")))
+    graft.ops.CoreOps.mergeInto(cust, changes, "k").orderBy("k")
+  }
+
+  /** Per-group equi-depth histogram (q129):
+    * [[graft.ops.CoreOps.equiDepthHistogram]] over lineitem prices by
+    * return flag — 8 equal-population buckets from exact order
+    * statistics (rank·B DIV n, integer-exact in both engines), the
+    * skew-proof dual of q63's equal-width buckets.
+    */
+  def equiDepthHist(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CoreOps.equiDepthHistogram(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"), buckets = 8)
+      .orderBy("l_returnflag", "bucket")
 
   /** Incremental aggregate maintenance (q119): the additive dual of
     * q102's SCD2 merge — per-user rollup state (count, decimal sum,

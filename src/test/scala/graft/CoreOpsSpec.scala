@@ -71,6 +71,48 @@ class CoreOpsSpec extends SparkSpec {
     assert(row.getInt(0) == 2026 && row.getInt(1) == 1 && row.getInt(2) == 10 && row.getInt(3) == 30)
   }
 
+  test("mergeInto: replace, delete, insert, and idempotent unmatched-delete") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "B", false), // matched upsert → replaced
+      (3L, "c", true),  // matched delete → removed
+      (4L, "D", false), // unmatched upsert → inserted
+      (9L, "x", true)   // unmatched delete → no-op
+    ).toDF("k", "v", "is_delete")
+    val out = graft.ops.CoreOps.mergeInto(target, changes, "k")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "B"), (4L, "D")), s"merge semantics broke: $out")
+    // merging an empty change set is the identity
+    val id = graft.ops.CoreOps.mergeInto(target, changes.limit(0), "k")
+      .as[(Long, String)].collect().toSet
+    assert(id == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("equiDepthHistogram: equal-population buckets, contiguous disjoint ranges") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // skewed values on purpose — equal-WIDTH buckets would collapse here
+    val rows = (1 to 997).map(i => (if (i % 3 == 0) "a" else "b", math.exp(rng.nextGaussian() * 2), i.toLong))
+    val df = rows.toDF("g", "v", "id")
+    val hist = graft.ops.CoreOps.equiDepthHistogram(df, Seq("g"), "v", Seq("id"), 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    hist.groupBy(_._1).foreach { case (g, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == (0 until 8), s"group $g: buckets not dense")
+      val sizes = bs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"group $g: not equi-depth: ${sizes.toSeq}")
+      assert(sizes.sum == rows.count(_._1 == g))
+      // ranges ordered and non-overlapping up to tied boundary values
+      val sorted = bs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) => assert(hi._4 >= lo._5 - 1e-12,
+          s"group $g: bucket ${hi._2} lo ${hi._4} < previous hi ${lo._5}")
+        case _ => ()
+      }
+      sorted.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+    }
+  }
+
   test("saltedJoin matches plain join results while spreading hot keys") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i)).toDF("k", "v")
     val small = Seq(("HOT", "h"), ("cold10", "c")).toDF("k", "name")

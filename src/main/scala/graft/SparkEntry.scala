@@ -249,7 +249,14 @@ object SparkEntry {
     // generic MERGE upsert/delete — the lakehouse MERGE INTO primitive
     "q128_merge_upsert"         -> (Q.mergeUpsert(_, _)),
     // equi-depth histogram from exact order statistics (per group)
-    "q129_equidepth_hist"       -> (Q.equiDepthHist(_, _))
+    "q129_equidepth_hist"       -> (Q.equiDepthHist(_, _)),
+    // distributed global row_number: range partition + offsets, no
+    // single-partition window
+    "q130_global_rank"          -> (Q.globalRank(_, _)),
+    // k-anonymity re-identification census over a quasi-identifier pair
+    "q131_k_anonymity"          -> (Q.kAnonymityAudit(_, _)),
+    // small-file compaction planning (lakehouse OPTIMIZE scheduling)
+    "q132_compaction_plan"      -> (Q.compactionPlan(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -237,4 +237,21 @@ object CheckSuite {
     if (failures.nonEmpty) throw CheckFailedException(failures)
     results
   }
+
+  /** k-anonymity audit — the governance dual of the C3-C7 row gates: a
+    * row is re-identifiable when its QUASI-IDENTIFIER combination (the
+    * attribute tuple an adversary can observe externally) is shared by
+    * fewer than k rows. Returns one row per observed combination with
+    * its population and an `at_risk` flag; a release gate then fails on
+    * `at_risk` rows or suppresses/generalizes them. One hash aggregate
+    * on the quasi columns — shuffle ∝ |combinations|, with map-side
+    * partial aggregation doing the heavy lifting at 100 TB.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 1, "k must be >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < k)
+  }
 }

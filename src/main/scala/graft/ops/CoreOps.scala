@@ -328,6 +328,60 @@ object CoreOps {
       changes.filter(!col(isDeleteCol)).drop(isDeleteCol))
   }
 
+  /** SCALE-CORRECT global row numbering — the distributed form of
+    * `row_number() OVER (ORDER BY …)`, which Spark plans as a
+    * SINGLE-partition window (WindowExec even warns about it): every row
+    * of a 100 TB table through one task. Here:
+    *
+    *   1. `repartitionByRange` on the order columns (range boundaries
+    *      from Spark's sampler) + sort-within-partitions — the standard
+    *      distributed total sort;
+    *   2. per-partition counts (one tiny aggregate over partition ids);
+    *   3. cumulative offsets over the |partitions|-row count table —
+    *      driver-side, bounded by the partition count, never by rows;
+    *   4. global rank = broadcast offset + local row_number within the
+    *      partition (each window sorts ONE partition).
+    *
+    * The output ranks are a pure function of the TOTAL order (order
+    * columns must include a tie-break), so they are identical whatever
+    * boundaries the sampler picks — only task sizing varies. This is the
+    * primitive to reach for wherever a global rank/ntile/equi-depth over
+    * one giant ordered stream is needed.
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String],
+                      numPartitions: Int = 0,
+                      rankCol: String = "rank"): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must include a total order")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint MATERIALIZES the range partitioning before anything
+    // reads it: RangePartitioner's boundary sampling is nondeterministic
+    // ACROSS jobs (the sampling seed involves the RDD id), so without a
+    // materialization the counts job and the ranking job would each draw
+    // their own boundaries and the offsets would not describe the
+    // partitions the ranks are computed in (measured: ~86% of ranks off).
+    val parted = df
+      .repartitionByRange(n, orderCols.map(c => asc(c)): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // per-partition counts: |partitions| rows — driver-side cumsum is
+    // bounded by the partition count, never the data
+    val counts = parted.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+      .init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__offset")
+    val wLocal = Window.partitionBy("__pid")
+      .orderBy(orderCols.map(c => asc(c)): _*)
+    parted
+      .withColumn("__local", row_number().over(wLocal))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(rankCol, (col("__offset") + col("__local")).cast("long"))
+      .drop("__pid", "__local", "__offset")
+  }
+
   /** Per-group EQUI-DEPTH histogram: within each group, rank rows by
     * (value, tie…) and assign bucket = ⌊(rank−1)·B / n⌋ — exact order
     * statistics, so every bucket holds ⌊n/B⌋ or ⌈n/B⌉ rows (the

@@ -739,6 +739,35 @@ object OracleCatalog {
         |  count(*) AS n_rows, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q130: distributed global rank — oracle is the NAIVE global window,
+    // proving the range-partition + offset construction rank-for-rank
+    "q130_global_rank" ->
+      """SELECT rank, l_extendedprice, l_orderkey, l_linenumber FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rank
+        |  FROM lineitem)
+        |WHERE rank <= 5 OR rank % 1000 = 0
+        |ORDER BY rank""".stripMargin,
+
+    // q131: k-anonymity — one grouped census, flag groups under k
+    "q131_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+        |  count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q132: compaction plan — cumulative-before DIV target first-fit,
+    // integer arithmetic replayed verbatim
+    "q132_compaction_plan" ->
+      """WITH f AS (SELECT source, doc_id, CAST(length(text) AS BIGINT) AS bytes
+        |  FROM documents),
+        |b AS (SELECT source, doc_id, bytes,
+        |    CAST(coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS INTEGER) AS bin
+        |  FROM f)
+        |SELECT source, bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // q127: fully-trained IVF-PQ — q68's trained cells gate the pair
     // space, q125's trained codebooks quantize it; one pqAnnSql source
     "q127_ivfpq_trained" -> pqAnnSql(ivfGate = true, trainedCb = true,

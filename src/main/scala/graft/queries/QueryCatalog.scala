@@ -2936,6 +2936,46 @@ object QueryCatalog {
         Seq("l_orderkey", "l_linenumber"), buckets = 8)
       .orderBy("l_returnflag", "bucket")
 
+  /** Scale-correct global ranking (q130):
+    * [[graft.ops.CoreOps.globalRowNumber]] over every lineitem row by
+    * (price, orderkey, linenumber) — range partition + per-partition
+    * offsets instead of the single-partition global window. The oracle
+    * is the PLAIN `row_number() OVER (ORDER BY …)`, so the hash match
+    * proves the distributed construction equals the naive global sort
+    * rank-for-rank. Output thinned to the head + every 1000th rank.
+    */
+  def globalRank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CoreOps.globalRowNumber(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
+      .filter(col("rank") <= 5 || col("rank") % 1000 === 0)
+      .select("rank", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .orderBy("rank")
+
+  /** k-anonymity audit (q131): [[graft.checks.CheckSuite.kAnonymity]]
+    * over customer's (nation, market segment) quasi-identifier pair at
+    * k=5 — the re-identification risk census a release gate runs before
+    * publishing a dataset.
+    */
+  def kAnonymityAudit(s: SparkSession, dir: String): DataFrame =
+    graft.checks.CheckSuite.kAnonymity(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Compaction plan (q132): [[graft.io.Compaction.plan]] over a file
+    * listing derived from documents (per-source "files" sized by text
+    * length) with 2 KiB bins — the OPTIMIZE scheduling step as pure
+    * metadata work; the oracle replays the cumulative first-fit.
+    */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame =
+    graft.io.Compaction.plan(
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            length(col("text")).cast("long").as("bytes")),
+        "source", "doc_id", "bytes", targetBytes = 2048L)
+      .orderBy("source", "bin")
+
   /** Incremental aggregate maintenance (q119): the additive dual of
     * q102's SCD2 merge — per-user rollup state (count, decimal sum,
     * max ts) maintained by MERGING a delta aggregate into the history

@@ -512,4 +512,36 @@ class Round8Spec extends SparkSpec {
     assert(out.count(_._5 == 1.0) >= 1, "the largest source carries weight 1")
     assert(math.abs(out.map(_._4).sum - 1.0) < 1e-9, "linear shares sum to 1")
   }
+  // ---- q131 k-anonymity / q132 compaction plan ---------------------------
+
+  test("kAnonymity: planted small group flagged, large group not, sizes exact") {
+    val df = (Seq.fill(7)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++ Seq.fill(5)(("DE", "A")))
+      .toDF("country", "segment")
+    val out = graft.checks.CheckSuite.kAnonymity(df, Seq("country", "segment"), k = 5)
+      .as[(String, String, Long, Boolean)].collect().toSet
+    assert(out == Set(("US", "A", 7L, false), ("US", "B", 2L, true), ("DE", "A", 5L, false)))
+  }
+
+  test("compaction plan: bins fill to target, overflow by at most one file, ids contiguous") {
+    val files = (1L to 40L).map(i => ("p1", i, 300L + (i % 3) * 100L)).toDF("part", "id", "bytes")
+    val target = 1000L
+    val plan = graft.io.Compaction.plan(files, "part", "id", "bytes", target)
+      .orderBy("bin").as[(String, Int, Long, Long, Long, Long)].collect()
+    // bins are dense from 0 and cover all files exactly once
+    assert(plan.map(_._2).toSeq == plan.indices.map(identity))
+    assert(plan.map(_._3).sum == 40L)
+    // id ranges are contiguous across bins (a file is never reordered or split)
+    plan.sliding(2).foreach {
+      case Array(a, b) => assert(b._5 == a._6 + 1, s"gap between bins ${a._2} and ${b._2}")
+      case _ => ()
+    }
+    // floor-div packing invariant: bin boundaries sit at multiples of the
+    // GLOBAL cumulative size, so every non-last bin's total is within one
+    // file of the target in either direction (500 = the largest file)
+    plan.init.foreach { case (_, bin, _, total, _, _) =>
+      assert(total > target - 500L && total < target + 500L,
+        s"bin $bin total $total strays more than one file from target $target")
+    }
+  }
 }
+

@@ -256,7 +256,9 @@ object SparkEntry {
     // k-anonymity re-identification census over a quasi-identifier pair
     "q131_k_anonymity"          -> (Q.kAnonymityAudit(_, _)),
     // small-file compaction planning (lakehouse OPTIMIZE scheduling)
-    "q132_compaction_plan"      -> (Q.compactionPlan(_, _))
+    "q132_compaction_plan"      -> (Q.compactionPlan(_, _)),
+    // snapshot diff: CDC derivation, the inverse of q128's merge
+    "q133_snapshot_diff"        -> (Q.snapshotDiffQuery(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

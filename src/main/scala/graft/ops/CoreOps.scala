@@ -328,6 +328,33 @@ object CoreOps {
       changes.filter(!col(isDeleteCol)).drop(isDeleteCol))
   }
 
+  /** Snapshot diff — CDC DERIVATION, the inverse of [[mergeInto]]: given
+    * two snapshots of a keyed table, emit one row per changed key with
+    * `change ∈ {insert, delete, update}` (insert = key only in `newDf`,
+    * delete = only in `oldDf`, update = both sides present but any
+    * non-key column differs). Row equality compares the [[surrogateKey]]
+    * hash of the non-key columns — codegen'd, no struct comparison, and
+    * replayable digit-for-digit by the oracle. Shape: one full-outer
+    * key join over two hash projections; unchanged keys are filtered
+    * out, so the output is |changes|, which is what a downstream
+    * [[mergeInto]] consumes. diff(old, merge(old, ch)) == ch for a
+    * compacted change batch — the round-trip CoreOpsSpec pins.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String): DataFrame = {
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      s"snapshots must share a schema: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
+    val nonKey = oldDf.columns.filterNot(_ == keyCol).sorted.toSeq
+    def hashed(df: DataFrame, as: String) =
+      df.select(col(keyCol), surrogateKey(nonKey.map(col): _*).as(as))
+    hashed(oldDf, "__old_h").join(hashed(newDf, "__new_h"), Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("__old_h").isNull, lit("insert"))
+          .when(col("__new_h").isNull, lit("delete"))
+          .when(col("__old_h") =!= col("__new_h"), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col(keyCol), col("change"))
+  }
+
   /** SCALE-CORRECT global row numbering — the distributed form of
     * `row_number() OVER (ORDER BY …)`, which Spark plans as a
     * SINGLE-partition window (WindowExec even warns about it): every row

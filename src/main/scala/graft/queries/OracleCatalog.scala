@@ -768,6 +768,30 @@ object OracleCatalog {
         |  min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q133: snapshot diff — replays q128's merge, then the full-outer
+    // hash diff (same md5-concat row hash, non-key columns in sorted
+    // name order: bal, name)
+    "q133_snapshot_diff" ->
+      s"""WITH t AS (SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer),
+         |ch AS (
+         |  SELECT k, name, bal + 100.0 AS bal, false AS is_delete FROM t WHERE k % 7 = 0
+         |  UNION ALL
+         |  SELECT k, name, bal, true FROM t WHERE k % 7 = 3
+         |  UNION ALL
+         |  SELECT k + 1000000, 'NEW_' || name, bal, false FROM t WHERE k % 7 = 5),
+         |m AS (
+         |  SELECT k, name, bal FROM t ANTI JOIN ch USING (k)
+         |  UNION ALL
+         |  SELECT k, name, bal FROM ch WHERE NOT is_delete),
+         |oh AS (SELECT k, ${sk("bal", "name")} AS h FROM t),
+         |nh AS (SELECT k, ${sk("bal", "name")} AS h FROM m)
+         |SELECT k, CASE WHEN oh.h IS NULL THEN 'insert'
+         |               WHEN nh.h IS NULL THEN 'delete'
+         |               WHEN oh.h != nh.h THEN 'update' END AS change
+         |FROM oh FULL OUTER JOIN nh USING (k)
+         |WHERE oh.h IS NULL OR nh.h IS NULL OR oh.h != nh.h
+         |ORDER BY k""".stripMargin,
+
     // q127: fully-trained IVF-PQ — q68's trained cells gate the pair
     // space, q125's trained codebooks quantize it; one pqAnnSql source
     "q127_ivfpq_trained" -> pqAnnSql(ivfGate = true, trainedCb = true,

@@ -2976,6 +2976,19 @@ object QueryCatalog {
         "source", "doc_id", "bytes", targetBytes = 2048L)
       .orderBy("source", "bin")
 
+  /** Snapshot diff (q133): [[graft.ops.CoreOps.snapshotDiff]] between
+    * the customer slice and q128's merged output — the derived CDC feed
+    * must read back exactly the change classes q128's batch applied
+    * (inserts for the new keys, deletes for the removed, updates for the
+    * balance bumps). The oracle replays the merge AND the diff.
+    */
+  def snapshotDiffQuery(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    graft.ops.CoreOps.snapshotDiff(cust, mergeUpsert(s, dir), "k").orderBy("k")
+  }
+
   /** Incremental aggregate maintenance (q119): the additive dual of
     * q102's SCD2 merge — per-user rollup state (count, decimal sum,
     * max ts) maintained by MERGING a delta aggregate into the history

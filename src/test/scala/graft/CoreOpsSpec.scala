@@ -89,6 +89,23 @@ class CoreOpsSpec extends SparkSpec {
     assert(id == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("snapshotDiff round-trips mergeInto: diff(old, merge(old, ch)) == ch's classes") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (5L, "e", 50.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, "b", 21.0, false), // update
+      (3L, "c", 30.0, true),  // delete
+      (4L, "d", 40.0, false), // insert
+      (5L, "e", 50.0, false)  // upsert equal to current → diff must NOT report it
+    ).toDF("k", "name", "bal", "is_delete")
+    val merged = graft.ops.CoreOps.mergeInto(target, changes, "k")
+    val diff = graft.ops.CoreOps.snapshotDiff(target, merged, "k")
+      .as[(Long, String)].collect().toSet
+    assert(diff == Set((2L, "update"), (3L, "delete"), (4L, "insert")),
+      s"CDC derivation diverged: $diff")
+  }
+
   test("globalRowNumber equals the naive global window rank-for-rank, distributed") {
     import spark.implicits._
     val rng = new scala.util.Random(11)

@@ -258,14 +258,18 @@ object OracleCatalog {
          |""".stripMargin
     val candJoin = if (ivfGate)
       "\n           JOIN cand ON cand.query_id = qt.query_id AND cand.vec_id = codes.vec_id" else ""
-    // trained codebooks: ONE Lloyd refinement of the stride init per
-    // sub-space — assign every sub-vector (L2², min-cid ties), then
-    // quantized-exact component means (the q68 construction, per j)
+    // trained codebooks: ONE Lloyd refinement of a FIXED-ksub init
+    // (ksub=64 — real PQ's fixed-codebook convention, so pair work is
+    // linear in the corpus) per sub-space — assign every sub-vector
+    // (L2², min-cid ties), then quantized-exact component means (the
+    // q68 construction, per j)
     val cbCtes =
       if (!trainedCb)
         "cb AS (SELECT vec_id AS cid, j, sv AS scv FROM sub WHERE vec_id % 10 = 0),"
       else
-        s"""cb0 AS (SELECT vec_id AS cid, j, sv AS scv FROM sub WHERE vec_id % 10 = 0),
+        s"""cbst AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
+           |cb0 AS (SELECT vec_id AS cid, j, sv AS scv FROM sub
+           |        WHERE vec_id % (SELECT stride FROM cbst) = 0),
            |d0 AS (SELECT s.vec_id, s.j, s.sv, c.cid, $l2 AS d
            |       FROM sub s JOIN cb0 c USING (j)),
            |a0 AS (SELECT vec_id, j, sv, cid FROM (

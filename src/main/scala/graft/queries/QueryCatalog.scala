@@ -381,7 +381,8 @@ object QueryCatalog {
     val cents = Similarity.kmeansCentroids(emb, dim = 64, k = 10, iters = 1,
       quantizedMeans = true)
     Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5, nProbe = 3,
-      centroidsOverride = Some(cents), trainCodebooks = true)
+      centroidsOverride = Some(cents), trainCodebooks = true,
+      codebookSize = Some(64))
   }
 
   /** Trained-codebook PQ ANN (q125): q120 with one Lloyd refinement of
@@ -391,7 +392,10 @@ object QueryCatalog {
     */
   def pqAnnTrained(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5, trainCodebooks = true)
+    // ksub fixed at 64 (real PQ's convention): training/encoding pair
+    // work stays linear in the corpus instead of n²/stride
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5,
+      trainCodebooks = true, codebookSize = Some(64))
   }
 
   /** Threshold tuned to the synthetic corpus (max pairwise cosine ≈ 0.46:

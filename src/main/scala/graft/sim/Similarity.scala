@@ -464,13 +464,22 @@ object Similarity {
              shortlist: Int = 50,
              idCol: String = "vec_id", vecCol: String = "embedding",
              candidates: Option[DataFrame] = None,
-             trainCodebooks: Boolean = false): DataFrame = {
+             trainCodebooks: Boolean = false,
+             codebookSize: Option[Int] = None): DataFrame = {
     require(dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     val sub = pqSubVectors(e, m, dsub)
     val l2sq = pqSubL2
-    val cb = pqCodebooks(sub, centroidStride, trainCodebooks)
+    // `codebookSize` FIXES ksub (real PQ's convention — Jégou uses 256):
+    // stride derives from the corpus count so training and encoding pair
+    // work stay LINEAR in the corpus (ksub·n), where the raw
+    // `centroidStride` convention grows the codebook — and the pair work
+    // — quadratically (n/stride entries). Production path: always set it.
+    val stride = codebookSize.fold(centroidStride.toLong) { ks =>
+      math.max(1L, e.count() / ks)
+    }
+    val cb = pqCodebooks(sub, stride, trainCodebooks)
     val dists = sub.join(broadcast(cb), Seq("j")).select(
       col("vec_id"), col("j"), col("cid"), l2sq.as("d"))
     // encode: nearest sub-centroid per (vector, subspace), ties to min cid
@@ -562,7 +571,7 @@ object Similarity {
     * objective Σ min_c d(sv, c)² (SimilaritySpec measures it on this
     * output).
     */
-  private[graft] def pqCodebooks(sub: DataFrame, centroidStride: Int,
+  private[graft] def pqCodebooks(sub: DataFrame, centroidStride: Long,
                                  trainCodebooks: Boolean): DataFrame = {
     val cb0 = sub.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cid"), col("j"), col("sv").as("scv"))
@@ -605,7 +614,8 @@ object Similarity {
                 shortlist: Int = 50,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 centroidsOverride: Option[DataFrame] = None,
-                trainCodebooks: Boolean = false): DataFrame = {
+                trainCodebooks: Boolean = false,
+                codebookSize: Option[Int] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     // stride-sampled cells by default; pass kmeansCentroids(...) output
@@ -624,6 +634,7 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
     pqTopK(corpus, queries, k, m, dim, pqStride, shortlist, idCol, vecCol,
-      candidates = Some(cands), trainCodebooks = trainCodebooks)
+      candidates = Some(cands), trainCodebooks = trainCodebooks,
+      codebookSize = codebookSize)
   }
 }

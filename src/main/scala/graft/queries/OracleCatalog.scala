@@ -265,7 +265,9 @@ object OracleCatalog {
     // q68 construction, per j)
     val cbCtes =
       if (!trainedCb)
-        "cb AS (SELECT vec_id AS cid, j, sv AS scv FROM sub WHERE vec_id % 10 = 0),"
+        s"""cbst AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
+           |cb AS (SELECT vec_id AS cid, j, sv AS scv FROM sub
+           |       WHERE vec_id % (SELECT stride FROM cbst) = 0),""".stripMargin
       else
         s"""cbst AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
            |cb0 AS (SELECT vec_id AS cid, j, sv AS scv FROM sub

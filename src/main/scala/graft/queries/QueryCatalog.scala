@@ -341,7 +341,9 @@ object QueryCatalog {
     */
   def pqAnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5)
+    // fixed ksub=64 (see pqTopK.codebookSize): codebook — and pair work —
+    // constant per vector instead of growing with the corpus
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5, codebookSize = Some(64))
   }
 
   /** IVF-PQ ANN (q122): the production composition — IVF probes bound
@@ -350,7 +352,7 @@ object QueryCatalog {
     */
   def ivfPqAnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), 5)
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), 5, codebookSize = Some(64))
   }
 
   /** Real image codec round trip (q126): deterministic gray-gradient

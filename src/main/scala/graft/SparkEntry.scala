@@ -258,7 +258,11 @@ object SparkEntry {
     // small-file compaction planning (lakehouse OPTIMIZE scheduling)
     "q132_compaction_plan"      -> (Q.compactionPlan(_, _)),
     // snapshot diff: CDC derivation, the inverse of q128's merge
-    "q133_snapshot_diff"        -> (Q.snapshotDiffQuery(_, _))
+    "q133_snapshot_diff"        -> (Q.snapshotDiffQuery(_, _)),
+    // GDPR erasure cascade impact down the FK chain (semi joins only)
+    "q134_erasure_cascade"      -> (Q.erasureCascade(_, _)),
+    // referential-integrity orphan audit over the star's FK relations
+    "q135_integrity_audit"      -> (Q.integrityAudit(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -798,6 +798,38 @@ object OracleCatalog {
          |WHERE oh.h IS NULL OR nh.h IS NULL OR oh.h != nh.h
          |ORDER BY k""".stripMargin,
 
+    // q134: erasure cascade — key sets down the FK chain, count per table
+    "q134_erasure_cascade" ->
+      """WITH r AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 13 = 1),
+        |o AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM r)),
+        |l AS (SELECT l_orderkey FROM lineitem
+        |      WHERE l_orderkey IN (SELECT DISTINCT o_orderkey FROM o))
+        |SELECT table_name, n_rows FROM (
+        |  SELECT 'customer' AS table_name, count(*) AS n_rows FROM r
+        |  UNION ALL SELECT 'orders', count(*) FROM o
+        |  UNION ALL SELECT 'lineitem', count(*) FROM l)
+        |ORDER BY table_name""".stripMargin,
+
+    // q135: referential integrity — orphan count per FK relation + the
+    // childless-customer count
+    "q135_integrity_audit" ->
+      """SELECT relation, n_orphans FROM (
+        |  SELECT 'lineitem->orders' AS relation, count(*) AS n_orphans FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL
+        |      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL SELECT 'orders->customer', count(*) FROM orders
+        |    WHERE o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL SELECT 'lineitem->part', count(*) FROM lineitem
+        |    WHERE l_partkey IS NOT NULL
+        |      AND l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  UNION ALL SELECT 'customer->nation', count(*) FROM customer
+        |    WHERE c_nationkey IS NOT NULL
+        |      AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL SELECT 'customer_without_orders', count(*) FROM customer
+        |    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+        |ORDER BY relation""".stripMargin,
+
     // q127: fully-trained IVF-PQ — q68's trained cells gate the pair
     // space, q125's trained codebooks quantize it; one pqAnnSql source
     "q127_ivfpq_trained" -> pqAnnSql(ivfGate = true, trainedCb = true,

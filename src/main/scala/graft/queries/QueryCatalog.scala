@@ -2995,6 +2995,44 @@ object QueryCatalog {
     graft.ops.CoreOps.snapshotDiff(cust, mergeUpsert(s, dir), "k").orderBy("k")
   }
 
+  /** Erasure cascade impact (q134):
+    * [[graft.checks.Governance.cascadeImpact]] from a deterministic
+    * erasure-request set (custkey % 13 == 1) down the
+    * customer→orders→lineitem chain — the GDPR right-to-be-forgotten
+    * pre-flight plan, key sets flowing through semi joins only.
+    */
+  def erasureCascade(s: SparkSession, dir: String): DataFrame =
+    graft.checks.Governance.cascadeImpact(
+        "customer",
+        t(s, dir, "customer").filter(col("c_custkey") % 13 === 1)
+          .select("c_custkey"),
+        Seq(
+          ("orders", t(s, dir, "orders"), "o_custkey", "o_orderkey"),
+          ("lineitem", t(s, dir, "lineitem"), "l_orderkey", "l_orderkey")))
+      .orderBy("table_name")
+
+  /** Referential-integrity audit (q135):
+    * [[graft.checks.Governance.orphanCounts]] over the star's four
+    * foreign-key relations (all healthy in TPC-H-shaped data — the
+    * audit proves it rather than assumes it), plus the informative
+    * childless-customer count via the same anti-join shape.
+    */
+  def integrityAudit(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer"); val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val orphans = graft.checks.Governance.orphanCounts(Seq(
+      ("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
+      ("orders->customer", ord, "o_custkey", cust, "c_custkey"),
+      ("lineitem->part", li, "l_partkey", t(s, dir, "part"), "p_partkey"),
+      ("customer->nation", cust, "c_nationkey", t(s, dir, "nation"), "n_nationkey")))
+    val childless = cust.select(col("c_custkey"))
+      .join(ord.select(col("o_custkey").as("__pk")),
+        col("c_custkey") === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit("customer_without_orders").as("relation"), col("n_orphans"))
+    orphans.unionByName(childless).orderBy("relation")
+  }
+
   /** Incremental aggregate maintenance (q119): the additive dual of
     * q102's SCD2 merge — per-user rollup state (count, decimal sum,
     * max ts) maintained by MERGING a delta aggregate into the history

@@ -271,14 +271,34 @@ object EventStreams {
     */
   def attribution(clicks: Dataset[Event], purchases: Dataset[Event],
                   horizon: String = "1 hour",
-                  watermark: String = "2 hours"): DataFrame = {
+                  watermark: String = "2 hours"): DataFrame =
+    attributionJoin(clicks, purchases, horizon, watermark, "inner")
+
+  /** LEFT-OUTER watermarked stream-stream join — the attribution variant
+    * that also reports NON-conversions: a click with no purchase inside
+    * its horizon emits once, null-padded, when the watermark passes the
+    * end of its match window (before that the engine cannot know no
+    * purchase is coming — outer results are inherently watermark-delayed,
+    * the semantics StreamingSpec pins). Same bounded state as the inner
+    * form; this is the variant a funnel/attrition report needs, since
+    * unconverted clicks ARE the signal.
+    */
+  def attributionOuter(clicks: Dataset[Event], purchases: Dataset[Event],
+                       horizon: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    attributionJoin(clicks, purchases, horizon, watermark, "left_outer")
+
+  private def attributionJoin(clicks: Dataset[Event], purchases: Dataset[Event],
+                              horizon: String, watermark: String,
+                              joinType: String): DataFrame = {
     val c = clicks.toDF("c_event_id", "c_ts", "c_user_id", "c_type", "c_value")
       .withWatermark("c_ts", watermark)
     val p = purchases.toDF("p_event_id", "p_ts", "p_user_id", "p_type", "p_value")
       .withWatermark("p_ts", watermark)
     c.join(p, expr(
         s"""c_user_id = p_user_id AND
-           |p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $horizon""".stripMargin))
+           |p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $horizon""".stripMargin),
+        joinType)
       .select(col("c_user_id").as("user_id"),
               col("c_event_id").as("click_id"), col("p_event_id").as("purchase_id"),
               col("c_ts").as("click_ts"), col("p_ts").as("purchase_ts"),

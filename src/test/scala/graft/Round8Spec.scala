@@ -543,5 +543,28 @@ class Round8Spec extends SparkSpec {
         s"bin $bin total $total strays more than one file from target $target")
     }
   }
-}
+  // ---- q134 erasure cascade / q135 integrity audit -----------------------
 
+  test("cascadeImpact: planted chain counts every dependent row, level by level") {
+    val cust = Seq(1L, 2L, 3L).toDF("ck")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 3L)).toDF("ok", "ck")
+    val lines = Seq((10L, 1), (10L, 2), (11L, 1), (13L, 1)).toDF("ok", "ln")
+    val out = graft.checks.Governance.cascadeImpact(
+        "cust", cust.filter(col("ck") === 1L).select("ck"),
+        Seq(("orders", orders, "ck", "ok"), ("lines", lines, "ok", "ok")))
+      .as[(String, Long)].collect().toMap
+    // customer 1 -> orders 10,11 -> lines (10,1),(10,2),(11,1)
+    assert(out == Map("cust" -> 1L, "orders" -> 2L, "lines" -> 3L), s"$out")
+  }
+
+  test("orphanCounts: planted orphan found; null FKs never count") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val out = graft.checks.Governance.orphanCounts(
+        Seq(("child->parent", child, "fk", parent, "pk")))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("child->parent" -> 1L), s"$out")
+  }
+
+
+}

@@ -174,6 +174,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionOuter: unconverted clicks emit null-padded once the watermark closes their horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.attributionOuter(clicks.toDS(), purchases.toDS(),
+        horizon = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 0.0),  // converts
+        Event(2, ts("2024-01-01 10:00:00"), 8, "click", 0.0))  // never converts
+      purchases.addData(
+        Event(50, ts("2024-01-01 10:30:00"), 7, "purchase", 9.99))
+      q.processAllAvailable()
+      // before the watermark passes click 2's horizon the engine cannot
+      // prove a purchase isn't coming — no null row yet
+      val early = spark.sql("SELECT click_id FROM attr_outer_test WHERE purchase_id IS NULL")
+        .count()
+      assert(early == 0, "outer result must wait for the watermark")
+      // advance BOTH watermarks well past 11:00 (click horizon end) + delay
+      clicks.addData(Event(3, ts("2024-01-01 14:00:00"), 99, "click", 0.0))
+      purchases.addData(Event(60, ts("2024-01-01 14:00:00"), 99, "purchase", 1.0))
+      q.processAllAvailable()
+      val matched = spark.sql(
+        "SELECT click_id, purchase_id FROM attr_outer_test WHERE purchase_id IS NOT NULL")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val unmatchedRows = spark.sql(
+        "SELECT click_id, purchase_ts, purchase_value FROM attr_outer_test WHERE purchase_id IS NULL")
+        .collect()
+      assert(matched.contains((1L, 50L)), s"converted click must join: $matched")
+      assert(unmatchedRows.map(_.getLong(0)).toSeq == Seq(2L),
+        s"exactly the unconverted click emits null-padded: ${unmatchedRows.toSeq}")
+      assert(unmatchedRows.forall(r => r.isNullAt(1) && r.isNullAt(2)),
+        "purchase columns must be null on the outer row")
+    } finally q.stop()
+  }
+
   test("gapSessions under readStream: watermark closes sessions, Append emits them once") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]

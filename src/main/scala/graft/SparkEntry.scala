@@ -262,7 +262,9 @@ object SparkEntry {
     // GDPR erasure cascade impact down the FK chain (semi joins only)
     "q134_erasure_cascade"      -> (Q.erasureCascade(_, _)),
     // referential-integrity orphan audit over the star's FK relations
-    "q135_integrity_audit"      -> (Q.integrityAudit(_, _))
+    "q135_integrity_audit"      -> (Q.integrityAudit(_, _)),
+    // DSv2 aggregate pushdown: COUNT/MIN/MAX evaluated inside the reader
+    "q136_tsv_source_stats"     -> (Q.tsvSourceStats(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -655,6 +655,20 @@ object OracleCatalog {
          |ORDER BY iso""".stripMargin
     },
 
+    // q136: DSv2 aggregate pushdown — same file, same aggregates in
+    // DuckDB; the hash match audits the reader's in-scan COUNT/MIN/MAX
+    "q136_tsv_source_stats" -> {
+      val path = graft.sources.GraftTsv.seedTsvPath
+      s"""SELECT count(*) AS n_rows, count(iso3) AS n_iso3,
+         |  min(numcode) AS min_numcode, max(numcode) AS max_numcode,
+         |  max(phonecode) AS max_phonecode, min(iso) AS min_iso
+         |FROM read_csv('$path', delim = '\t', header = false,
+         |  nullstr = '\\N',
+         |  columns = {'id': 'INTEGER', 'iso': 'VARCHAR', 'name': 'VARCHAR',
+         |    'nicename': 'VARCHAR', 'iso3': 'VARCHAR', 'numcode': 'INTEGER',
+         |    'phonecode': 'BIGINT'})""".stripMargin
+    },
+
     // q123: BPE corpus encoding — q94's pairTop+fold unrolled EXACTLY
     // nMerges=8 times over the (tok, freq, sym) vocabulary, then every
     // document's words join the encoded vocab and roll up per doc

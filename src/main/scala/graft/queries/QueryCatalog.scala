@@ -387,6 +387,22 @@ object QueryCatalog {
       codebookSize = Some(64))
   }
 
+  /** DSv2 aggregate pushdown audit (q136): COUNT/MIN/MAX over the typed
+    * seed TSV — the aggregates evaluate INSIDE
+    * [[graft.sources.GraftTsv]]'s reader (one partial row per split,
+    * merged by Spark's final aggregation), and the DuckDB oracle
+    * computes the same aggregates over the same file, so the hash match
+    * audits the in-reader evaluation the way q124 audits the filters.
+    */
+  def tsvSourceStats(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-tsv")
+      .schema("id int, iso string, name string, nicename string, " +
+        "iso3 string, numcode int, phonecode bigint")
+      .option("path", graft.sources.GraftTsv.seedTsvPath).load()
+      .agg(count(lit(1)).as("n_rows"), count(col("iso3")).as("n_iso3"),
+        min(col("numcode")).as("min_numcode"), max(col("numcode")).as("max_numcode"),
+        max(col("phonecode")).as("max_phonecode"), min(col("iso")).as("min_iso"))
+
   /** Trained-codebook PQ ANN (q125): q120 with one Lloyd refinement of
     * each sub-space codebook (per-sub-space k-means, the q68 quantized-
     * mean construction) — the production recall path the stride-sample

@@ -4,6 +4,7 @@ import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -158,11 +159,56 @@ final case class TsvTable(tableSchema: StructType, path: String)
     new TsvWriteBuilder(info.schema(), path)
 }
 
+/** A pushed aggregate: evaluated per split, merged by Spark's final
+  * aggregation (partial pushdown — `supportCompletePushDown` stays
+  * false, so multi-split scans stay correct for free).
+  */
+private[sources] sealed trait TsvAgg
+private[sources] case object TsvCountStar extends TsvAgg
+private[sources] final case class TsvCount(colName: String) extends TsvAgg
+private[sources] final case class TsvMin(colName: String) extends TsvAgg
+private[sources] final case class TsvMax(colName: String) extends TsvAgg
+
 final class TsvScanBuilder(fullSchema: StructType, path: String, splitBytes: Long)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var aggs: Option[Seq[TsvAgg]] = None
+  private var limit: Option[Int] = None
+
+  private def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 && fullSchema.fieldNames.contains(nr.fieldNames.head) =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  /** Ungrouped COUNT(*)/COUNT(col)/MIN/MAX evaluate inside the reader —
+    * one row out per split instead of the raw stream; Spark's final
+    * aggregation merges the partials (sum of counts, min of mins).
+    */
+  override def pushAggregation(aggregation: aggregate.Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val specs = aggregation.aggregateExpressions.toSeq.map {
+      case _: aggregate.CountStar            => Some(TsvCountStar)
+      case c: aggregate.Count if !c.isDistinct => refName(c.column).map(TsvCount)
+      case m: aggregate.Min                  => refName(m.column).map(TsvMin)
+      case m: aggregate.Max                  => refName(m.column).map(TsvMax)
+      case _                                 => None
+    }
+    if (specs.contains(None)) false
+    else { aggs = Some(specs.flatten); true }
+  }
+
+  /** Per-split row cap; Spark still applies the global limit on top
+    * (isPartiallyPushed), so multi-split scans stay exact while each
+    * split stops reading as soon as it has n rows.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** A comparison is pushable when the literal's runtime type matches the
     * DECLARED column type — Catalyst has already coerced literals to the
@@ -205,16 +251,36 @@ final class TsvScanBuilder(fullSchema: StructType, path: String, splitBytes: Lon
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = TsvScan(fullSchema, required, pushed, path, splitBytes)
+  override def build(): Scan =
+    TsvScan(fullSchema, required, pushed, path, splitBytes, aggs, limit)
 }
 
 final case class TsvScan(fullSchema: StructType, required: StructType,
-                         pushed: Array[Filter], path: String, splitBytes: Long)
+                         pushed: Array[Filter], path: String, splitBytes: Long,
+                         aggs: Option[Seq[TsvAgg]] = None,
+                         limit: Option[Int] = None)
   extends Scan with Batch {
-  override def readSchema(): StructType = required
+  /** With aggregates pushed, the scan's output IS the partial-aggregate
+    * row: count columns as non-null longs, min/max as the column type.
+    */
+  override def readSchema(): StructType = aggs match {
+    case None => required
+    case Some(specs) => StructType(specs.map {
+      case TsvCountStar => org.apache.spark.sql.types.StructField(
+        "count_star", org.apache.spark.sql.types.LongType, nullable = false)
+      case TsvCount(c) => org.apache.spark.sql.types.StructField(
+        s"count_$c", org.apache.spark.sql.types.LongType, nullable = false)
+      case TsvMin(c) => org.apache.spark.sql.types.StructField(
+        s"min_$c", fullSchema(c).dataType, nullable = true)
+      case TsvMax(c) => org.apache.spark.sql.types.StructField(
+        s"max_$c", fullSchema(c).dataType, nullable = true)
+    })
+  }
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-tsv $path, PushedFilters: [${pushed.mkString(", ")}]"
+    s"graft-tsv $path, PushedFilters: [${pushed.mkString(", ")}]" +
+      aggs.fold("")(a => s", PushedAggregates: [${a.mkString(", ")}]") +
+      limit.fold("")(n => s", PushedLimit: $n")
   override def planInputPartitions(): Array[InputPartition] =
     GraftTsv.dataFiles(path).flatMap { f =>
       val size = java.nio.file.Files.size(java.nio.file.Paths.get(f))
@@ -222,7 +288,7 @@ final case class TsvScan(fullSchema: StructType, required: StructType,
         TsvPartition(f, start, math.min(start + splitBytes, size)))
     }.map(p => p: InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    TsvReaderFactory(fullSchema, required.fieldNames, pushed)
+    TsvReaderFactory(fullSchema, required.fieldNames, pushed, aggs, limit)
 }
 
 /** One byte range of one file; owns every line that STARTS in
@@ -231,17 +297,79 @@ final case class TsvScan(fullSchema: StructType, required: StructType,
 final case class TsvPartition(path: String, start: Long, end: Long) extends InputPartition
 
 final case class TsvReaderFactory(fullSchema: StructType, requiredCols: Array[String],
-                                  pushed: Array[Filter]) extends PartitionReaderFactory {
+                                  pushed: Array[Filter],
+                                  aggs: Option[Seq[TsvAgg]] = None,
+                                  limit: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TsvPartition]
-    new TsvPartitionReader(p.path, p.start, p.end, fullSchema, requiredCols, pushed)
+    val base = new TsvPartitionReader(p.path, p.start, p.end, fullSchema,
+      if (aggs.isDefined) fullSchema.fieldNames else requiredCols, pushed, limit)
+    aggs.fold(base: PartitionReader[InternalRow])(specs =>
+      new TsvAggReader(base, fullSchema, specs))
   }
+}
+
+/** Partial-aggregate reader: drains the underlying line reader (pushed
+  * filters already applied there), folds the aggregates, emits ONE row.
+  * An empty split yields count 0 and null min/max — exactly the partial
+  * state Spark's final aggregation merges away.
+  */
+final class TsvAggReader(base: TsvPartitionReader, fullSchema: StructType,
+                         specs: Seq[TsvAgg]) extends PartitionReader[InternalRow] {
+  private val idx = fullSchema.fieldNames.zipWithIndex.toMap
+  private var emitted = false
+  private var current: InternalRow = _
+
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y) < 0
+    case (x: Int, y: Int)               => x < y
+    case (x: Long, y: Long)             => x < y
+    case (x: Double, y: Double)         => x < y
+    case _ => throw new IllegalStateException(s"incomparable partial values: $a / $b")
+  }
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    val counts = new Array[Long](specs.length)
+    val extrema = new Array[Any](specs.length)
+    while (base.next()) {
+      val row = base.get()
+      var i = 0
+      specs.foreach { s =>
+        s match {
+          case TsvCountStar => counts(i) += 1
+          case TsvCount(c)  => if (!row.isNullAt(idx(c))) counts(i) += 1
+          case TsvMin(c) =>
+            val v = if (row.isNullAt(idx(c))) null
+                    else row.get(idx(c), fullSchema(c).dataType)
+            if (v != null && (extrema(i) == null || lt(v, extrema(i)))) extrema(i) = v
+          case TsvMax(c) =>
+            val v = if (row.isNullAt(idx(c))) null
+                    else row.get(idx(c), fullSchema(c).dataType)
+            if (v != null && (extrema(i) == null || lt(extrema(i), v))) extrema(i) = v
+        }
+        i += 1
+      }
+    }
+    current = new GenericInternalRow(specs.zipWithIndex.map {
+      case (TsvCountStar, i) => counts(i): Any
+      case (TsvCount(_), i)  => counts(i): Any
+      case (_, i)            => extrema(i)
+    }.toArray)
+    emitted = true
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = base.close()
 }
 
 final class TsvPartitionReader(path: String, start: Long, end: Long,
                                fullSchema: StructType,
-                               requiredCols: Array[String], pushed: Array[Filter])
+                               requiredCols: Array[String], pushed: Array[Filter],
+                               limit: Option[Int] = None)
   extends PartitionReader[InternalRow] {
+
+  private var emitted = 0
 
   private val allCols = fullSchema.fieldNames
   private val types: Array[DataType] = fullSchema.fields.map(_.dataType)
@@ -342,6 +470,9 @@ final class TsvPartitionReader(path: String, start: Long, end: Long,
   }
 
   override def next(): Boolean = {
+    // per-split pushed limit: stop reading as soon as n rows are out
+    // (Spark's global limit finishes the job across splits)
+    if (limit.exists(emitted >= _)) return false
     // a line belongs to this split iff it STARTS before `end`
     while (pos < end) {
       val lineStart = pos
@@ -354,6 +485,7 @@ final class TsvPartitionReader(path: String, start: Long, end: Long,
             case s: String => UTF8String.fromString(s)
             case other     => other
           }))
+        emitted += 1
         return true
       }
     }

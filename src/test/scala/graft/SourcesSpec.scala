@@ -172,6 +172,46 @@ class SourcesSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("unescapable")))
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX evaluate in-reader, one partial row per split") {
+    val df = typedSeed.agg(
+      count(lit(1)).as("n"), count(col("iso3")).as("n_iso3"),
+      min(col("numcode")).as("min_nc"), max(col("phonecode")).as("max_pc"),
+      min(col("iso")).as("min_iso"))
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"),
+      s"scan must advertise the pushed aggregates:\n${plan.take(1500)}")
+    val r = df.collect().head
+    // reference values computed through the non-pushed path (a projection
+    // blocks aggregate pushdown)
+    val raw = typedSeed.select("iso", "iso3", "numcode", "phonecode").collect()
+    assert(r.getLong(0) == 239 && r.getLong(1) == raw.count(!_.isNullAt(1)))
+    assert(r.getInt(2) == raw.filter(!_.isNullAt(2)).map(_.getInt(2)).min)
+    assert(r.getLong(3) == raw.filter(!_.isNullAt(3)).map(_.getLong(3)).max)
+    assert(r.getString(4) == raw.map(_.getString(0)).min)
+    // and the partial rows merge correctly across many byte-range splits
+    val split = spark.read.format("graft-tsv")
+      .schema("id int, iso string, name string, nicename string, " +
+        "iso3 string, numcode int, phonecode bigint")
+      .option("path", path).option("split_bytes", "512").load()
+      .agg(count(lit(1)), min(col("numcode")), max(col("phonecode"))).collect().head
+    assert(split.getLong(0) == 239 && split.getInt(1) == r.getInt(2)
+      && split.getLong(2) == r.getLong(3))
+  }
+
+  test("limit pushdown: each split stops early, global limit stays exact") {
+    val df = seed.limit(7)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"),
+      s"scan must advertise the pushed limit:\n${plan.take(1200)}")
+    assert(df.count() == 7)
+    // limit composes with pushed filters: the cap applies to SURVIVORS
+    val filtered = seed.filter(col("iso") >= "M").limit(5)
+    assert(filtered.collect().length == 5)
+    assert(filtered.collect().forall(_.getString(1) >= "M"))
+  }
+
   test("q124 query shape: rows nonempty, ordered by iso, filter-only column pruned from output") {
     val rows = QueryCatalog.tsvSourceCountries(spark, sf).collect()
     assert(rows.nonEmpty && rows.forall(_.getString(0) >= "M"))

@@ -264,7 +264,9 @@ object SparkEntry {
     // referential-integrity orphan audit over the star's FK relations
     "q135_integrity_audit"      -> (Q.integrityAudit(_, _)),
     // DSv2 aggregate pushdown: COUNT/MIN/MAX evaluated inside the reader
-    "q136_tsv_source_stats"     -> (Q.tsvSourceStats(_, _))
+    "q136_tsv_source_stats"     -> (Q.tsvSourceStats(_, _)),
+    // grouped top-k via the bounded-heap aggregator on relational data
+    "q137_top_parts_per_flag"   -> (Q.topPartsPerFlag(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -844,6 +844,16 @@ object OracleCatalog {
         |    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
         |ORDER BY relation""".stripMargin,
 
+    // q137: grouped top-k — exact integer-scaled revenue, window replay
+    "q137_top_parts_per_flag" ->
+      """WITH r AS (SELECT l_returnflag, l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev1e4
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_partkey, rev1e4, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY rev1e4 DESC, l_partkey ASC) AS rank FROM r)
+        |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin,
+
     // q127: fully-trained IVF-PQ — q68's trained cells gate the pair
     // space, q125's trained codebooks quantize it; one pqAnnSql source
     "q127_ivfpq_trained" -> pqAnnSql(ivfGate = true, trainedCb = true,

@@ -3049,6 +3049,24 @@ object QueryCatalog {
     orphans.unionByName(childless).orderBy("relation")
   }
 
+  /** Grouped top-k (q137): [[graft.ops.CoreOps.groupedTopK]] on
+    * relational data — top-3 parts by revenue within each return flag.
+    * Revenue ranks as the EXACT 1e4-scaled integer (decimal(18,4) sum
+    * shifted to a long — associative, and exact as a double below 2^53),
+    * so the bounded-heap ordering is engine-identical.
+    */
+  def topPartsPerFlag(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
+      .select(col("l_returnflag"), col("l_partkey"),
+        (col("rev") * 10000).cast("long").as("rev1e4"))
+    graft.ops.CoreOps.groupedTopK(rev, "l_returnflag", "l_partkey", "rev1e4", 3)
+      .select(col("l_returnflag"), col("l_partkey"),
+        col("rev1e4").cast("long").as("rev1e4"), col("rank"))
+      .orderBy("l_returnflag", "rank")
+  }
+
   /** Incremental aggregate maintenance (q119): the additive dual of
     * q102's SCD2 merge — per-user rollup state (count, decimal sum,
     * max ts) maintained by MERGING a delta aggregate into the history

@@ -222,6 +222,40 @@ class QueryPlanSpec extends SparkSpec {
       s"expected ≤2 bounded windows (encode arg-min + shortlist re-rank), got $windows:\n${plan.take(2000)}")
   }
 
+  test("q128 merge / q133 diff: key-equi joins only, never cartesian or nested-loop") {
+    for (df <- Seq(QueryCatalog.mergeUpsert(spark, sf),
+                   QueryCatalog.snapshotDiffQuery(spark, sf))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"merge/diff must stay key-equi:\n${plan.take(1500)}")
+    }
+  }
+
+  test("q130 global rank: every window partitioned — no single-partition global sort") {
+    val plan = executedPlan(QueryCatalog.globalRank(spark, sf))
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"rank window must partition by __pid:\n${plan.take(1500)}")
+    // a global (unpartitioned) row_number window would print
+    // windowspecdefinition(<order cols...>) with no partition column list
+    assert(!"windowspecdefinition\\(l_extendedprice".r.findFirstIn(plan).isDefined,
+      s"no window may sort the whole table in one partition:\n${plan.take(1500)}")
+  }
+
+  test("q134 erasure cascade: key sets flow through semi joins, fact tables never cross") {
+    val plan = executedPlan(QueryCatalog.erasureCascade(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"cascade levels must be semi joins:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"no level may cross:\n${plan.take(1500)}")
+  }
+
+  test("q136 TSV stats: aggregates pushed into the scan, no raw-row scan survives") {
+    val df = QueryCatalog.tsvSourceStats(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("PushedAggregates"),
+      s"scan must advertise pushed aggregates:\n${plan.take(1500)}")
+  }
+
   test("q121 calibration: one documents scan per stage, weight frame broadcasts") {
     val plan = executedPlan(QueryCatalog.classifierCalibration(spark, sf))
     assert(!plan.contains("CartesianProduct"),

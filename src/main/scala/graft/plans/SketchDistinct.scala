@@ -48,6 +48,8 @@ object SketchDistinct extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SketchDistinct)
+    e.injectPlannerStrategy(_ => TopKRewrite)
+  }
 }

@@ -266,7 +266,9 @@ object SparkEntry {
     // DSv2 aggregate pushdown: COUNT/MIN/MAX evaluated inside the reader
     "q136_tsv_source_stats"     -> (Q.tsvSourceStats(_, _)),
     // grouped top-k via the bounded-heap aggregator on relational data
-    "q137_top_parts_per_flag"   -> (Q.topPartsPerFlag(_, _))
+    "q137_top_parts_per_flag"   -> (Q.topPartsPerFlag(_, _)),
+    // per-batch corpus novelty decay (crawl self-repetition diagnostic)
+    "q138_novelty_curve"        -> (Q.noveltyCurve(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

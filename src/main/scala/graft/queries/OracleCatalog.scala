@@ -844,6 +844,17 @@ object OracleCatalog {
         |    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
         |ORDER BY relation""".stripMargin,
 
+    // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
+    "q138_novelty_curve" ->
+      s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,
+         |    md5(array_to_string($toksLower, ' ')) AS fp FROM documents),
+         |f AS (SELECT *, min(batch) OVER (PARTITION BY fp) AS first_batch FROM d)
+         |SELECT batch, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN batch = first_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN batch = first_batch THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty_rate
+         |FROM f GROUP BY batch ORDER BY batch""".stripMargin,
+
     // q137: grouped top-k — exact integer-scaled revenue, window replay
     "q137_top_parts_per_flag" ->
       """WITH r AS (SELECT l_returnflag, l_partkey,

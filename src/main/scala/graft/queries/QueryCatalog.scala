@@ -3067,6 +3067,26 @@ object QueryCatalog {
       .orderBy("l_returnflag", "rank")
   }
 
+  /** Corpus novelty curve (q138): per ingestion batch (100-doc id
+    * windows), how many docs carry a fingerprint never seen in an
+    * EARLIER batch — the novelty-decay diagnostic of a growing crawl
+    * (a collapsing rate means the source is re-crawling itself; the
+    * signal that retires a source from the mix). One fingerprint scan,
+    * a min-over-fp window (groups are fp-sized, tiny), one rollup.
+    */
+  def noveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), expr("doc_id DIV 100").as("batch"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .withColumn("first_batch", min(col("batch")).over(Window.partitionBy("fp")))
+    d.groupBy("batch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("batch") === col("first_batch"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_rate",
+        col("n_novel").cast("double") / col("n_docs").cast("double"))
+      .orderBy("batch")
+  }
+
   /** Incremental aggregate maintenance (q119): the additive dual of
     * q102's SCD2 merge — per-user rollup state (count, decimal sum,
     * max ts) maintained by MERGING a delta aggregate into the history

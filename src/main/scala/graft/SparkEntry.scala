@@ -268,7 +268,17 @@ object SparkEntry {
     // grouped top-k via the bounded-heap aggregator on relational data
     "q137_top_parts_per_flag"   -> (Q.topPartsPerFlag(_, _)),
     // per-batch corpus novelty decay (crawl self-repetition diagnostic)
-    "q138_novelty_curve"        -> (Q.noveltyCurve(_, _))
+    "q138_novelty_curve"        -> (Q.noveltyCurve(_, _)),
+    // staircase Pareto frontier; oracle = NOT-EXISTS dominance definition
+    "q139_pareto_frontier"      -> (Q.paretoFrontier(_, _)),
+    // day-bucketed interval join; oracle = the BETWEEN theta join
+    "q141_promo_attribution"    -> (Q.promoAttribution(_, _)),
+    // exact set-similarity join via prefix filtering (no false negatives)
+    "q142_prefix_filter_pairs"  -> (Q.prefixFilterPairsQuery(_, _)),
+    // per-group OLS from exact integer sufficient statistics
+    "q143_ols_trend"            -> (Q.olsTrend(_, _)),
+    // one-shuffle column profiler with deterministic mode
+    "q144_column_profile"       -> (Q.columnProfileQuery(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

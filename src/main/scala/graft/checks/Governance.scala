@@ -49,4 +49,41 @@ object Governance {
         .agg(count(lit(1)).as("n_orphans"))
         .select(lit(name).as("relation"), col("n_orphans"))
     }.reduce(_ unionByName _)
+
+  /** Column profiler: per named column, the ingest-time shape report —
+    * row count, null count, exact distinct count, and the MODE (most
+    * frequent non-null value, ties broken by smallest value) with its
+    * frequency. The one-melt design: every (column, value) pair rides a
+    * single explode into ONE grouped count (values stringified so
+    * heterogeneous columns share the frame), and all four metrics
+    * re-aggregate from that counts frame — one data shuffle total for
+    * any number of profiled columns, vs one scan per metric per column
+    * in the naive profiler.
+    *
+    * Mode tie-break is argmax-then-min: max count per column, equi-join
+    * back, min value among the tied — three shuffle-bounded aggregations
+    * over the (already tiny) counts frame, no window, no single-partition
+    * sort, deterministic in any engine. Scale: the counts frame is
+    * Σ|distinct values|, the only frame after the one data pass.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("val"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.val").as("val"))
+    val counts = pairs.groupBy("col_name", "val").agg(count(lit(1)).as("n"))
+    val base = counts.groupBy("col_name").agg(
+      sum(col("n")).as("n_rows"),
+      coalesce(sum(when(col("val").isNull, col("n"))), lit(0L)).as("n_nulls"),
+      count(when(col("val").isNotNull, lit(1))).as("n_distinct"))
+    val nonNull = counts.filter(col("val").isNotNull)
+    val top = nonNull.select(col("col_name").as("__cn"), col("n"))
+      .groupBy("__cn").agg(max(col("n")).as("mode_n"))
+    val mode = nonNull.join(top,
+        col("col_name") === col("__cn") && col("n") === col("mode_n"))
+      .groupBy("col_name", "mode_n").agg(min(col("val")).as("mode_val"))
+    base.join(mode, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("mode_val"), col("mode_n"))
+  }
 }

@@ -311,6 +311,65 @@ object Dedup {
     out
   }
 
+  /** EXACT set-similarity self-join via global-frequency prefix filtering
+    * (the PPJoin/Vernica-Carey-Li MapReduce construction): every pair of
+    * documents whose distinct-token Jaccard is ≥ thrNum/thrDen, with NO
+    * false negatives — the exactness guarantee the MinHash/SimHash
+    * families trade away. Threshold and verification are pure INTEGER
+    * arithmetic (inter·den ≥ num·union; prefix length via ceiling
+    * division), so no float boundary can fall differently in any engine.
+    *
+    * Construction: tokens get a global total order (document frequency
+    * ascending, then token — rarest first); each document contributes
+    * only its first `sz − ⌈t·sz⌉ + 1` tokens in that order as its
+    * PREFIX; two documents can reach Jaccard t only if their prefixes
+    * share a token (the prefix-filtering theorem), so the candidate join
+    * is an equi-join on prefix tokens, pre-filtered by the length bound
+    * min·den ≥ num·max, then verified exactly.
+    *
+    * Scale: never the O(n²) pair space — candidates materialize only
+    * inside per-token buckets, and ordering prefixes rarest-first keeps
+    * hot tokens out of most prefixes (a stopword enters a prefix only
+    * for documents made almost entirely of stopwords). The df table is
+    * vocabulary-sized; the per-document ranking window partitions by
+    * document (doc-sized groups). DedupSpec proves the no-false-negative
+    * claim against the brute-force all-pairs join on random corpora.
+    */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+                        thrNum: Int, thrDen: Int, shingleN: Int = 1): DataFrame = {
+    require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
+      s"threshold must be a fraction in (0,1]: $thrNum/$thrDen")
+    val sets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .filter(col("sz") > 0)
+    val tok = sets.select(col("id"), col("sz"), explode(col("toks")).as("t"))
+    // tok holds DISTINCT (id, t) pairs, so count == document frequency
+    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfreq, Seq("t"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("id").orderBy(asc("df"), asc("t"))))
+    // prefix length = sz − ⌈num·sz/den⌉ + 1, all integer
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - expr(s"($thrNum * sz + ${thrDen - 1}) DIV $thrDen") + 1)
+      .select(col("id"), col("t"), col("sz"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .filter(least(col("a.sz"), col("b.sz")) * thrDen >=
+              greatest(col("a.sz"), col("b.sz")) * thrNum)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val withSets = cands
+      .join(sets.select(col("id").as("doc_a"), col("toks").as("tk_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sets.select(col("id").as("doc_b"), col("toks").as("tk_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+    withSets
+      .filter(col("inter") * thrDen >= col("union_sz") * thrNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
+        graft.ops.CoreOps.roundPortable(
+          col("inter").cast("double") / col("union_sz").cast("double"), 6).as("jaccard"))
+  }
+
   /** Jaccard similarity of two pre-distinct arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

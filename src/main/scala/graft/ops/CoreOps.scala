@@ -469,4 +469,107 @@ object CoreOps {
       .agg(count(lit(1)).as("n_rows"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
+
+  /** 2-D Pareto frontier (skyline): the rows not dominated by any other
+    * row, where `a` dominates `b` iff `a(minCol) <= b(minCol)` and
+    * `a(maxCol) >= b(maxCol)` with at least one strict — the data-selection
+    * frontier ("best quality at every length budget" and friends).
+    *
+    * NOT the quadratic NOT-EXISTS theta self-join. In 2-D the frontier is
+    * a staircase, so it reduces to order statistics:
+    *   1. per distinct `minCol` value, the group max of `maxCol`
+    *      (one shuffle-bounded aggregation over the data);
+    *   2. a frontier x-value is one whose group max STRICTLY exceeds the
+    *      running max over all smaller x (ties in `maxCol` across
+    *      different x lose to the smaller x — strict dominance in x);
+    *   3. rows at (frontier x, its group max) are the frontier —
+    *      duplicates of the same (x, y) point all survive (neither
+    *      dominates the other under the one-strict rule).
+    *
+    * Scale: the only window runs over the AGGREGATED per-x frame (one row
+    * per distinct `minCol` value), never the data; the join back is an
+    * equi-join on (x, y) against that small frame (broadcast-sized in
+    * practice — the frontier is O(distinct x) worst case, O(log n)
+    * expected for independent dimensions). CoreOpsSpec proves equality
+    * with the brute-force dominance definition; the q139 oracle re-proves
+    * it per run via DuckDB NOT EXISTS at every SF.
+    */
+  def paretoFrontier2D(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    val perX = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
+      .groupBy(minCol).agg(max(col(maxCol)).as("__gmax"))
+    // strictly-preceding frame: one row per distinct x after the groupBy,
+    // so ROWS (-inf, -1) is exactly "all smaller x"
+    val wPrev = Window.orderBy(asc(minCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierXY = perX
+      .withColumn("__prev", max(col("__gmax")).over(wPrev))
+      .filter(col("__prev").isNull || col("__gmax") > col("__prev"))
+      .select(col(minCol), col("__gmax").as(maxCol))
+    df.join(broadcast(frontierXY), Seq(minCol, maxCol))
+  }
+
+  /** Per-group ordinary least squares over pre-scaled INTEGER columns:
+    * y ≈ slope·x + intercept fitted per group from the five exact
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) — the distributed
+    * regression shape (one map-side-combined aggregation; no per-group
+    * iteration, no collect).
+    *
+    * Exactness contract: callers scale x and y to longs (e.g. price·100),
+    * so every sum is an exact DECIMAL(38,0) — products are computed in
+    * DECIMAL(19,0)·DECIMAL(19,0) to dodge long overflow — and the final
+    * slope/intercept combine those exact integers in double arithmetic
+    * with one expression tree, bit-identical across engines. Degenerate
+    * groups (zero x-variance) yield null slope/intercept.
+    *
+    * Scale: a single hash aggregation on the group keys; state per group
+    * is five numbers, mergeable under any split — the same monoid
+    * algebra as q119's maintained rollup.
+    */
+  def groupedOls(df: DataFrame, groupCols: Seq[String],
+                 xLong: String, yLong: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val x = col(xLong).cast("decimal(19,0)")
+    val y = col(yLong).cast("decimal(19,0)")
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).cast("decimal(38,0)").as("__sx"),
+      sum(y).cast("decimal(38,0)").as("__sy"),
+      sum(x * y).cast("decimal(38,0)").as("__sxy"),
+      sum(x * x).cast("decimal(38,0)").as("__sxx"))
+    val nD   = col("n").cast("double")
+    val sx   = col("__sx").cast("double")
+    val sy   = col("__sy").cast("double")
+    val sxy  = col("__sxy").cast("double")
+    val sxx  = col("__sxx").cast("double")
+    val den  = nD * sxx - sx * sx
+    val slope = when(den =!= 0.0, (nD * sxy - sx * sy) / den)
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      slope.as("slope"),
+      when(den =!= 0.0, (sy - slope * sx) / nD).as("intercept")): _*)
+  }
+
+  /** Interval (range) join via day bucketing: rows of `left` matched to
+    * the intervals of `right` they fall inside (`start <= ts < end`),
+    * WITHOUT the nested-loop theta join a raw BETWEEN predicate plans to.
+    * Each interval explodes into the calendar days it touches; the join
+    * is then an EQUI-join on the day, refined by the exact bounds. A row
+    * matches an interval through exactly one day (its own), so no
+    * dedup is needed.
+    *
+    * Scale: shuffle/broadcast hash join on the day key — the classic
+    * bucketed range join. Bucket fan-out = interval length in days
+    * (pick coarser buckets for long intervals); day skew rides the AQE
+    * skew-join path pinned in SkewJoinSpec. QueryPlanSpec asserts the
+    * plan carries no BroadcastNestedLoopJoin/CartesianProduct.
+    */
+  def intervalJoinByDay(left: DataFrame, tsCol: String,
+                        right: DataFrame, startCol: String, endCol: String): DataFrame = {
+    val days = right.withColumn("__day",
+      explode(sequence(to_date(col(startCol)), to_date(col(endCol)))))
+    left.withColumn("__day", to_date(col(tsCol)))
+      .join(days, Seq("__day"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__day")
+  }
 }

@@ -844,6 +844,97 @@ object OracleCatalog {
         |    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
         |ORDER BY relation""".stripMargin,
 
+    // q139: Pareto frontier — the oracle is the quadratic NOT-EXISTS
+    // dominance DEFINITION, while Spark runs the staircase reduction;
+    // a green row is a per-run proof of the reduction's equivalence
+    "q139_pareto_frontier" ->
+      s"""WITH ${statsCte("documents")},
+         |q AS (SELECT doc_id, n_tokens, $qualityExpr AS quality FROM b)
+         |SELECT doc_id, n_tokens, quality FROM q o
+         |WHERE NOT EXISTS (SELECT 1 FROM q a
+         |  WHERE a.n_tokens <= o.n_tokens AND a.quality >= o.quality
+         |    AND (a.n_tokens < o.n_tokens OR a.quality > o.quality))
+         |ORDER BY n_tokens, doc_id""".stripMargin,
+
+    // q141: interval join — the oracle states the BETWEEN theta join the
+    // day-bucketed equi-join must equal
+    "q141_promo_attribution" ->
+      """WITH span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+        |promos AS (SELECT k AS promo_id,
+        |    CAST(d0 + INTERVAL 1 DAY * (k*7) AS TIMESTAMP) AS start_ts,
+        |    CAST(d0 + INTERVAL 1 DAY * (k*7 + 10) AS TIMESTAMP) AS end_ts
+        |  FROM span, unnest(generate_series(0, date_diff('day', d0, d1) // 7)) AS u(k)),
+        |j AS (SELECT p.promo_id, e.user_id, e.value FROM events e
+        |  JOIN promos p ON e.ts >= p.start_ts AND e.ts < p.end_ts)
+        |SELECT promo_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM j GROUP BY promo_id ORDER BY promo_id""".stripMargin,
+
+    // q142: prefix-filter set-similarity join — full construction replay:
+    // distinct 3-gram sets, df-ascending global order, prefix bound
+    // sz − ⌈sz/2⌉ + 1, length filter, integer Jaccard verification
+    "q142_prefix_filter_pairs" ->
+      s"""WITH $tkCte,
+         |s2 AS (SELECT doc_id AS id, $shingle3 AS toks,
+         |    CAST(len($shingle3) AS INTEGER) AS sz FROM tk WHERE len($shingle3) > 0),
+         |tok AS (SELECT id, sz, unnest(toks) AS t FROM s2),
+         |dfreq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+         |ranked AS (SELECT id, sz, tok.t,
+         |    row_number() OVER (PARTITION BY id ORDER BY df ASC, tok.t ASC) AS rk
+         |  FROM tok JOIN dfreq USING (t)),
+         |prefix AS (SELECT id, t, sz FROM ranked WHERE rk <= sz - ((sz + 1) // 2) + 1),
+         |cands AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM prefix a JOIN prefix b ON a.t = b.t AND a.id < b.id
+         |  WHERE least(a.sz, b.sz) * 2 >= greatest(a.sz, b.sz) * 1),
+         |v AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.toks, sb.toks)) AS INTEGER) AS inter,
+         |    sa.sz + sb.sz - CAST(len(list_intersect(sa.toks, sb.toks)) AS INTEGER) AS union_sz
+         |  FROM cands JOIN s2 sa ON sa.id = doc_a JOIN s2 sb ON sb.id = doc_b)
+         |SELECT doc_a, doc_b, inter, union_sz,
+         |  floor(CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |FROM v WHERE inter * 2 >= union_sz * 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q143: per-group OLS — exact integer sufficient statistics (HUGEINT
+    // products mirror Spark's DECIMAL(38,0) sums value-for-value), then
+    // the identical double combine
+    "q143_ols_trend" ->
+      """WITH d AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx
+        |  FROM d GROUP BY 1),
+        |s AS (SELECT l_returnflag, n,
+        |    CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+        |      THEN (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+        |    sx, sy FROM a)
+        |SELECT l_returnflag, n, slope,
+        |  CASE WHEN slope IS NOT NULL THEN (sy - slope * sx) / CAST(n AS DOUBLE) END AS intercept
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    // q144: column profiler — one melted count frame, argmax-then-min mode
+    "q144_column_profile" ->
+      """WITH pairs AS (
+        |  SELECT 'o_custkey' AS col_name, CAST(o_custkey AS VARCHAR) AS val FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders),
+        |counts AS (SELECT col_name, val, count(*) AS n FROM pairs GROUP BY 1, 2),
+        |base AS (SELECT col_name, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(coalesce(sum(CASE WHEN val IS NULL THEN n END), 0) AS BIGINT) AS n_nulls,
+        |    count(CASE WHEN val IS NOT NULL THEN 1 END) AS n_distinct
+        |  FROM counts GROUP BY 1),
+        |top AS (SELECT col_name, max(n) AS mode_n FROM counts WHERE val IS NOT NULL GROUP BY 1),
+        |mode AS (SELECT c.col_name, t.mode_n, min(c.val) AS mode_val
+        |  FROM counts c JOIN top t ON c.col_name = t.col_name AND c.n = t.mode_n
+        |  GROUP BY 1, 2)
+        |SELECT b.col_name, n_rows, n_nulls, n_distinct, mode_val, mode_n
+        |FROM base b LEFT JOIN mode m ON b.col_name = m.col_name
+        |ORDER BY b.col_name""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

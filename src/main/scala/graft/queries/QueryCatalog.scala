@@ -3147,6 +3147,84 @@ object QueryCatalog {
       .orderBy("iso")
   }
 
+  /** Pareto frontier (q139): documents not dominated in (fewest tokens,
+    * highest quality) — "the best quality at every length budget", the
+    * data-selection frontier of a token-budgeted corpus. Runs the
+    * STAIRCASE reduction ([[graft.ops.CoreOps.paretoFrontier2D]]): one
+    * aggregation + a window over distinct token counts + a broadcast
+    * join back — while the ORACLE states the quadratic NOT-EXISTS
+    * dominance definition, so every run re-proves the reduction against
+    * the semantics at all three SFs.
+    */
+  def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    graft.ops.CoreOps.paretoFrontier2D(d, "n_tokens", "quality")
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy("n_tokens", "doc_id")
+  }
+
+  /** Interval join (q141): events attributed to overlapping 10-day promo
+    * campaigns (one opens every 7 days over the event span) — the range
+    * join a raw BETWEEN predicate would plan as a nested loop, run
+    * instead as [[graft.ops.CoreOps.intervalJoinByDay]]'s day-bucketed
+    * EQUI-join + exact refinement (QueryPlanSpec pins no
+    * BroadcastNestedLoopJoin). The span aggregate is a one-row broadcast
+    * (the scalar-join house pattern).
+    */
+  def promoAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val span = ev.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val promos = span
+      .select(col("d0"), explode(expr("sequence(0, datediff(d1, d0) DIV 7)")).as("k"))
+      .select(col("k").cast("long").as("promo_id"),
+        to_timestamp(date_add(col("d0"), col("k").cast("int") * 7)).as("start_ts"),
+        to_timestamp(date_add(col("d0"), col("k").cast("int") * 7 + 10)).as("end_ts"))
+    graft.ops.CoreOps.intervalJoinByDay(ev, "ts", promos, "start_ts", "end_ts")
+      .groupBy("promo_id")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sumMoney(col("value")).as("total_value"))
+      .orderBy("promo_id")
+  }
+
+  /** Exact set-similarity join (q142):
+    * [[graft.dedup.Dedup.prefixFilterPairs]] at 3-gram Jaccard ≥ 1/2 —
+    * the no-false-negative dual of the MinHash (q19) and SimHash (q52)
+    * probabilistic families, with the threshold held in integer
+    * arithmetic end to end. The oracle replays the whole construction
+    * (df ranks, prefix bound, length filter, integer verification).
+    */
+  def prefixFilterPairsQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterPairs(t(s, dir, "documents"), "doc_id", "text", 1, 2, shingleN = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** Per-group OLS (q143): price-vs-quantity trend per return flag from
+    * [[graft.ops.CoreOps.groupedOls]]'s five exact integer sufficient
+    * statistics — the distributed regression shape (one map-combined
+    * aggregation, no iteration). Inputs are decimal-scaled to longs
+    * (price·10⁴) so the sums are exact and the final double combine is
+    * bit-identical across engines.
+    */
+  def olsTrend(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      (col("l_extendedprice").cast("decimal(18,4)") * 10000).cast("long").as("y"))
+    graft.ops.CoreOps.groupedOls(li, Seq("l_returnflag"), "x", "y")
+      .orderBy("l_returnflag")
+  }
+
+  /** Column profiler (q144): [[graft.checks.Governance.columnProfile]]
+    * over three orders columns — counts, nulls, exact distincts, and the
+    * deterministic mode, all re-aggregated from ONE melted count frame
+    * (one data shuffle for the whole report).
+    */
+  def columnProfileQuery(s: SparkSession, dir: String): DataFrame =
+    graft.checks.Governance.columnProfile(t(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+      .orderBy("col_name")
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

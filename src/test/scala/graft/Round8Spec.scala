@@ -566,5 +566,127 @@ class Round8Spec extends SparkSpec {
     assert(out == Map("child->parent" -> 1L), s"$out")
   }
 
+  // ---- q139 Pareto frontier ----------------------------------------------
 
+  test("paretoFrontier2D equals the brute-force dominance definition (random frames)") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val pts = (0 until 300).map(i => (i.toLong, rnd.nextInt(40), rnd.nextInt(25)))
+      val df = pts.toDF("id", "x", "y")
+      val got = graft.ops.CoreOps.paretoFrontier2D(df, "x", "y")
+        .select("id").as[Long].collect().toSet
+      val expected = pts.filter { case (_, bx, by) =>
+        !pts.exists { case (_, ax, ay) =>
+          ax <= bx && ay >= by && (ax < bx || ay > by)
+        }
+      }.map(_._1).toSet
+      assert(got == expected, s"seed $seed: frontier mismatch")
+    }
+  }
+
+  test("paretoFrontier2D: duplicate frontier points all survive; y-ties across x lose to smaller x") {
+    val df = Seq((1L, 5, 9), (2L, 5, 9), (3L, 7, 9), (4L, 6, 3), (5L, 4, 2))
+      .toDF("id", "x", "y")
+    val got = graft.ops.CoreOps.paretoFrontier2D(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    // (5,9) twice: neither strictly dominates the other → both stay.
+    // (7,9) is dominated by (5,9) (same y, larger x). (6,3) dominated by
+    // (5,9). (4,2) survives: smallest x, nothing at x<=4 beats y=2.
+    assert(got == Set(1L, 2L, 5L))
+  }
+
+  // ---- q143 grouped OLS ---------------------------------------------------
+
+  test("groupedOls recovers an exact linear fit per group; degenerate x-variance yields nulls") {
+    val a = (1L to 50L).map(x => ("a", x, 3 * x - 2))     // slope 3, intercept -2
+    val b = (1L to 40L).map(x => ("b", x, -5 * x + 1000)) // slope -5, intercept 1000
+    val c = Seq(("c", 7L, 10L), ("c", 7L, 20L))           // zero x-variance
+    val df = (a ++ b ++ c).toDF("g", "x", "y")
+    val out = graft.ops.CoreOps.groupedOls(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out("a") == ((50L, Some(3.0), Some(-2.0))))
+    assert(out("b") == ((40L, Some(-5.0), Some(1000.0))))
+    assert(out("c")._2.isEmpty && out("c")._3.isEmpty, "degenerate group → null fit")
+  }
+
+  // ---- q141 interval join --------------------------------------------------
+
+  test("intervalJoinByDay equals the naive BETWEEN theta join, incl. boundary semantics") {
+    val rnd = new scala.util.Random(11)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val evs = (0 until 500).map(i =>
+      (i.toLong, new java.sql.Timestamp(base + rnd.nextInt(20 * 86400) * 1000L)))
+    // overlapping multi-day intervals + one zero-length and one single-instant-boundary case
+    val ivs = (0 until 12).map { k =>
+      val s = new java.sql.Timestamp(base + k * 3L * 86400_000L)
+      val e = new java.sql.Timestamp(base + (k * 3L + 2 + (k % 3)) * 86400_000L)
+      (k.toLong, s, e)
+    }
+    val evDf = evs.toDF("eid", "ts")
+    val ivDf = ivs.toDF("iid", "start_ts", "end_ts")
+    val got = graft.ops.CoreOps.intervalJoinByDay(evDf, "ts", ivDf, "start_ts", "end_ts")
+      .select("eid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = evDf.join(ivDf, col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .select("eid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == naive)
+    assert(got.nonEmpty, "fixture must actually join")
+  }
+
+  test("q141 plan: day-bucketed interval join carries no nested-loop join") {
+    val plan = Q.promoAttribution(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "interval join must stay an equi-join on the day bucket")
+  }
+
+  // ---- q142 prefix-filter set-similarity join ------------------------------
+
+  test("prefixFilterPairs equals brute-force all-pairs Jaccard (no false negatives or positives)") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+      "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    // random docs + planted near-dup pairs (shared long cores)
+    val docs = (0 until 60).map { i =>
+      val n = 4 + rnd.nextInt(8)
+      val toks = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, toks.mkString(" "))
+    } ++ (0 until 10).map { i =>
+      val core = (0 until 10).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (100L + i, (core :+ vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.flatMap(d => Seq(d, (d._1 + 50, d._2 + " extra")))
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.prefixFilterPairs(df, "doc_id", "text", 1, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sets = docs.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toSet
+    }
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size; union = (sa | sb).size
+      if inter * 2 >= union
+    } yield (a, b)).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty, "fixture must contain qualifying pairs")
+  }
+
+  // ---- q144 column profiler ------------------------------------------------
+
+  test("columnProfile: counts, nulls, distincts, deterministic tie-broken mode, all-null column") {
+    val df = Seq(
+      (Some("b"), Some(1), None: Option[String]),
+      (Some("a"), Some(1), None),
+      (Some("b"), Some(2), None),
+      (Some("a"), None, None),
+      (None, Some(2), None)
+    ).toDF("s", "i", "z")
+    val out = graft.checks.Governance.columnProfile(df, Seq("s", "i", "z"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.getString(4)),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    // s: 5 rows, 1 null, 2 distinct, mode tie a=2 b=2 → min 'a'
+    assert(out("s") == ((5L, 1L, 2L, Some("a"), Some(2L))))
+    assert(out("i") == ((5L, 1L, 2L, Some("1"), Some(2L))))
+    assert(out("z") == ((5L, 5L, 0L, None, None)), "all-null column → null mode")
+  }
 }

@@ -278,7 +278,15 @@ object SparkEntry {
     // per-group OLS from exact integer sufficient statistics
     "q143_ols_trend"            -> (Q.olsTrend(_, _)),
     // one-shuffle column profiler with deterministic mode
-    "q144_column_profile"       -> (Q.columnProfileQuery(_, _))
+    "q144_column_profile"       -> (Q.columnProfileQuery(_, _)),
+    // trailing 7-day distinct users via bounded day fan-out
+    "q145_sliding_distinct"     -> (Q.slidingDistinct(_, _)),
+    // Welch's t between experiment arms from exact decimal sums
+    "q146_welch_readout"        -> (Q.welchReadout(_, _)),
+    // hot-key exact distinct decomposed over disjoint value buckets
+    "q147_skewed_distinct"      -> (Q.skewedDistinct(_, _)),
+    // triangle census of the rare-gram co-occurrence graph
+    "q148_triangle_census"      -> (Q.triangleCensus(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

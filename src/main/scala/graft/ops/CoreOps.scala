@@ -549,6 +549,71 @@ object CoreOps {
       when(den =!= 0.0, (sy - slope * sx) / nD).as("intercept")): _*)
   }
 
+  /** Exact COUNT(DISTINCT) decomposed for skew: per group key, the
+    * distinct values are partitioned into `buckets` DISJOINT sub-sets by
+    * a hash of the VALUE, counted exactly within each (key, bucket), and
+    * the per-bucket counts summed — correct because hash-disjoint value
+    * sets can't double-count. This is the scale shape for a hot-key
+    * exact distinct: a vanilla `count_distinct` builds ONE distinct-set
+    * state per key (the entire hot key's value universe lands in one
+    * task); the decomposition caps every task's state at ~1/buckets of
+    * that, trading one extra (cheap, pre-aggregated) shuffle. The value
+    * hash never crosses the engine boundary — the oracle checks the
+    * plain COUNT(DISTINCT) the decomposition must equal.
+    *
+    * (The approximate/mergeable relatives — HLL q59, KMV q117 — bound
+    * state by CONSTANTS; this bounds it by 1/buckets but stays exact.)
+    */
+  def skewedDistinctCount(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String, buckets: Int,
+                          as: String = "n_distinct"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    df.groupBy((groupCols.map(col) :+
+        pmod(hash(col(valueCol)), lit(buckets)).as("__vb")): _*)
+      .agg(count_distinct(col(valueCol)).as("__part"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__part")).as(as))
+  }
+
+  /** Welch's unequal-variance t statistic per group, between the rows
+    * where `armCol` is true (treatment) and false (control) — the
+    * experiment-readout significance layer. One aggregation pass: per
+    * group, both arms' (n, Σv, Σv²) accumulate as exact decimals
+    * (value at scale 4, squares at scale 8), then mean/variance/t
+    * combine in ONE double expression tree (sqrt is IEEE-correctly-
+    * rounded, so unlike ln it is engine-portable). Arms with fewer than
+    * two rows, or a zero pooled standard error, yield a null t.
+    *
+    * Scale: a single map-combined hash aggregation on the group keys —
+    * six numbers of state per group, mergeable under any split.
+    */
+  def welchTTest(df: DataFrame, groupCols: Seq[String],
+                 armCol: String, valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val v = col(valueCol).cast("decimal(18,4)")
+    def armAgg(flag: Boolean, suffix: String) = Seq(
+      count(when(col(armCol) === flag, lit(1))).as(s"n_$suffix"),
+      sum(when(col(armCol) === flag, v)).as(s"__s1_$suffix"),
+      sum(when(col(armCol) === flag, v * v)).as(s"__s2_$suffix"))
+    val aggs = armAgg(true, "t") ++ armAgg(false, "c")
+    val agg = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    def stats(suffix: String): (Column, Column, Column) = {
+      val n  = col(s"n_$suffix").cast("double")
+      val s1 = col(s"__s1_$suffix").cast("double")
+      val s2 = col(s"__s2_$suffix").cast("double")
+      (n, s1 / n, (s2 - s1 * s1 / n) / (n - lit(1.0)))
+    }
+    val (nT, mT, vT) = stats("t")
+    val (nC, mC, vC) = stats("c")
+    val se2 = vT / nT + vC / nC
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n_t"), col("n_c"),
+      when(col("n_t") > 0, mT).as("mean_t"),
+      when(col("n_c") > 0, mC).as("mean_c"),
+      when(col("n_t") >= 2 && col("n_c") >= 2 && se2 > 0.0,
+        (mT - mC) / sqrt(se2)).as("t_stat")): _*)
+  }
+
   /** Interval (range) join via day bucketing: rows of `left` matched to
     * the intervals of `right` they fall inside (`start <= ts < end`),
     * WITHOUT the nested-loop theta join a raw BETWEEN predicate plans to.

@@ -935,6 +935,69 @@ object OracleCatalog {
         |FROM base b LEFT JOIN mode m ON b.col_name = m.col_name
         |ORDER BY b.col_name""".stripMargin,
 
+    // q145: sliding 7-day distinct users — the oracle states the
+    // trailing-window definition directly (anchor joined to its 7 days)
+    "q145_sliding_distinct" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |anchors AS (SELECT DISTINCT day AS anchor FROM ud)
+        |SELECT strftime(a.anchor, '%Y-%m-%d') AS anchor,
+        |  count(DISTINCT u.user_id) AS n_users_7d
+        |FROM anchors a JOIN ud u
+        |  ON u.day >= a.anchor - INTERVAL 6 DAY AND u.day <= a.anchor
+        |GROUP BY a.anchor ORDER BY 1""".stripMargin,
+
+    // q146: Welch's t — exact decimal (n, Σv, Σv²) per arm, then the
+    // identical double combine; sqrt is IEEE-portable (ln is not)
+    "q146_welch_readout" ->
+      """WITH tagged AS (SELECT event_type,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') AS tr,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |a AS (SELECT event_type,
+        |    count(CASE WHEN tr THEN 1 END) AS n_t,
+        |    count(CASE WHEN NOT tr THEN 1 END) AS n_c,
+        |    CAST(sum(CASE WHEN tr THEN v END) AS DOUBLE) AS s1t,
+        |    CAST(sum(CASE WHEN tr THEN v * v END) AS DOUBLE) AS s2t,
+        |    CAST(sum(CASE WHEN NOT tr THEN v END) AS DOUBLE) AS s1c,
+        |    CAST(sum(CASE WHEN NOT tr THEN v * v END) AS DOUBLE) AS s2c
+        |  FROM tagged GROUP BY 1),
+        |m AS (SELECT event_type, n_t, n_c,
+        |    s1t / CAST(n_t AS DOUBLE) AS mt, s1c / CAST(n_c AS DOUBLE) AS mc,
+        |    (s2t - s1t * s1t / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0) AS vt,
+        |    (s2c - s1c * s1c / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0) AS vc
+        |  FROM a)
+        |SELECT event_type, n_t, n_c,
+        |  CASE WHEN n_t > 0 THEN mt END AS mean_t,
+        |  CASE WHEN n_c > 0 THEN mc END AS mean_c,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2
+        |        AND vt / CAST(n_t AS DOUBLE) + vc / CAST(n_c AS DOUBLE) > 0.0
+        |    THEN (mt - mc) / sqrt(vt / CAST(n_t AS DOUBLE) + vc / CAST(n_c AS DOUBLE)) END AS t_stat
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // q147: skew-decomposed distinct — the oracle is the plain global
+    // COUNT(DISTINCT) the bucket decomposition must sum to
+    "q147_skewed_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q148: triangle census of the rare-8-gram co-occurrence graph —
+    // edge build replay + ordered triple join (a<b<c counts each once)
+    "q148_triangle_census" ->
+      s"""WITH $tkCte,
+         |g AS (SELECT doc_id, unnest(${shingleSqlN(8)}) AS gram FROM tk),
+         |rare AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+         |  WHERE df BETWEEN 2 AND 5),
+         |gr AS (SELECT doc_id, gram FROM g JOIN rare USING (gram)),
+         |e AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM gr x JOIN gr y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+         |n AS (SELECT count(DISTINCT v) AS n_nodes FROM
+         |  (SELECT a AS v FROM e UNION SELECT b AS v FROM e)),
+         |m AS (SELECT count(*) AS n_edges FROM e),
+         |tr AS (SELECT count(*) AS n_triangles FROM e e1
+         |  JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT n_nodes, n_edges, n_triangles FROM n, m, tr""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

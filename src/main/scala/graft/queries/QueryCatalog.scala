@@ -3225,6 +3225,78 @@ object QueryCatalog {
       Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
       .orderBy("col_name")
 
+  /** Sliding-window distinct (q145): per observed day, the exact count
+    * of distinct users over the trailing 7 days — the activity metric
+    * ("7-day actives") done as a dataflow: dedup to (day, user), fan
+    * each pair out to the ≤7 anchor days it serves (a bounded explode),
+    * semi-join to observed anchors, one distinct count per anchor. No
+    * window over raw events, no per-day rescan of the trailing week.
+    * Scale: fan-out is exactly ×7 on the already-deduped day grain;
+    * when even that distinct state is too big, q117's KMV is the
+    * mergeable approximate drop-in.
+    */
+  def slidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val anchors = ud.select(col("day").as("anchor")).distinct()
+    ud.withColumn("anchor", explode(sequence(col("day"), date_add(col("day"), 6))))
+      .join(anchors, Seq("anchor"), "left_semi")
+      .groupBy("anchor")
+      .agg(count_distinct(col("user_id")).as("n_users_7d"))
+      .select(date_format(col("anchor"), "yyyy-MM-dd").as("anchor"), col("n_users_7d"))
+      .orderBy("anchor")
+  }
+
+  /** Welch's t per event type (q146): [[graft.ops.CoreOps.welchTTest]]
+    * on event value between the q115 experiment arms (md5 first hex
+    * digit 0-7 = treatment) — the significance layer over the readout.
+    * Means/variances derive from exact decimal sums; sqrt is the one
+    * transcendental that IS engine-portable (IEEE correctly rounded).
+    */
+  def welchReadout(s: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables.events(s, dir).withColumn("is_treatment",
+      substring(md5(col("user_id").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+    graft.ops.CoreOps.welchTTest(tagged, Seq("event_type"), "is_treatment", "value")
+      .orderBy("event_type")
+  }
+
+  /** Skew-decomposed exact distinct (q147):
+    * [[graft.ops.CoreOps.skewedDistinctCount]] of users per event type
+    * over 16 value-hash buckets — the oracle checks the plain
+    * COUNT(DISTINCT) the decomposition must equal, so a green row proves
+    * Σ(per-bucket exact counts) == global exact count on disjoint value
+    * partitions.
+    */
+  def skewedDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CoreOps.skewedDistinctCount(
+        Tables.events(s, dir), Seq("event_type"), "user_id", 16, as = "n_users")
+      .orderBy("event_type")
+
+  /** Triangle census of the rare-gram co-occurrence graph (q148):
+    * documents are linked when they share an 8-gram seen in 2-5 docs
+    * (bounded buckets — ≤10 pairs per gram, never a hot-gram blowup),
+    * then [[graft.graph.Triangles.triangleCount]] runs the degree-
+    * ordered wedge join. Triangle density separates duplicate FAMILIES
+    * (cliques) from chains of borderline pairs — the diagnostic that
+    * decides whether cluster-collapse (q54) or pairwise removal is the
+    * right dedup action. Oracle replays the edge build and counts
+    * triangles by the ordered triple join.
+    */
+  def triangleCensus(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
+    val rare = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 5))
+      .select("gram")
+    val gr = g.join(rare, Seq("gram"))
+    val edges = gr.as("x").join(gr.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    graft.graph.Triangles.triangleCount(edges, "a", "b")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

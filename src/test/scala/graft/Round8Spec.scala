@@ -670,6 +670,87 @@ class Round8Spec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must contain qualifying pairs")
   }
 
+  // ---- q148 triangle counting ---------------------------------------------
+
+  test("triangleCount equals brute-force triple enumeration (random graphs)") {
+    for (seed <- Seq(3, 17, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val raw = (0 until 220).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val df = raw.toDF("a", "b")
+      val got = graft.graph.Triangles.triangleCount(df, "a", "b")
+        .as[(Long, Long, Long)].head()
+      val es = raw.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = es.flatMap(e => Seq(e._1, e._2))
+      val tri = (for {
+        Seq(x, y, z) <- nodes.toSeq.sorted.combinations(3)
+        if es((x, y)) && es((y, z)) && es((x, z))
+      } yield 1).size
+      assert(got == ((nodes.size.toLong, es.size.toLong, tri.toLong)), s"seed $seed")
+      assert(tri > 0, s"seed $seed: fixture must contain triangles")
+    }
+  }
+
+  test("triangleCount normalizes reversed duplicates and drops self-loops") {
+    val df = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 4L)).toDF("a", "b")
+    val got = graft.graph.Triangles.triangleCount(df, "a", "b")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((3L, 3L, 1L)))
+  }
+
+  // ---- q147 skew-decomposed distinct --------------------------------------
+
+  test("skewedDistinctCount equals plain count_distinct under a planted hot key, any bucket count") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 3000).map(_ => ("hot", rnd.nextInt(400).toLong)) ++
+      (0 until 200).map(_ => ("cold" + rnd.nextInt(5), rnd.nextInt(50).toLong))
+    val df = rows.toDF("k", "v")
+    val expected = df.groupBy("k").agg(count_distinct(col("v")).as("n"))
+      .as[(String, Long)].collect().toMap
+    for (b <- Seq(1, 4, 16, 64)) {
+      val got = graft.ops.CoreOps.skewedDistinctCount(df, Seq("k"), "v", b, as = "n")
+        .as[(String, Long)].collect().toMap
+      assert(got == expected, s"buckets=$b")
+    }
+  }
+
+  // ---- q146 Welch's t ------------------------------------------------------
+
+  test("welchTTest: hand-checked statistic, sign, and degenerate-arm nulls") {
+    val rows = Seq(("m", true, 10.0), ("m", true, 12.0), ("m", true, 14.0),
+      ("m", false, 9.0), ("m", false, 10.0), ("m", false, 11.0),
+      ("one", true, 5.0), ("one", false, 1.0), ("one", false, 2.0))
+    val df = rows.toDF("g", "arm", "v")
+    val out = graft.ops.CoreOps.welchTTest(df, Seq("g"), "arm", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    // m: means 12 vs 10, var 4 vs 1 → t = 2 / sqrt(4/3 + 1/3) = 2/sqrt(5/3)
+    val expT = 2.0 / math.sqrt(4.0 / 3.0 + 1.0 / 3.0)
+    assert(out("m")._1 == 3L && out("m")._2 == 3L)
+    assert(math.abs(out("m")._3.get - expT) < 1e-12, s"${out("m")._3}")
+    assert(out("m")._3.get > 0, "treatment above control → positive t")
+    assert(out("one")._3.isEmpty, "single-row arm → null t")
+  }
+
+  // ---- q145 sliding distinct -----------------------------------------------
+
+  test("slidingDistinct matches a driver-side trailing-7-day replay") {
+    val got = Q.slidingDistinct(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val ud = graft.io.Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().as[(java.sql.Date, Long)].collect()
+    val expected = ud.map(_._1).distinct.map { anchor =>
+      val users = ud.filter { case (d, _) =>
+        val diff = (anchor.getTime - d.getTime) / 86400000L
+        diff >= 0 && diff <= 6
+      }.map(_._2).distinct.size.toLong
+      anchor.toString -> users
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   // ---- q144 column profiler ------------------------------------------------
 
   test("columnProfile: counts, nulls, distincts, deterministic tie-broken mode, all-null column") {

@@ -286,7 +286,13 @@ object SparkEntry {
     // hot-key exact distinct decomposed over disjoint value buckets
     "q147_skewed_distinct"      -> (Q.skewedDistinct(_, _)),
     // triangle census of the rare-gram co-occurrence graph
-    "q148_triangle_census"      -> (Q.triangleCensus(_, _))
+    "q148_triangle_census"      -> (Q.triangleCensus(_, _)),
+    // water-filling token-budget allocation across sources
+    "q149_token_budget"         -> (Q.tokenBudget(_, _)),
+    // per-source score calibration onto the global distribution
+    "q150_quantile_normalize"   -> (Q.quantileNormalizeQuery(_, _)),
+    // Gopher-style intra-document repetition gates
+    "q151_repetition_filters"   -> (Q.repetitionFilters(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -549,6 +549,77 @@ object CoreOps {
       when(den =!= 0.0, (sy - slope * sx) / nD).as("intercept")): _*)
   }
 
+  /** Water-filling budget allocation: given per-key sizes and a total
+    * budget (`budgetNum/budgetDen` of the total size), find the single
+    * cap `c` such that Σ min(size, c) fills the budget — keys under the
+    * cap keep everything, keys over it are truncated to `c` (the uniform
+    * token-budget allocator of a training-mixture builder: small sources
+    * survive whole, giant sources split the remainder evenly). All
+    * integer arithmetic: with keys sorted by size, the fill function
+    * f(k) = P_k + (S−k)·n_k is nondecreasing, so the cap segment is the
+    * last feasible prefix and c = (B − P_k*) DIV (S − k*); the result is
+    * within S−k* tokens of the budget, never over.
+    *
+    * Scale: every window here runs over the AGGREGATED per-key frame
+    * (one row per key — sources, not documents), so the single-partition
+    * windows are |keys|-sized. The data-sized work is whatever produced
+    * the stats frame.
+    */
+  def waterFillAlloc(df: DataFrame, keyCol: String, nCol: String,
+                     budgetNum: Int, budgetDen: Int): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
+    val w    = Window.orderBy(asc("__n"), asc(keyCol))
+    val wAll = Window.partitionBy()
+    val base = df.select(col(keyCol), col(nCol).cast("long").as("__n"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__p",
+        sum(col("__n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__S", count(lit(1)).over(wAll))
+      .withColumn("__T", sum(col("__n")).over(wAll))
+      .withColumn("__B", expr(s"(__T * $budgetNum) DIV $budgetDen"))
+      .withColumn("__feas",
+        col("__p") + (col("__S") - col("__rk")) * col("__n") <= col("__B"))
+    base
+      .withColumn("__k0", coalesce(max(when(col("__feas"), col("__rk"))).over(wAll), lit(0L)))
+      .withColumn("__pk0", coalesce(max(when(col("__feas"), col("__p"))).over(wAll), lit(0L)))
+      .withColumn("alloc",
+        when(col("__k0") === col("__S"), col("__n"))
+          .otherwise(least(col("__n"), expr("(__B - __pk0) DIV (__S - __k0)"))))
+      .withColumn("is_capped", col("alloc") < col("__n"))
+      .select(col(keyCol), col("__n").as(nCol), col("alloc"), col("is_capped"))
+  }
+
+  /** Quantile normalization: map each group's value distribution onto
+    * the GLOBAL distribution by exact order statistics — row at
+    * within-group rank r (of nₛ) takes the global value at index
+    * 1 + (r−1)(N−1) DIV (nₛ−1). Kills per-source scale/offset drift in
+    * scores (a classifier that runs hot on one crawl) while preserving
+    * within-source order; all index math is integer, so no float
+    * boundary can land differently in any engine.
+    *
+    * Scale: the global rank comes from [[globalRowNumber]] (range
+    * partition + offsets — never a single-partition sort of the data);
+    * the within-group window partitions by the group; the final lookup
+    * is an equi-join on a near-unique index. Singleton groups map to
+    * the global median.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        tieCol: String, as: String = "norm_value"): DataFrame = {
+    val ranked = globalRowNumber(df, Seq(valueCol, tieCol), rankCol = "__gi")
+    val gn = ranked.agg(count(lit(1)).as("__gn"))
+    val wS  = Window.partitionBy(groupCol).orderBy(asc(valueCol), asc(tieCol))
+    val wSg = Window.partitionBy(groupCol)
+    val indexed = ranked.crossJoin(broadcast(gn))
+      .withColumn("__rk", row_number().over(wS).cast("long"))
+      .withColumn("__ns", count(lit(1)).over(wSg))
+      .withColumn("__ti",
+        when(col("__ns") > 1, expr("1 + ((__rk - 1) * (__gn - 1)) DIV (__ns - 1)"))
+          .otherwise(expr("1 + (__gn - 1) DIV 2")))
+    val lookup = ranked.select(col("__gi").as("__ti"), col(valueCol).as(as))
+    indexed.join(lookup, Seq("__ti"))
+      .drop("__ti", "__gi", "__gn", "__rk", "__ns")
+  }
+
   /** Exact COUNT(DISTINCT) decomposed for skew: per group key, the
     * distinct values are partitioned into `buckets` DISJOINT sub-sets by
     * a hash of the VALUE, counted exactly within each (key, bucket), and

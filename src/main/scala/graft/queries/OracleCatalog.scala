@@ -998,6 +998,71 @@ object OracleCatalog {
          |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
          |SELECT n_nodes, n_edges, n_triangles FROM n, m, tr""".stripMargin,
 
+    // q149: water-filling budget — sorted prefix feasibility, one integer
+    // cap; every window runs over the per-source stats frame
+    "q149_token_budget" ->
+      s"""WITH ${statsCte("documents")},
+         |st AS (SELECT d.source, CAST(sum(b.n_tokens) AS BIGINT) AS n
+         |  FROM b JOIN documents d ON b.doc_id = d.doc_id GROUP BY 1),
+         |r AS (SELECT source, n,
+         |    row_number() OVER (ORDER BY n, source) AS rk,
+         |    sum(n) OVER (ORDER BY n, source ROWS UNBOUNDED PRECEDING) AS p,
+         |    count(*) OVER () AS S, sum(n) OVER () AS T FROM st),
+         |f AS (SELECT *, (T * 1) // 2 AS B,
+         |    p + (S - rk) * n <= ((T * 1) // 2) AS feas FROM r),
+         |k AS (SELECT *, coalesce(max(CASE WHEN feas THEN rk END) OVER (), 0) AS k0,
+         |    coalesce(max(CASE WHEN feas THEN p END) OVER (), 0) AS pk0 FROM f),
+         |a AS (SELECT source, n,
+         |    CASE WHEN k0 = S THEN n ELSE least(n, (B - pk0) // (S - k0)) END AS alloc
+         |  FROM k)
+         |SELECT source, n AS n_tokens, CAST(alloc AS BIGINT) AS alloc,
+         |  alloc < n AS is_capped
+         |FROM a ORDER BY source""".stripMargin,
+
+    // q150: quantile normalization — exact integer index math onto the
+    // global order statistics
+    "q150_quantile_normalize" ->
+      s"""WITH ${statsCte("documents")},
+         |q0 AS (SELECT doc_id, $qualityExpr AS quality FROM b),
+         |q AS (SELECT q0.doc_id, d.source, quality
+         |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
+         |r AS (SELECT *,
+         |    row_number() OVER (ORDER BY quality, doc_id) AS gi,
+         |    count(*) OVER () AS gn,
+         |    row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS ns FROM q),
+         |ti AS (SELECT doc_id, source, quality,
+         |    CASE WHEN ns > 1 THEN 1 + ((rk - 1) * (gn - 1)) // (ns - 1)
+         |         ELSE 1 + (gn - 1) // 2 END AS ti FROM r),
+         |l AS (SELECT gi, quality AS norm_quality FROM r)
+         |SELECT t.doc_id, t.source, t.quality, l.norm_quality
+         |FROM ti t JOIN l ON t.ti = l.gi ORDER BY t.doc_id""".stripMargin,
+
+    // q151: repetition filters — top-2-gram / dup-5-gram / adjacent-repeat
+    // fractions, all ratios of exact integers
+    "q151_repetition_filters" ->
+      s"""WITH $tkCte,
+         |r1 AS (SELECT doc_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE CAST(len(t) AS INTEGER) END AS n_tokens,
+         |    CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(t) END) >= 2
+         |      THEN CAST(len(list_filter([t[i+1] = t[i] for i in generate_series(1, len(t) - 1)], x -> x)) AS INTEGER)
+         |      ELSE 0 END AS reps,
+         |    ${shingleAllSqlN(5)} AS s5
+         |  FROM tk),
+         |g2 AS (SELECT doc_id, unnest(${shingleAllSqlN(2)}) AS g FROM tk),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id, max(c) AS top2, CAST(sum(c) AS BIGINT) AS tot2 FROM c2 GROUP BY 1),
+         |m AS (SELECT r1.doc_id, n_tokens,
+         |    CAST(top2 AS DOUBLE) / CAST(tot2 AS DOUBLE) AS top_2gram_frac,
+         |    CAST(len(s5) - len(list_distinct(s5)) AS DOUBLE) / CAST(len(s5) AS DOUBLE) AS dup5gram_frac,
+         |    CASE WHEN n_tokens >= 2
+         |      THEN CAST(reps AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS rep_pair_frac
+         |  FROM r1 JOIN t2 ON r1.doc_id = t2.doc_id)
+         |SELECT doc_id, n_tokens, top_2gram_frac, dup5gram_frac, rep_pair_frac,
+         |  (top_2gram_frac <= 0.2 AND dup5gram_frac <= 0.3 AND rep_pair_frac <= 0.1) AS passes
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

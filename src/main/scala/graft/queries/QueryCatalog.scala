@@ -3297,6 +3297,77 @@ object QueryCatalog {
     graft.graph.Triangles.triangleCount(edges, "a", "b")
   }
 
+  /** Water-filling token budget (q149):
+    * [[graft.ops.CoreOps.waterFillAlloc]] over per-source token totals
+    * at half the corpus budget — small sources keep every token, the
+    * giants split the remainder at one uniform cap. The windows run on
+    * the #sources-sized stats frame; only the token count touches the
+    * data.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val stats = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    graft.ops.CoreOps.waterFillAlloc(stats, "source", "n_tokens", 1, 2)
+      .orderBy("source")
+  }
+
+  /** Quantile normalization (q150):
+    * [[graft.ops.CoreOps.quantileNormalize]] of per-source quality
+    * scores onto the global score distribution — the cross-source
+    * calibration step before a single quality threshold can be applied
+    * corpus-wide. Exact integer index math; global ranks via the
+    * range-partitioned [[graft.ops.CoreOps.globalRowNumber]].
+    */
+  def quantileNormalizeQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    graft.ops.CoreOps.quantileNormalize(d, "source", "quality", "doc_id",
+        as = "norm_quality")
+      .select(col("doc_id"), col("source"), col("quality"), col("norm_quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition filters (q151) — the Gopher-style
+    * repetition gates adapted to the token grain: top-2-gram occurrence
+    * fraction (one phrase dominating the doc), duplicate-5-gram
+    * fraction (copy-pasted spans), and adjacent-token repeat fraction
+    * ("batch batch batch"). The 5-gram and repeat metrics are pure
+    * per-row projections (zip_with over the token array — lambda refs
+    * only lambda vars, no HOF re-evaluation); the top-2-gram needs the
+    * per-doc gram histogram, one shuffle on doc_id. Ratios of exact
+    * integers ⇒ bit-identical doubles.
+    */
+  def repetitionFilters(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = TextOps.tokens(lower(col("text")))
+    val n = TextOps.tokenCount(col("text"))
+    val reps = when(n >= 2,
+      size(filter(zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => a === b), x => x))).otherwise(lit(0))
+    val sh5 = Dedup.shingles(col("text"), 5)
+    val dup5 = (size(sh5) - size(array_distinct(sh5))).cast("double") /
+      size(sh5).cast("double")
+    val perRow = d.select(col("doc_id"), n.as("n_tokens"),
+      reps.as("__reps"), dup5.as("dup5gram_frac"))
+    val top2 = d.select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("__top2"), sum(col("c")).as("__tot2"))
+    perRow.join(top2, Seq("doc_id"))
+      .withColumn("top_2gram_frac",
+        col("__top2").cast("double") / col("__tot2").cast("double"))
+      .withColumn("rep_pair_frac",
+        when(col("n_tokens") >= 2,
+          col("__reps").cast("double") / (col("n_tokens") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("passes",
+        col("top_2gram_frac") <= 0.2 && col("dup5gram_frac") <= 0.3 &&
+          col("rep_pair_frac") <= 0.1)
+      .select(col("doc_id"), col("n_tokens"), col("top_2gram_frac"),
+        col("dup5gram_frac"), col("rep_pair_frac"), col("passes"))
+      .orderBy("doc_id")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

@@ -751,6 +751,94 @@ class Round8Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---- q149 water-filling budget -------------------------------------------
+
+  test("waterFillAlloc: hand case splits the cap, under-budget keeps everything") {
+    val df = Seq(("s1", 10L), ("s2", 20L), ("s3", 100L), ("s4", 200L)).toDF("src", "n")
+    // T=330, B=165: k*=2 (10+20 kept whole), cap=(165-30) DIV 2 = 67
+    val half = graft.ops.CoreOps.waterFillAlloc(df, "src", "n", 1, 2)
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(half.toSeq == Seq(("s1", 10L, 10L, false), ("s2", 20L, 20L, false),
+      ("s3", 100L, 67L, true), ("s4", 200L, 67L, true)), half.mkString(","))
+    val full = graft.ops.CoreOps.waterFillAlloc(df, "src", "n", 1, 1)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(full.forall(r => r._3 == r._2 && !r._4), "budget == total → nothing capped")
+  }
+
+  test("waterFillAlloc: random frames fill within S of the budget, never over") {
+    for (seed <- Seq(2, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val sizes = (0 until 25).map(i => (f"s$i%02d", (1 + rnd.nextInt(5000)).toLong))
+      val out = graft.ops.CoreOps.waterFillAlloc(sizes.toDF("src", "n"), "src", "n", 1, 3)
+        .as[(String, Long, Long, Boolean)].collect()
+      val budget = sizes.map(_._2).sum / 3
+      val total = out.map(_._3).sum
+      assert(total <= budget, s"seed $seed: over budget")
+      assert(budget - total < out.length, s"seed $seed: left more than S on the table")
+      assert(out.forall(r => r._3 <= r._2 && r._3 >= 0))
+      val caps = out.filter(_._4).map(_._3)
+      assert(caps.distinct.length <= 1, "all capped sources share one cap")
+      if (caps.nonEmpty) {
+        val cap = caps.head
+        assert(out.filter(!_._4).forall(_._2 <= cap + out.length),
+          "uncapped sources sit at or below the cap segment")
+      }
+    }
+  }
+
+  // ---- q150 quantile normalization ----------------------------------------
+
+  test("quantileNormalize matches a driver-side order-statistics replay") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 400).map { i =>
+      val g = s"g${i % 5}"
+      // per-group offset/scale drift the normalization must remove
+      (i.toLong, g, (rnd.nextInt(100) + (i % 5) * 50).toDouble)
+    }
+    val df = rows.toDF("id", "g", "v")
+    val got = graft.ops.CoreOps.quantileNormalize(df, "g", "v", "id", as = "nv")
+      .select("id", "nv").as[(Long, Double)].collect().toMap
+    val global = rows.sortBy(r => (r._3, r._1)).map(_._3)
+    val gn = global.length
+    val expected = rows.groupBy(_._2).flatMap { case (_, members) =>
+      val sorted = members.sortBy(r => (r._3, r._1))
+      val ns = sorted.length
+      sorted.zipWithIndex.map { case ((id, _, _), i) =>
+        val ti = if (ns > 1) (i.toLong * (gn - 1)) / (ns - 1) else (gn - 1) / 2L
+        id -> global(ti.toInt)
+      }
+    }
+    assert(got == expected)
+  }
+
+  // ---- q151 repetition filters ---------------------------------------------
+
+  test("repetitionFilters metrics match a driver-side token replay") {
+    val out = Q.repetitionFilters(spark, sf)
+      .select("doc_id", "n_tokens", "top_2gram_frac", "dup5gram_frac", "rep_pair_frac")
+      .as[(Long, Int, Double, Double, Double)].collect()
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.nonEmpty)
+    out.take(50).foreach { case (id, n, top2, dup5, rep) =>
+      val toks = docs(id).trim.toLowerCase.split("\\s+").toSeq
+      assert(n == (if (docs(id).trim.isEmpty) 0 else toks.length))
+      def grams(k: Int): Seq[String] =
+        if (toks.length < k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      val g2 = grams(2)
+      val expTop2 = g2.groupBy(identity).values.map(_.size).max.toDouble / g2.size
+      val g5 = grams(5)
+      val expDup5 = (g5.size - g5.distinct.size).toDouble / g5.size
+      val expRep = if (toks.length >= 2)
+        toks.sliding(2).count(p => p(0) == p(1)).toDouble / (toks.length - 1)
+      else 0.0
+      assert(top2 == expTop2, s"doc $id top2")
+      assert(dup5 == expDup5, s"doc $id dup5")
+      assert(rep == expRep, s"doc $id rep")
+    }
+  }
+
   // ---- q144 column profiler ------------------------------------------------
 
   test("columnProfile: counts, nulls, distincts, deterministic tie-broken mode, all-null column") {

@@ -292,7 +292,11 @@ object SparkEntry {
     // per-source score calibration onto the global distribution
     "q150_quantile_normalize"   -> (Q.quantileNormalizeQuery(_, _)),
     // Gopher-style intra-document repetition gates
-    "q151_repetition_filters"   -> (Q.repetitionFilters(_, _))
+    "q151_repetition_filters"   -> (Q.repetitionFilters(_, _)),
+    // per-user behavior transition matrix (exact-count ratios)
+    "q152_markov_transitions"   -> (Q.markovTransitions(_, _)),
+    // Benford first-digit screen via a log-free magnitude ladder
+    "q153_benford_audit"        -> (Q.benfordAudit(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1063,6 +1063,43 @@ object OracleCatalog {
          |  (top_2gram_frac <= 0.2 AND dup5gram_frac <= 0.3 AND rep_pair_frac <= 0.1) AS passes
          |FROM m ORDER BY doc_id""".stripMargin,
 
+    // q152: Markov transition matrix — lag pairs, exact-count ratios
+    "q152_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts)) AS ep FROM events),
+        |p AS (SELECT event_type AS state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC) AS next_state
+        |  FROM e),
+        |c AS (SELECT state, next_state, count(*) AS n FROM p
+        |  WHERE next_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT state, next_state, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY state) AS DOUBLE) AS prob
+        |FROM c ORDER BY state, next_state""".stripMargin,
+
+    // q153: Benford audit — log-free magnitude ladder, literal expecteds
+    "q153_benford_audit" ->
+      """WITH d AS (SELECT CAST(CASE
+        |    WHEN o_totalprice < 10 THEN floor(o_totalprice)
+        |    WHEN o_totalprice < 100 THEN floor(o_totalprice / 10)
+        |    WHEN o_totalprice < 1000 THEN floor(o_totalprice / 100)
+        |    WHEN o_totalprice < 10000 THEN floor(o_totalprice / 1000)
+        |    WHEN o_totalprice < 100000 THEN floor(o_totalprice / 10000)
+        |    WHEN o_totalprice < 1000000 THEN floor(o_totalprice / 100000)
+        |    WHEN o_totalprice < 10000000 THEN floor(o_totalprice / 1000000)
+        |    ELSE floor(o_totalprice / 10000000) END AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 1 AND o_totalprice IS NOT NULL),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |m AS (SELECT digit, n,
+        |    CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS obs_frac,
+        |    CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |      WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181
+        |      WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |      WHEN 9 THEN 0.045757 ELSE 0.0 END AS DOUBLE) AS benford_frac
+        |  FROM c)
+        |SELECT digit, n, obs_frac, benford_frac,
+        |  abs(obs_frac - benford_frac) AS abs_dev
+        |FROM m ORDER BY digit""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

@@ -3368,6 +3368,58 @@ object QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Markov transition matrix (q152): P(next event type | event type)
+    * from each user's time-ordered event sequence — the behavior-model
+    * readout (and the synthetic-sequence generator's parameter table).
+    * One lag window partitioned by user (user-sized groups), one count,
+    * one normalize over the |states|² count frame. Probabilities are
+    * ratios of exact counts.
+    */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_sec", date_trunc("second", col("ts")))
+    val w = Window.partitionBy("user_id").orderBy(asc("ts_sec"), asc("event_id"))
+    val counts = ev
+      .withColumn("next_state", lead(col("event_type"), 1).over(w))
+      .filter(col("next_state").isNotNull)
+      .groupBy(col("event_type").as("state"), col("next_state"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("prob", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("state")).cast("double"))
+      .orderBy("state", "next_state")
+  }
+
+  /** Benford first-digit audit (q153): the leading-significant-digit
+    * distribution of order totals against Benford's law — the classic
+    * fabricated-data screen. The digit extracts through a LOG-FREE
+    * magnitude CASE ladder (floor of one IEEE division per branch —
+    * log10 is banned by the portability contract), and the expected
+    * frequencies are 6-digit literals, so everything crossing the
+    * oracle is exact-count ratios and fixed constants. One aggregation;
+    * the normalize window runs over the 9-row digit frame.
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice")
+    val digit = when(x < 10, floor(x)).when(x < 100, floor(x / 10))
+      .when(x < 1000, floor(x / 100)).when(x < 10000, floor(x / 1000))
+      .when(x < 100000, floor(x / 10000)).when(x < 1000000, floor(x / 100000))
+      .when(x < 10000000, floor(x / 1000000)).otherwise(floor(x / 10000000))
+    val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val expect = benford.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (f, i)) =>
+      when(col("digit") === (i + 1), lit(f)).otherwise(acc)
+    }
+    t(s, dir, "orders")
+      .filter(x >= 1 && x.isNotNull)
+      .select(digit.cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("obs_frac", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy()).cast("double"))
+      .withColumn("benford_frac", expect)
+      .withColumn("abs_dev", abs(col("obs_frac") - col("benford_frac")))
+      .orderBy("digit")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

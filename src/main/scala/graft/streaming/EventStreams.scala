@@ -358,6 +358,37 @@ object EventStreams {
       .withColumn("fp", graft.text.TextOps.fingerprint(col("text")))
       .dropDuplicates("fp")
 
+  final case class DigestReadout(event_type: String, n: Long,
+                                 p50: Double, p95: Double, p99: Double)
+
+  /** Streaming percentile monitor: per event type, a t-digest of the
+    * value distribution maintained ACROSS micro-batches under
+    * mapGroupsWithState — each trigger emits the refreshed p50/p95/p99.
+    * This is the mergeable-sketch state pattern: the
+    * [[graft.functions.TDigest]] summary is O(compression) per live key
+    * no matter how long the stream runs (the unbounded dual — buffering
+    * every value — is exactly what the batch q69 aggregate exists to
+    * avoid), and the same bytes round-trip through the state store, so
+    * RocksDB spilling and checkpointed restart work unchanged
+    * (StreamingSpec covers the rollup analog). Update-mode emissions
+    * are the monitor feed an alerting sink consumes.
+    */
+  def percentileStream(events: Dataset[Event]): Dataset[DigestReadout] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Byte], DigestReadout](GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[Array[Byte]]) =>
+          val d = state.getOption
+            .map(graft.functions.TDigest.fromBytes)
+            .getOrElse(new graft.functions.TDigest(100.0))
+          batch.foreach(e => d.add(e.value))
+          state.update(d.toBytes)
+          DigestReadout(etype, d.totalWeight.toLong,
+            d.quantile(0.5), d.quantile(0.95), d.quantile(0.99))
+      }
+  }
+
   /** Streaming quality gate — the Soda-gate analog for streams
     * (check_function.py:22-23 semantics per micro-batch): each batch is
     * evaluated against the checks; a failing batch throws, failing the

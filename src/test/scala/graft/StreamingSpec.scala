@@ -731,4 +731,31 @@ class StreamingSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("percentileStream: t-digest state accumulates across batches; readout equals a same-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val source = MemoryStream[Event]
+    val q = EventStreams.runToMemory(
+      EventStreams.percentileStream(source.toDS()).toDF(), "pctl_test")
+    val b1 = (1 to 60).map(i => Event(i, ts("2024-01-01 00:10:00"), i, "click", i.toDouble))
+    val b2 = (61 to 100).map(i => Event(i, ts("2024-01-01 00:20:00"), i, "click", i.toDouble))
+    try {
+      Seq(b1, b2).foreach { b => source.addData(b: _*); q.processAllAvailable() }
+      val rows = spark.sql(
+        """SELECT event_type, max(n) AS n,
+          |  max_by(p50, n) AS p50, max_by(p95, n) AS p95, max_by(p99, n) AS p99
+          |FROM pctl_test GROUP BY event_type""".stripMargin).collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getLong(1) == 100L, "state must span both batches")
+      val (p50, p95, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 <= p95 && p95 <= p99, "quantiles must be monotone")
+      // t-digest on 1..100: interpolated quantiles land near the exact ones
+      assert(math.abs(p50 - 50.5) <= 3.0, s"p50=$p50")
+      assert(math.abs(p95 - 95.0) <= 3.0, s"p95=$p95")
+      assert(p99 >= 95.0 && p99 <= 100.0, s"p99=$p99")
+    } finally q.stop()
+  }
 }

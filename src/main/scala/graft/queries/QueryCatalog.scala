@@ -3289,12 +3289,16 @@ object QueryCatalog {
     val rare = g.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 5))
       .select("gram")
-    val gr = g.join(rare, Seq("gram"))
+    // gr feeds both sides of the pair self-join — checkpoint once or the
+    // 8-gram explode + df join replays per side
+    val (gr, grBlocks) = graft.dedup.Checkpoints.tracked(g.join(rare, Seq("gram")))
     val edges = gr.as("x").join(gr.as("y"),
         col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    graft.graph.Triangles.triangleCount(edges, "a", "b")
+    val out = graft.graph.Triangles.triangleCount(edges, "a", "b")
+    graft.dedup.Checkpoints.release(grBlocks)
+    out
   }
 
   /** Water-filling token budget (q149):

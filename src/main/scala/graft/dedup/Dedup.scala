@@ -373,13 +373,25 @@ object Dedup {
     // prefix length = sz − ⌈num·sz/den⌉ + 1, all integer
     val (prefix, prefixBlocks) = Checkpoints.tracked(ranked
       .filter(col("rk") <= col("sz") - expr(s"($thrNum * sz + ${thrDen - 1}) DIV $thrDen") + 1)
-      .select(col("id"), col("th"), col("sz")))
+      .select(col("id"), col("th"), col("sz"), col("rk")))
+    // POSITIONAL filter (PPJoin): the smallest common token of a true
+    // pair sits in both prefixes at ranks (i, j), and every other common
+    // token follows it in both documents, so overlap ≤ 1 + min(szₐ−i,
+    // sz_b−j). Taking min-ranks per pair only over-estimates the bound
+    // (never drops a true pair); required overlap for J ≥ num/den is
+    // α = ⌈num·(szₐ+sz_b)/(num+den)⌉. This replaces the distinct() with
+    // the same-shuffle groupBy and prunes candidates before the
+    // verification join ever sees them.
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.th") === col("b.th") && col("a.id") < col("b.id"))
       .filter(least(col("a.sz"), col("b.sz")) * thrDen >=
               greatest(col("a.sz"), col("b.sz")) * thrNum)
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(min(col("a.rk")).as("__ia"), min(col("b.rk")).as("__ib"),
+        first(col("a.sz")).as("__sza"), first(col("b.sz")).as("__szb"))
+      .filter(lit(1) + least(col("__sza") - col("__ia"), col("__szb") - col("__ib")) >=
+        expr(s"($thrNum * (__sza + __szb) + ${thrNum + thrDen - 1}) DIV ${thrNum + thrDen}"))
+      .select(col("doc_a"), col("doc_b"))
     val withSets = cands
       .join(sets.select(col("id").as("doc_a"), col("ths").as("tk_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sets.select(col("id").as("doc_b"), col("ths").as("tk_b"), col("sz").as("sz_b")), Seq("doc_b"))

@@ -296,7 +296,9 @@ object SparkEntry {
     // per-user behavior transition matrix (exact-count ratios)
     "q152_markov_transitions"   -> (Q.markovTransitions(_, _)),
     // Benford first-digit screen via a log-free magnitude ladder
-    "q153_benford_audit"        -> (Q.benfordAudit(_, _))
+    "q153_benford_audit"        -> (Q.benfordAudit(_, _)),
+    // 3-D skyline by local-prune-then-merge (oracle = dominance NOT EXISTS)
+    "q154_skyline_3d"           -> (Q.skyline3d(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -620,6 +620,59 @@ object CoreOps {
       .drop("__ti", "__gi", "__gn", "__rk", "__ns")
   }
 
+  /** N-dimensional Pareto frontier by LOCAL-PRUNE-THEN-MERGE — the shape
+    * the 2-D staircase ([[paretoFrontier2D]]) cannot take past two
+    * dimensions. Each partition reduces to its local skyline with one
+    * streaming scan against a candidate buffer (O(rows × |skyline|) —
+    * the buffer stays frontier-sized, not partition-sized), then the
+    * union of local skylines (small: partitions × frontier) merges in a
+    * single partition with the same scan. Correct because a globally
+    * non-dominated point is non-dominated in its own partition, so the
+    * local pass can never lose a frontier point.
+    *
+    * Dominance: a ≤ b on every dimension with at least one strict, after
+    * negating `maxCols` (so everything minimizes). Duplicate points all
+    * survive (neither dominates). This is one of the few operators where
+    * mapPartitions is the honest tool: the relational alternative is the
+    * quadratic NOT-EXISTS theta self-join, which is exactly what the
+    * q154 oracle states and this must equal.
+    */
+  def skylineND(df: DataFrame, idCol: String,
+                minCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+    require((minCols ++ maxCols).size >= 2, "need at least two dimensions")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def dominates(x: Array[Double], y: Array[Double]): Boolean = {
+      var i = 0; var strict = false
+      while (i < x.length) {
+        if (x(i) > y(i)) return false
+        if (x(i) < y(i)) strict = true
+        i += 1
+      }
+      strict
+    }
+    def scan(it: Iterator[(Long, Array[Double])]): Iterator[(Long, Array[Double])] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      it.foreach { case (id, v) =>
+        if (!buf.exists(p => dominates(p._2, v))) {
+          val keep = buf.filterNot(p => dominates(v, p._2))
+          buf.clear(); buf ++= keep += ((id, v))
+        }
+      }
+      buf.iterator
+    }
+    val dims = minCols.map(c => col(c).cast("double")) ++
+      maxCols.map(c => -col(c).cast("double"))
+    val proj = df
+      .filter((minCols ++ maxCols).map(col(_).isNotNull).reduce(_ && _))
+      .select(col(idCol).cast("long").as("_1"), array(dims: _*).as("_2"))
+      .as[(Long, Array[Double])]
+    val frontierIds = proj.mapPartitions(scan)
+      .repartition(1).mapPartitions(scan)
+      .map(_._1).toDF(idCol)
+    df.join(broadcast(frontierIds), Seq(idCol), "left_semi")
+  }
+
   /** Exact COUNT(DISTINCT) decomposed for skew: per group key, the
     * distinct values are partitioned into `buckets` DISJOINT sub-sets by
     * a hash of the VALUE, counted exactly within each (key, bucket), and

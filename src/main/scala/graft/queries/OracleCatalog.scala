@@ -1100,6 +1100,21 @@ object OracleCatalog {
         |  abs(obs_frac - benford_frac) AS abs_dev
         |FROM m ORDER BY digit""".stripMargin,
 
+    // q154: 3-D skyline — the oracle is the quadratic NOT-EXISTS
+    // dominance definition the local-prune-then-merge must equal
+    "q154_skyline_3d" ->
+      s"""WITH ${statsCte("documents")},
+         |q AS (SELECT doc_id, n_tokens,
+         |    CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)) AS punct_frac,
+         |    $qualityExpr AS quality FROM b)
+         |SELECT doc_id, n_tokens, punct_frac, quality FROM q o
+         |WHERE NOT EXISTS (SELECT 1 FROM q a
+         |  WHERE a.n_tokens <= o.n_tokens AND a.punct_frac <= o.punct_frac
+         |    AND a.quality >= o.quality
+         |    AND (a.n_tokens < o.n_tokens OR a.punct_frac < o.punct_frac
+         |         OR a.quality > o.quality))
+         |ORDER BY doc_id""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

@@ -3424,6 +3424,23 @@ object QueryCatalog {
       .orderBy("digit")
   }
 
+  /** 3-D Pareto frontier (q154): documents not dominated in (fewest
+    * tokens, least punctuation, highest quality) —
+    * [[graft.ops.CoreOps.skylineND]]'s local-prune-then-merge, the shape
+    * q139's 2-D staircase cannot take past two dimensions. The oracle
+    * states the quadratic three-way NOT-EXISTS dominance definition.
+    */
+  def skyline3d(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      (TextOps.punctCount(col("text")).cast("double") /
+        greatest(length(col("text")).cast("double"), lit(1.0))).as("punct_frac"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    graft.ops.CoreOps.skylineND(d, "doc_id",
+        minCols = Seq("n_tokens", "punct_frac"), maxCols = Seq("quality"))
+      .orderBy("doc_id")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

@@ -389,6 +389,36 @@ object EventStreams {
       }
   }
 
+  final case class HHReadout(event_type: String, n: Long, eps: Long,
+                             items: Seq[String], estimates: Seq[Long])
+
+  /** Streaming heavy-hitters monitor: per event type, a Space-Saving
+    * summary of user activity maintained across micro-batches — each
+    * trigger emits the refreshed top users with their estimates and the
+    * summary's error bound (est − true ∈ [0, eps], the q95 contract).
+    * Same mergeable-sketch state pattern as [[percentileStream]]: k
+    * counters per live key forever, byte-serialized through the state
+    * store, so RocksDB and checkpointed restart work unchanged.
+    */
+  def heavyHittersStream(events: Dataset[Event], k: Int = 8,
+                         top: Int = 5): Dataset[HHReadout] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Byte], HHReadout](GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[Array[Byte]]) =>
+          val s = state.getOption
+            .map(graft.functions.SSSummary.fromBytes)
+            .getOrElse(new graft.functions.SSSummary(k))
+          batch.foreach(e => s.add(e.user_id.toString))
+          state.update(s.toBytes)
+          val topItems = s.estimates.toSeq
+            .sortBy { case (item, est) => (-est, item) }.take(top)
+          HHReadout(etype, s.total, s.errorBound,
+            topItems.map(_._1), topItems.map(_._2))
+      }
+  }
+
   /** Streaming quality gate — the Soda-gate analog for streams
     * (check_function.py:22-23 semantics per micro-batch): each batch is
     * evaluated against the checks; a failing batch throws, failing the

@@ -595,6 +595,44 @@ class Round8Spec extends SparkSpec {
     assert(got == Set(1L, 2L, 5L))
   }
 
+  // ---- q154 N-D skyline ----------------------------------------------------
+
+  test("skylineND equals brute-force dominance in 3 dimensions (random frames)") {
+    for (seed <- Seq(4, 19, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val pts = (0 until 250).map(i =>
+        (i.toLong, rnd.nextInt(20), rnd.nextInt(20).toDouble, rnd.nextInt(20)))
+      val df = pts.toDF("id", "x", "y", "z")
+      val got = graft.ops.CoreOps.skylineND(df, "id", Seq("x", "y"), Seq("z"))
+        .select("id").as[Long].collect().toSet
+      val expected = pts.filter { case (_, bx, by, bz) =>
+        !pts.exists { case (_, ax, ay, az) =>
+          ax <= bx && ay <= by && az >= bz && (ax < bx || ay < by || az > bz)
+        }
+      }.map(_._1).toSet
+      assert(got == expected, s"seed $seed")
+      assert(expected.size > 1, s"seed $seed: degenerate fixture")
+    }
+  }
+
+  test("skylineND on 2 dimensions agrees with the paretoFrontier2D staircase") {
+    val rnd = new scala.util.Random(8)
+    val pts = (0 until 300).map(i => (i.toLong, rnd.nextInt(40), rnd.nextInt(25)))
+    val df = pts.toDF("id", "x", "y")
+    val nd = graft.ops.CoreOps.skylineND(df, "id", Seq("x"), Seq("y"))
+      .select("id").as[Long].collect().toSet
+    val staircase = graft.ops.CoreOps.paretoFrontier2D(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(nd == staircase, "two independent algorithms must agree")
+  }
+
+  test("skylineND keeps duplicate frontier points") {
+    val df = Seq((1L, 1, 1.0, 9), (2L, 1, 1.0, 9), (3L, 2, 2.0, 1)).toDF("id", "x", "y", "z")
+    val got = graft.ops.CoreOps.skylineND(df, "id", Seq("x", "y"), Seq("z"))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
   // ---- q143 grouped OLS ---------------------------------------------------
 
   test("groupedOls recovers an exact linear fit per group; degenerate x-variance yields nulls") {

@@ -758,4 +758,33 @@ class StreamingSpec extends SparkSpec {
       assert(p99 >= 95.0 && p99 <= 100.0, s"p99=$p99")
     } finally q.stop()
   }
+
+  test("heavyHittersStream: Space-Saving state spans batches; estimates respect the error bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val source = MemoryStream[Event]
+    val q = EventStreams.runToMemory(
+      EventStreams.heavyHittersStream(source.toDS(), k = 8, top = 3).toDF(), "hh_test")
+    // user 7 is hot (60 of 100 events), split across two batches
+    val b1 = (1 to 50).map(i => Event(i, ts("2024-01-01 00:10:00"),
+      if (i <= 30) 7L else i.toLong, "click", 1.0))
+    val b2 = (51 to 100).map(i => Event(i, ts("2024-01-01 00:20:00"),
+      if (i <= 80) 7L else i.toLong, "click", 1.0))
+    try {
+      Seq(b1, b2).foreach { b => source.addData(b: _*); q.processAllAvailable() }
+      val r = spark.sql(
+        """SELECT max(n) AS n, max_by(eps, n) AS eps,
+          |  max_by(items, n) AS items, max_by(estimates, n) AS est
+          |FROM hh_test""".stripMargin).collect().head
+      assert(r.getLong(0) == 100L, "state must span both batches")
+      val items = r.getSeq[String](2)
+      val est   = r.getSeq[Long](3)
+      val eps   = r.getLong(1)
+      assert(items.head == "7", s"hot user must lead, got $items")
+      // Space-Saving contract: est(x) − true(x) ∈ [0, eps]; true(7) = 60
+      assert(est.head >= 60L && est.head <= 60L + eps,
+        s"est=${est.head} eps=$eps")
+    } finally q.stop()
+  }
 }

@@ -298,7 +298,11 @@ object SparkEntry {
     // Benford first-digit screen via a log-free magnitude ladder
     "q153_benford_audit"        -> (Q.benfordAudit(_, _)),
     // 3-D skyline by local-prune-then-merge (oracle = dominance NOT EXISTS)
-    "q154_skyline_3d"           -> (Q.skyline3d(_, _))
+    "q154_skyline_3d"           -> (Q.skyline3d(_, _)),
+    // KMV sketch set algebra: pairwise distinct-user overlap estimates
+    "q155_kmv_set_ops"          -> (Q.kmvSetOps(_, _)),
+    // sorted-neighborhood blocking: one global sort, O(n·w) verifications
+    "q156_sorted_neighbors"     -> (Q.sortedNeighborPairsQuery(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

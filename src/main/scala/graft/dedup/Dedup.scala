@@ -407,6 +407,55 @@ object Dedup {
     out
   }
 
+  /** Sorted-neighborhood (SNM) near-dup pairs — the third blocking
+    * paradigm beside LSH (probabilistic, q19) and prefix filtering
+    * (exact, q142): sort the corpus ONCE by a cheap blocking key (the
+    * first three tokens), then verify only pairs within `w` positions of
+    * each other in the global order. Classic record-linkage; recall is
+    * heuristic by design (a true pair sorting far apart is missed), but
+    * the contract — "the verified pairs within the window" — is exact
+    * and fully replayable, and the work is O(n·w) verifications after
+    * one sort, with no pair space at all.
+    *
+    * Scale: the global order comes from
+    * [[graft.ops.CoreOps.globalRowNumber]] (range partition + offsets);
+    * window pairing is an EQUI-join on the rank-bucket ⌊rank/w⌋ (each
+    * row posts to its own and the next bucket — any pair within w ranks
+    * shares a posted bucket), so no window function ever walks the
+    * corpus. Verification intersects hashed 3-gram arrays (the q142
+    * convention, same collision note).
+    */
+  def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int = 8, thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
+    require(w >= 2, "window must cover at least adjacent pairs")
+    val sets = docs.select(col(idCol).cast("long").as("id"),
+      concat_ws(" ", slice(TextOps.tokens(lower(col(textCol))), 1, 3)).as("sort_key"),
+      shingleSet(col(textCol), 3).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .filter(col("sz") > 0)
+      .select(col("id"), col("sort_key"), col("sz"),
+        transform(col("toks"), t => xxhash64(t)).as("ths"))
+    val ranked = graft.ops.CoreOps.globalRowNumber(sets, Seq("sort_key", "id"),
+      rankCol = "rank")
+    val withB = ranked.withColumn("b", expr(s"rank DIV $w"))
+    val posted = withB.select(col("id"), col("rank"), col("sz"), col("ths"),
+      explode(array(col("b"), col("b") + 1)).as("jb"))
+    val cands = posted.as("a").join(withB.as("c"), col("a.jb") === col("c.b"))
+      .filter(col("c.rank") > col("a.rank") && col("c.rank") - col("a.rank") < w)
+      .select(col("a.id").as("doc_a"), col("c.id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("c.sz").as("sz_b"),
+        col("a.ths").as("tk_a"), col("c.ths").as("tk_b"))
+    cands
+      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * thrDen >= col("union_sz") * thrNum)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        col("inter"), col("union_sz"),
+        graft.ops.CoreOps.roundPortable(
+          col("inter").cast("double") / col("union_sz").cast("double"), 6).as("jaccard"))
+  }
+
   /** Jaccard similarity of two pre-distinct arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

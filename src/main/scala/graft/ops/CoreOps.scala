@@ -620,6 +620,64 @@ object CoreOps {
       .drop("__ti", "__gi", "__gn", "__rk", "__ns")
   }
 
+  /** Pairwise distinct-set overlap between every pair of groups,
+    * estimated from k-minimum-values sketches — the KMV set algebra
+    * (Beyer et al., SIGMOD'07): per group, the k smallest distinct
+    * hashes; per pair, the union's k smallest r_k gives
+    * û = (k−1)/r_k, and the count K∩ of union-k-min hashes present in
+    * BOTH sketches gives î = (K∩/k)·û. Membership is decidable from the
+    * sketches alone (a union-k-min hash belonging to A is ≤ A's k-th
+    * min, hence inside A's sketch). Under-full sketches degrade to
+    * EXACT set operations. `hashCol` must be a 52-bit uniform hash (the
+    * KmvState convention) so the normalization r = h/2^52 is FP-exact
+    * and the estimates are pure functions of the input sets —
+    * bit-replayable in any engine.
+    *
+    * Scale: the per-group k-min is the only pass over the data (and is
+    * exactly what the mergeable [[graft.functions.KmvDistinct]]
+    * aggregate computes at 100 TB); every pairwise frame after it is
+    * (|groups|²·k)-sized. The exact hash-level intersection rides along
+    * as the self-check column.
+    */
+  def kmvSetOverlap(distinctHashes: DataFrame, groupCol: String,
+                    hashCol: String, k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val norm = graft.functions.KmvState.Norm
+    val uh = distinctHashes.select(col(groupCol).as("g"), col(hashCol).as("h"))
+    val wT = Window.partitionBy("g").orderBy(asc("h"))
+    val kmin = uh.withColumn("rk", row_number().over(wT)).filter(col("rk") <= k)
+      .select("g", "h")
+    val types = kmin.select("g").distinct()
+    val pairs = types.as("x").join(types.as("y"), col("x.g") < col("y.g"))
+      .select(col("x.g").as("type_a"), col("y.g").as("type_b"))
+    val ua = pairs.join(kmin.withColumnRenamed("g", "type_a"), Seq("type_a"))
+      .select(col("type_a"), col("type_b"), col("h"))
+    val ub = pairs.join(kmin.withColumnRenamed("g", "type_b"), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("h"))
+    val wp = Window.partitionBy("type_a", "type_b").orderBy(asc("h"))
+    val union = ua.unionByName(ub)
+      .groupBy("type_a", "type_b", "h").agg(count(lit(1)).as("sides"))
+      .withColumn("rk", row_number().over(wp)).filter(col("rk") <= k)
+    val exact = uh.withColumnRenamed("g", "type_a")
+      .join(uh.withColumnRenamed("g", "type_b"), Seq("h"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_inter_exact"))
+    union.groupBy("type_a", "type_b").agg(
+        count(lit(1)).as("n_union_kept"),
+        max(col("h")).as("__kth"),
+        sum(when(col("sides") === 2, 1L).otherwise(0L)).as("k_shared"))
+      .withColumn("union_est",
+        when(col("n_union_kept") < k, col("n_union_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / (col("__kth").cast("double") / lit(norm))))
+      .withColumn("inter_est",
+        when(col("n_union_kept") < k, col("k_shared").cast("double"))
+          .otherwise(col("k_shared").cast("double") / lit(k.toDouble) * col("union_est")))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("k_shared"),
+        col("n_union_kept"), col("union_est"), col("inter_est"),
+        coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
+  }
+
   /** N-dimensional Pareto frontier by LOCAL-PRUNE-THEN-MERGE — the shape
     * the 2-D staircase ([[paretoFrontier2D]]) cannot take past two
     * dimensions. Each partition reduces to its local skyline with one

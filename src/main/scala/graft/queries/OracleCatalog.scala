@@ -1115,6 +1115,68 @@ object OracleCatalog {
          |         OR a.quality > o.quality))
          |ORDER BY doc_id""".stripMargin,
 
+    // q155: KMV set operations — per-type k-min sketches, union k-min,
+    // shared count, Beyer estimators; under-full → exact. Pure set
+    // functions, so the estimates replay bit-exact (q117's property).
+    "q155_kmv_set_ops" ->
+      """WITH uh AS (SELECT DISTINCT event_type,
+        |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |                 for i in generate_series(1, 13)], (a, x) -> a * 16 + x) AS h
+        |  FROM events),
+        |km AS (SELECT event_type, h FROM (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM uh)
+        |  WHERE rk <= 64),
+        |ty AS (SELECT DISTINCT event_type FROM km),
+        |pr AS (SELECT x.event_type AS type_a, y.event_type AS type_b
+        |  FROM ty x JOIN ty y ON x.event_type < y.event_type),
+        |ux AS (SELECT type_a, type_b, h FROM pr JOIN km ON km.event_type = pr.type_a
+        |  UNION ALL SELECT type_a, type_b, h FROM pr JOIN km ON km.event_type = pr.type_b),
+        |un AS (SELECT type_a, type_b, h, count(*) AS sides FROM ux GROUP BY 1, 2, 3),
+        |tk AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk FROM un)
+        |  WHERE rk <= 64),
+        |ag AS (SELECT type_a, type_b, count(*) AS n_union_kept, max(h) AS kth,
+        |    CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k_shared
+        |  FROM tk GROUP BY 1, 2),
+        |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_inter_exact
+        |  FROM uh a JOIN uh b ON a.h = b.h AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |f AS (SELECT type_a, type_b, k_shared,
+        |    CAST(n_union_kept AS BIGINT) AS n_union_kept,
+        |    CASE WHEN n_union_kept < 64 THEN CAST(n_union_kept AS DOUBLE)
+        |         ELSE CAST(63 AS DOUBLE) / (CAST(kth AS DOUBLE) / 4503599627370496.0)
+        |    END AS union_est
+        |  FROM ag)
+        |SELECT f.type_a, f.type_b, k_shared, n_union_kept, union_est,
+        |  CASE WHEN n_union_kept < 64 THEN CAST(k_shared AS DOUBLE)
+        |       ELSE CAST(k_shared AS DOUBLE) / CAST(64 AS DOUBLE) * union_est
+        |  END AS inter_est,
+        |  CAST(coalesce(n_inter_exact, 0) AS BIGINT) AS n_inter_exact
+        |FROM f LEFT JOIN ex ON f.type_a = ex.type_a AND f.type_b = ex.type_b
+        |ORDER BY f.type_a, f.type_b""".stripMargin,
+
+    // q156: sorted-neighborhood pairs — global sort by the 3-token key,
+    // rank window w=8, exact 3-gram verification at Jaccard >= 1/2
+    "q156_sorted_neighbors" ->
+      s"""WITH $tkCte,
+         |s2 AS (SELECT doc_id AS id, array_to_string(t[1:3], ' ') AS sort_key,
+         |    $shingle3 AS toks, CAST(len($shingle3) AS INTEGER) AS sz
+         |  FROM tk WHERE len($shingle3) > 0),
+         |r AS (SELECT *, row_number() OVER (ORDER BY sort_key, id) AS rank FROM s2),
+         |p AS (SELECT a.id AS doc_a, c.id AS doc_b, a.toks AS tk_a, c.toks AS tk_b,
+         |    a.sz AS sz_a, c.sz AS sz_b
+         |  FROM r a JOIN r c ON c.rank > a.rank AND c.rank - a.rank < 8),
+         |v AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(tk_a, tk_b)) AS INTEGER) AS inter,
+         |    sz_a + sz_b - CAST(len(list_intersect(tk_a, tk_b)) AS INTEGER) AS union_sz
+         |  FROM p)
+         |SELECT least(doc_a, doc_b) AS doc_a, greatest(doc_a, doc_b) AS doc_b,
+         |  inter, union_sz,
+         |  floor(CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |FROM v WHERE inter * 2 >= union_sz * 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

@@ -3441,6 +3441,46 @@ object QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** KMV set operations (q155): distinct-user overlap between every
+    * pair of event types, estimated from k-minimum-values summaries —
+    * the set algebra q117's Scaladoc promises ("union = merge;
+    * intersection from the shared fraction of the union's k smallest").
+    * Per type, the k smallest distinct 52-bit user hashes; per pair,
+    * the union's k smallest, the count present in BOTH sketches (any
+    * union-k-min hash belonging to A is necessarily in A's k-min, so
+    * the sketches alone decide membership), and the Beyer et al.
+    * estimators û = (k−1)/r_k, î = (K∩/k)·û. Under-full sketches (the
+    * sf0.001 regime) degrade to EXACT set ops. Everything is a pure
+    * function of the input sets — the estimates cross the oracle
+    * bit-exact, like q117 and unlike HLL. The exact hash-level
+    * intersection rides along as the self-check column.
+    *
+    * Scale: per-type k-min keeps k longs per type (the KmvDistinct
+    * aggregate computes the same set mergeably at 100 TB); every
+    * pairwise frame after that is (|types|² × k)-sized.
+    */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    val uh = Tables.events(s, dir)
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    graft.ops.CoreOps.kmvSetOverlap(uh, "event_type", "h", 64)
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Sorted-neighborhood near-dup pairs (q156):
+    * [[graft.dedup.Dedup.sortedNeighborPairs]] at 3-gram Jaccard ≥ 1/2,
+    * window 8 — the sort-based blocking paradigm beside LSH (q19) and
+    * prefix filtering (q142). One global sort by the 3-token blocking
+    * key (globalRowNumber's range partition), O(n·w) verifications,
+    * zero pair space.
+    */
+  def sortedNeighborPairsQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborPairs(t(s, dir, "documents"), "doc_id", "text",
+        w = 8, thrNum = 1, thrDen = 2)
+      .orderBy("doc_a", "doc_b")
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

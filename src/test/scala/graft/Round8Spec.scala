@@ -633,6 +633,62 @@ class Round8Spec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  // ---- q155 KMV set operations ---------------------------------------------
+
+  test("kmvSetOverlap: under-full sketches are exact; full sketches estimate within bounds") {
+    val rnd = new scala.util.Random(6)
+    def h52(x: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      md.take(7).zipWithIndex.map { case (b, i) =>
+        (b & 0xffL) << (8 * (6 - i)) }.sum >>> 4  // 52 high bits of first 7 bytes
+    }
+    // A: 0..39, B: 20..59 → |A∩B| = 20, |A∪B| = 60; k=128 > 60 → exact
+    val rows = ((0L until 40L).map(("A", _)) ++ (20L until 60L).map(("B", _)))
+      .map { case (g, x) => (g, h52(x)) }.distinct
+    val exact = graft.ops.CoreOps.kmvSetOverlap(rows.toDF("g", "h"), "g", "h", 128)
+      .select("k_shared", "n_union_kept", "union_est", "inter_est", "n_inter_exact")
+      .as[(Long, Long, Double, Double, Long)].head()
+    assert(exact == ((20L, 60L, 60.0, 20.0, 20L)), s"$exact")
+    // big sets, k=64 full: estimates within 4 sigma (~50%) of truth
+    val big = ((0L until 800L).map(("A", _)) ++ (400L until 1200L).map(("B", _)))
+      .map { case (g, x) => (g, h52(x)) }.distinct
+    val est = graft.ops.CoreOps.kmvSetOverlap(big.toDF("g", "h"), "g", "h", 64)
+      .select("union_est", "inter_est", "n_inter_exact")
+      .as[(Double, Double, Long)].head()
+    assert(est._3 == 400L)
+    assert(math.abs(est._1 - 1200.0) / 1200.0 < 0.5, s"union_est=${est._1}")
+    assert(math.abs(est._2 - 400.0) / 400.0 < 0.6, s"inter_est=${est._2}")
+  }
+
+  // ---- q156 sorted-neighborhood pairs --------------------------------------
+
+  test("sortedNeighborPairs: sound (every pair verified), planted adjacent dups found") {
+    val rnd = new scala.util.Random(9)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0 until 80).map { i =>
+      (i.toLong, (0 until 12).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    } ++ Seq((200L, "zz yy xx ww vv uu tt ss"), (201L, "zz yy xx ww vv uu tt rr"))
+    val out = graft.dedup.Dedup.sortedNeighborPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", w = 8, thrNum = 1, thrDen = 2)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val byId = docs.toMap
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      (if (toks.length < 3) Seq(toks.mkString(" "))
+       else toks.sliding(3).map(_.mkString(" ")).toSeq).toSet
+    }
+    out.foreach { case (a, b, j) =>
+      val (sa, sb) = (grams(byId(a)), grams(byId(b)))
+      val inter = (sa & sb).size; val uni = (sa | sb).size
+      assert(inter * 2 >= uni, s"pair ($a,$b) fails the threshold")
+      assert(math.abs(j - inter.toDouble / uni) < 1e-6)
+    }
+    // the planted near-dups share sort key "zz yy xx" → adjacent ranks → found
+    assert(out.exists(p => p._1 == 200L && p._2 == 201L),
+      "adjacent planted near-dups must be paired")
+  }
+
   // ---- q143 grouped OLS ---------------------------------------------------
 
   test("groupedOls recovers an exact linear fit per group; degenerate x-variance yields nulls") {

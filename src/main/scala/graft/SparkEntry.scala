@@ -302,7 +302,9 @@ object SparkEntry {
     // KMV sketch set algebra: pairwise distinct-user overlap estimates
     "q155_kmv_set_ops"          -> (Q.kmvSetOps(_, _)),
     // sorted-neighborhood blocking: one global sort, O(n·w) verifications
-    "q156_sorted_neighbors"     -> (Q.sortedNeighborPairsQuery(_, _))
+    "q156_sorted_neighbors"     -> (Q.sortedNeighborPairsQuery(_, _)),
+    // Count-Min frequency sketch as a grouped-count dataflow
+    "q157_countmin_sketch"      -> (Q.countMinSketch(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

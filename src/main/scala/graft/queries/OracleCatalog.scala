@@ -1177,6 +1177,27 @@ object OracleCatalog {
          |FROM v WHERE inter * 2 >= union_sz * 1
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // q157: Count-Min as dataflow — d×w grouped counters, min-over-rows
+    // estimate, top-20 readout with the est >= true guarantee column
+    "q157_countmin_sketch" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |posted AS (SELECT user_id, i AS r,
+        |    list_reduce([CAST(strpos('0123456789abcdef',
+        |        substr(md5('cm' || CAST(i AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+        |      for j in generate_series(1, 13)], (a, x) -> a * 16 + x) % 64 AS b
+        |  FROM ev, unnest(generate_series(0, 3)) AS u(i)),
+        |counters AS (SELECT r, b, count(*) AS c FROM posted GROUP BY 1, 2),
+        |cells AS (SELECT DISTINCT user_id, r, b FROM posted),
+        |est AS (SELECT user_id, min(c) AS n_est
+        |  FROM cells JOIN counters USING (r, b) GROUP BY 1),
+        |tr AS (SELECT user_id, count(*) AS n_true FROM ev GROUP BY 1),
+        |top AS (SELECT t.user_id, n_true, n_est,
+        |    row_number() OVER (ORDER BY n_true DESC, t.user_id ASC) AS rk
+        |  FROM tr t JOIN est USING (user_id))
+        |SELECT user_id, n_true, n_est, n_est >= n_true AS never_under,
+        |  n_est - n_true AS overcount
+        |FROM top WHERE rk <= 20 ORDER BY user_id""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

@@ -3481,6 +3481,47 @@ object QueryCatalog {
         w = 8, thrNum = 1, thrDen = 2)
       .orderBy("doc_a", "doc_b")
 
+  /** Count-Min sketch as PURE DATAFLOW (q157): the canonical frequency
+    * sketch (Cormode-Muthukrishnan) expressed as a GROUP BY — d=4 hash
+    * rows × w=64 counters, each event incrementing one counter per row,
+    * and est(x) = min over rows of x's counter. The counter table IS a
+    * grouped count (mergeable under any split — the monoid the sketch
+    * is built on), and with fixed md5 row-hashes everything is a pure
+    * function of the data, so the ESTIMATES cross the oracle bit-exact
+    * (the q117/q155 property; the classic array implementation is the
+    * same numbers stored densely). Readout: the 20 heaviest users,
+    * estimated vs true count, with the one-sided guarantee est ≥ true
+    * asserted as a column. State: d·w counters total — CONSTANT, vs
+    * Space-Saving's k counters of top-k-only coverage; CM answers ANY
+    * item, paying overestimate-by-collision instead.
+    */
+  def countMinSketch(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 64
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    def rowHash(i: Int): Column =
+      pmod(conv(substring(md5(concat_ws("|", lit(s"cm$i"), col("user_id").cast("string"))), 1, 13), 16, 10)
+        .cast("long"), lit(w.toLong))
+    val posted = ev.select(col("user_id"),
+        explode(array((0 until d).map(i =>
+          struct(lit(i).as("r"), rowHash(i).as("b"))): _*)).as("p"))
+      .select(col("user_id"), col("p.r").as("r"), col("p.b").as("b"))
+    val counters = posted.groupBy("r", "b").agg(count(lit(1)).as("c"))
+    // per-user estimate: min over its d counters (users frame is small;
+    // the counter table is d·w rows — broadcast)
+    val userCells = posted.select(col("user_id"), col("r"), col("b")).distinct()
+    val est = userCells.join(broadcast(counters), Seq("r", "b"))
+      .groupBy("user_id").agg(min(col("c")).as("n_est"))
+    val truth = ev.groupBy("user_id").agg(count(lit(1)).as("n_true"))
+    val wTop = Window.orderBy(desc("n_true"), asc("user_id"))
+    truth.join(est, Seq("user_id"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 20)
+      .select(col("user_id"), col("n_true"), col("n_est"),
+        (col("n_est") >= col("n_true")).as("never_under"),
+        (col("n_est") - col("n_true")).as("overcount"))
+      .orderBy("user_id")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

@@ -933,6 +933,76 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  // ---- edge cases across the continuation-session operators ----------------
+
+  test("edge cases: frontier/skyline on empty, singleton, and all-identical frames") {
+    import graft.ops.CoreOps._
+    val empty = Seq.empty[(Long, Int, Int)].toDF("id", "x", "y")
+    assert(paretoFrontier2D(empty, "x", "y").count() == 0)
+    assert(skylineND(empty, "id", Seq("x"), Seq("y")).count() == 0)
+    val one = Seq((1L, 5, 5)).toDF("id", "x", "y")
+    assert(paretoFrontier2D(one, "x", "y").count() == 1)
+    assert(skylineND(one, "id", Seq("x"), Seq("y")).count() == 1)
+    val same = (1L to 4L).map((_, 3, 3)).toDF("id", "x", "y")
+    assert(paretoFrontier2D(same, "x", "y").count() == 4, "identical points never dominate each other")
+    assert(skylineND(same, "id", Seq("x"), Seq("y")).count() == 4)
+  }
+
+  test("edge cases: OLS single-point group, Welch empty arm, interval join with inverted bounds") {
+    import graft.ops.CoreOps._
+    val ols = groupedOls(Seq(("g", 5L, 7L)).toDF("g", "x", "y"), Seq("g"), "x", "y").head()
+    assert(ols.isNullAt(2) && ols.isNullAt(3), "n=1 → no fit")
+    val welch = welchTTest(Seq(("g", false, 1.0), ("g", false, 2.0), ("g", false, 3.0))
+      .toDF("g", "arm", "v"), Seq("g"), "arm", "v").head()
+    assert(welch.getLong(1) == 0L && welch.isNullAt(3) && welch.isNullAt(5),
+      "empty treatment arm → null mean_t and t")
+    // end before start: no day sequence blows up, zero matches
+    val ev  = Seq((1L, java.sql.Timestamp.valueOf("2024-05-05 12:00:00"))).toDF("eid", "ts")
+    val ivs = Seq((1L, java.sql.Timestamp.valueOf("2024-05-06 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-05-05 00:00:00"))).toDF("iid", "start_ts", "end_ts")
+    assert(intervalJoinByDay(ev, "ts", ivs, "start_ts", "end_ts").count() == 0)
+  }
+
+  test("edge cases: zero-budget water-fill, empty skewed distinct, empty/lonely set-op inputs") {
+    import graft.ops.CoreOps._
+    val wf = waterFillAlloc(Seq(("a", 100L), ("b", 50L)).toDF("s", "n"), "s", "n", 1, 1000)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(wf.map(_._3).sum <= 150L / 1000, "allocation can never exceed the budget")
+    assert(wf.forall(_._3 >= 0L))
+    assert(skewedDistinctCount(Seq.empty[(String, Long)].toDF("k", "v"),
+      Seq("k"), "v", 8).count() == 0)
+    assert(kmvSetOverlap(Seq(("only", 7L)).toDF("g", "h"), "g", "h", 16).count() == 0,
+      "a single group has no pairs")
+    assert(graft.dedup.Dedup.sortedNeighborPairs(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+  }
+
+  test("edge cases: triangle count of an empty and a triangle-free graph") {
+    val empty = graft.graph.Triangles.triangleCount(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").as[(Long, Long, Long)].head()
+    assert(empty == ((0L, 0L, 0L)))
+    val path = graft.graph.Triangles.triangleCount(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long)].head()
+    assert(path == ((4L, 3L, 0L)), "a path has no triangles")
+  }
+
+  test("edge cases: prefix-filter join on identical documents yields all pairs at Jaccard 1") {
+    val docs = (1L to 4L).map((_, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.prefixFilterPairs(docs, "doc_id", "text", 1, 2, shingleN = 3)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(out.length == 6, s"C(4,2) pairs, got ${out.length}")
+    assert(out.forall(_._3 == 1.0))
+  }
+
+  test("edge cases: quantile normalization maps a singleton group to the global median") {
+    val rows = (1L to 9L).map(i => (i, "big", i.toDouble)) :+ ((100L, "solo", 42.0))
+    val out = graft.ops.CoreOps.quantileNormalize(rows.toDF("id", "g", "v"), "g", "v", "id", as = "nv")
+      .filter(col("g") === "solo").select("nv").as[Double].head()
+    // global order: 1..9 then 42 → N=10, median index 1+(9 DIV 2)=5 → value 5.0
+    assert(out == 5.0, s"got $out")
+  }
+
   // ---- q144 column profiler ------------------------------------------------
 
   test("columnProfile: counts, nulls, distincts, deterministic tie-broken mode, all-null column") {

@@ -304,7 +304,9 @@ object SparkEntry {
     // sorted-neighborhood blocking: one global sort, O(n·w) verifications
     "q156_sorted_neighbors"     -> (Q.sortedNeighborPairsQuery(_, _)),
     // Count-Min frequency sketch as a grouped-count dataflow
-    "q157_countmin_sketch"      -> (Q.countMinSketch(_, _))
+    "q157_countmin_sketch"      -> (Q.countMinSketch(_, _)),
+    // incremental component maintenance == full recompute (contract)
+    "q158_incremental_components" -> (Q.incrementalComponents(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1198,6 +1198,27 @@ object OracleCatalog {
         |  n_est - n_true AS overcount
         |FROM top WHERE rk <= 20 ORDER BY user_id""".stripMargin,
 
+    // q158: incremental components — the oracle recomputes components
+    // FROM SCRATCH over all rare-gram edges (q54's recursive reach on
+    // the q148 graph); equality proves incremental == full recompute
+    "q158_incremental_components" ->
+      s"""WITH RECURSIVE $tkCte,
+         |g AS (SELECT doc_id, unnest(${shingleSqlN(8)}) AS gram FROM tk),
+         |rare AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+         |  WHERE df BETWEEN 2 AND 5),
+         |gr AS (SELECT doc_id, gram FROM g JOIN rare USING (gram)),
+         |e AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM gr x JOIN gr y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+         |ed AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b AS s, a AS d FROM e),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ed.d, r.lbl FROM reach r JOIN ed ON ed.s = r.node),
+         |comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY 1)
+         |SELECT doc_id, component,
+         |  CAST(count(*) OVER (PARTITION BY component) AS INTEGER) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

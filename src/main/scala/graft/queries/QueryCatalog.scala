@@ -3522,6 +3522,53 @@ object QueryCatalog {
       .orderBy("user_id")
   }
 
+  /** Incremental connected components (q158): the dedup cluster map of
+    * a GROWING corpus maintained without reclustering history — the
+    * component-maintenance dual of q89's incremental candidate
+    * generation and q119's monoid rollup. The newest fifth of doc ids
+    * plays the incoming batch; the stored state is the old corpus's
+    * component map, and the incremental step runs pointer jumping over
+    * (old map as star edges) ∪ (edges touching a new doc) only — the
+    * old-old edge space is never regenerated. Correct because replacing
+    * a subgraph by its spanning star preserves connectivity; the ORACLE
+    * computes components from scratch over ALL edges (q54's recursive
+    * reach on the q148 rare-gram graph), so a green row is the
+    * incremental == full-recompute contract.
+    */
+  def incrementalComponents(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Checkpoints
+    val docs = t(s, dir, "documents").select("doc_id")
+    val g = t(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
+    val rare = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 5)).select("gram")
+    val (gr, grBlocks) = Checkpoints.tracked(g.join(rare, Seq("gram")))
+    val (edges, eBlocks) = Checkpoints.tracked(
+      gr.as("x").join(gr.as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct())
+    Checkpoints.release(grBlocks)
+    val cutDf = docs.agg(expr("(max(doc_id) * 4) DIV 5").as("__cut"))
+    val eC = edges.crossJoin(broadcast(cutDf))
+    val eOld   = eC.filter(col("a") < col("__cut") && col("b") < col("__cut")).select("a", "b")
+    val eTouch = eC.filter(col("a") >= col("__cut") || col("b") >= col("__cut")).select("a", "b")
+    val oldVerts = docs.crossJoin(broadcast(cutDf))
+      .filter(col("doc_id") < col("__cut")).select("doc_id")
+    val oldMap = graft.dedup.Components.connectedComponents(
+      eOld, "a", "b", oldVerts, "doc_id")
+    val starEdges = oldMap.select(col("doc_id").as("a"), col("component").as("b"))
+    val inc = graft.dedup.Components.connectedComponents(
+      starEdges.unionByName(eTouch), "a", "b", docs, "doc_id")
+    val out = inc
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")).cast("int"))
+      .select("doc_id", "component", "cluster_size")
+      .orderBy("doc_id")
+    Checkpoints.release(eBlocks)
+    out
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

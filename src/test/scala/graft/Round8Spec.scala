@@ -933,6 +933,31 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  // ---- q158 incremental components -----------------------------------------
+
+  test("incremental components: star-compressed old map + touch edges == full recompute") {
+    for (seed <- Seq(12, 44)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = (0 until 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val verts = (0L until n.toLong).toDF("id")
+      val eDf = edges.toDF("a", "b")
+      val cut = 45L
+      val full = graft.dedup.Components.connectedComponents(eDf, "a", "b", verts, "id")
+        .as[(Long, Long)].collect().toMap
+      val eOld = edges.filter { case (a, b) => a < cut && b < cut }.toDF("a", "b")
+      val eTouch = edges.filter { case (a, b) => a >= cut || b >= cut }.toDF("a", "b")
+      val oldVerts = (0L until cut).toDF("id")
+      val oldMap = graft.dedup.Components.connectedComponents(eOld, "a", "b", oldVerts, "id")
+      val star = oldMap.select(col("id").as("a"), col("component").as("b"))
+      val inc = graft.dedup.Components.connectedComponents(
+          star.unionByName(eTouch), "a", "b", verts, "id")
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"seed $seed: incremental must equal full recompute")
+    }
+  }
+
   // ---- edge cases across the continuation-session operators ----------------
 
   test("edge cases: frontier/skyline on empty, singleton, and all-identical frames") {

@@ -306,7 +306,11 @@ object SparkEntry {
     // Count-Min frequency sketch as a grouped-count dataflow
     "q157_countmin_sketch"      -> (Q.countMinSketch(_, _)),
     // incremental component maintenance == full recompute (contract)
-    "q158_incremental_components" -> (Q.incrementalComponents(_, _))
+    "q158_incremental_components" -> (Q.incrementalComponents(_, _)),
+    // market-basket association: support/confidence/lift per type pair
+    "q159_market_basket"        -> (Q.marketBasket(_, _)),
+    // Gini-Simpson language diversity (log-free index, exact internals)
+    "q160_lang_diversity"       -> (Q.langDiversity(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1219,6 +1219,45 @@ object OracleCatalog {
          |  CAST(count(*) OVER (PARTITION BY component) AS INTEGER) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin,
 
+    // q159: market basket — (user, day) baskets, pair co-occurrence,
+    // support/confidence/lift as ratios of exact counts
+    "q159_market_basket" ->
+      """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+        |nb AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, day FROM b)),
+        |s AS (SELECT event_type, count(*) AS n_single FROM b GROUP BY 1),
+        |p AS (SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n_ab
+        |  FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, sa.n_single AS n_a, sb.n_single AS n_b,
+        |  CAST(n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+        |  CAST(n_ab AS DOUBLE) / CAST(sa.n_single AS DOUBLE) AS confidence,
+        |  CAST(n_ab AS DOUBLE) * CAST(nb.n AS DOUBLE)
+        |    / (CAST(sa.n_single AS DOUBLE) * CAST(sb.n_single AS DOUBLE)) AS lift
+        |FROM p JOIN s sa ON p.type_a = sa.event_type
+        |       JOIN s sb ON p.type_b = sb.event_type, nb
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // q160: Gini-Simpson language diversity — exact-integer internals,
+    // one double division (log-free; Shannon would need the banned ln)
+    "q160_lang_diversity" -> {
+      val m = graft.text.TextOps.LangMarkers.map { case (code, ws) =>
+        s"len(list_filter(tk2, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$code"
+      }.mkString(",\n  ")
+      val best = "greatest(s_de, s_en, s_es, s_fr)"
+      s"""WITH s0 AS (SELECT source, $toksLower AS tk2 FROM documents),
+         |sc AS (SELECT source, $m FROM s0),
+         |d AS (SELECT source, CASE WHEN $best = 0 THEN 'und'
+         |  WHEN s_de = $best THEN 'de' WHEN s_en = $best THEN 'en'
+         |  WHEN s_es = $best THEN 'es' ELSE 'fr' END AS lang FROM sc),
+         |c AS (SELECT source, lang, count(*) AS n_l FROM d GROUP BY 1, 2)
+         |SELECT source, CAST(sum(n_l) AS BIGINT) AS n_docs,
+         |  count(*) AS n_langs,
+         |  CAST(1.0 AS DOUBLE) - CAST(sum(n_l * n_l) AS DOUBLE)
+         |    / CAST(sum(n_l) * sum(n_l) AS DOUBLE) AS gini_simpson
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+    },
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

@@ -3569,6 +3569,62 @@ object QueryCatalog {
     out
   }
 
+  /** Market-basket association (q159): support / confidence / lift for
+    * every pair of event types co-occurring in a (user, day) basket —
+    * the classic affinity readout. Baskets are distinct (user, day,
+    * type) triples; pair generation is a within-basket self-join
+    * (baskets hold ≤ |types| items, so the pair space is
+    * baskets × C(|types|,2), never users²); all measures are ratios of
+    * exact counts.
+    */
+  def marketBasket(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+    // one-row basket count rides the scalar-broadcast pattern (no
+    // driver-side action)
+    val nb = b.select("user_id", "day").distinct().agg(count(lit(1)).as("__nb"))
+    val singles = b.groupBy(col("event_type")).agg(count(lit(1)).as("n_single"))
+    val pairsAb = b.as("x").join(b.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairsAb
+      .join(singles.select(col("event_type").as("type_a"), col("n_single").as("n_a")), Seq("type_a"))
+      .join(singles.select(col("event_type").as("type_b"), col("n_single").as("n_b")), Seq("type_b"))
+      .crossJoin(broadcast(nb))
+      .withColumn("support", col("n_ab").cast("double") / col("__nb").cast("double"))
+      .withColumn("confidence", col("n_ab").cast("double") / col("n_a").cast("double"))
+      .withColumn("lift",
+        col("n_ab").cast("double") * col("__nb").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+      .select("type_a", "type_b", "n_ab", "n_a", "n_b", "support", "confidence", "lift")
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Language-diversity index per source (q160): the Gini-Simpson index
+    * 1 − Σp² over predicted languages — the LOG-FREE diversity measure
+    * (Shannon entropy needs ln, which the portability contract bans).
+    * Internals stay exact integers (Σ n_l² as a bigint), with ONE double
+    * division at the end, so no float sum order can differ between
+    * engines.
+    */
+  def langDiversity(s: SparkSession, dir: String): DataFrame = {
+    val byLang = t(s, dir, "documents")
+      .select(col("source"), TextOps.langId(col("text")).as("lang"))
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_l"))
+    byLang.groupBy("source").agg(
+        sum(col("n_l")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("n_l") * col("n_l")).as("__sq"))
+      .withColumn("gini_simpson",
+        lit(1.0) - col("__sq").cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double"))
+      .select("source", "n_docs", "n_langs", "gini_simpson")
+      .orderBy("source")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

@@ -958,6 +958,34 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  // ---- q159 market basket / q160 diversity ---------------------------------
+
+  test("marketBasket: measures respect their defining inequalities on the live data") {
+    val rows = Q.marketBasket(spark, sf)
+      .select("n_ab", "n_a", "n_b", "support", "confidence", "lift")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nab, na, nb2, sup, conf, lift) =>
+      assert(nab <= math.min(na, nb2), "co-occurrence cannot exceed either single count")
+      assert(sup > 0.0 && sup <= 1.0)
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(lift > 0.0)
+    }
+  }
+
+  test("langDiversity: Gini-Simpson bounds and the hand-computed index") {
+    val live = Q.langDiversity(spark, sf)
+      .select("n_langs", "gini_simpson").as[(Long, Double)].collect()
+    assert(live.nonEmpty)
+    live.foreach { case (k, gs) =>
+      assert(gs >= 0.0 && gs < 1.0)
+      if (k == 1) assert(gs == 0.0, "a monolingual source has zero diversity")
+    }
+    // hand case through the same algebra: counts (3,1) → 1 − (9+1)/16
+    val sq = 3L * 3 + 1L * 1
+    assert(1.0 - sq.toDouble / 16.0 == 0.375)
+  }
+
   // ---- edge cases across the continuation-session operators ----------------
 
   test("edge cases: frontier/skyline on empty, singleton, and all-identical frames") {

@@ -446,6 +446,10 @@ object Dedup {
         col("a.sz").as("sz_a"), col("c.sz").as("sz_b"),
         col("a.ths").as("tk_a"), col("c.ths").as("tk_b"))
     cands
+      // length filter first: J ≥ t needs min·den ≥ max·num — prunes
+      // mismatched-size neighbors before any array intersection
+      .filter(least(col("sz_a"), col("sz_b")) * thrDen >=
+              greatest(col("sz_a"), col("sz_b")) * thrNum)
       .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * thrDen >= col("union_sz") * thrNum)

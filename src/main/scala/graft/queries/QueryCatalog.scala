@@ -3215,10 +3215,15 @@ object QueryCatalog {
       .orderBy("l_returnflag")
   }
 
-  /** Column profiler (q144): [[graft.checks.Governance.columnProfile]]
-    * over three orders columns — counts, nulls, exact distincts, and the
-    * deterministic mode, all re-aggregated from ONE melted count frame
-    * (one data shuffle for the whole report).
+  /** Column profiler, long form (q144):
+    * [[graft.checks.Governance.columnProfile]] over three orders columns
+    * — counts, nulls, exact distincts, and the deterministic MODE, all
+    * re-aggregated from ONE melted count frame (one data shuffle for
+    * the whole report). Complements q45's WIDE profiler ([[columnProfile]]):
+    * q45 is the two-scan single-row shape (distinct counts via Expand +
+    * min/max stats) with no mode; this one pays a (col, value) shuffle
+    * to buy frequency-based metrics — the shape to reach for when the
+    * report needs modes or full value histograms.
     */
   def columnProfileQuery(s: SparkSession, dir: String): DataFrame =
     graft.checks.Governance.columnProfile(t(s, dir, "orders"),

@@ -263,4 +263,35 @@ class QueryPlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"),
       s"bucket rollup must hash-aggregate:\n${plan.take(1500)}")
   }
+
+  test("q139 frontier: the staircase join-back broadcasts; no nested-loop dominance join") {
+    val plan = executedPlan(QueryCatalog.paretoFrontier(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the NOT-EXISTS shape must never appear in the executed plan:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frontier (x, y) set must broadcast back onto the data:\n${plan.take(1500)}")
+  }
+
+  test("q145 sliding distinct: anchors semi-join, no theta join over days") {
+    val plan = executedPlan(QueryCatalog.slidingDistinct(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the BETWEEN window must ride the day fan-out equi-join:\n${plan.take(1500)}")
+  }
+
+  test("q156 sorted neighbors: rank-bucket equi-join, no window over the corpus rows") {
+    val plan = executedPlan(QueryCatalog.sortedNeighborPairsQuery(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"window pairing must be the posted-bucket equi-join:\n${plan.take(1500)}")
+    // the only Window is globalRowNumber's PARTITIONED local rank
+    assert(!plan.contains("Window [row_number() windowspecdefinition()"),
+      s"no unpartitioned window may touch the corpus:\n${plan.take(1500)}")
+  }
+
+  test("q157 count-min: the d-by-w counter table broadcasts to the estimate join") {
+    val plan = executedPlan(QueryCatalog.countMinSketch(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 256-row counter table must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"estimate lookup is an equi-join on (r, b):\n${plan.take(1500)}")
+  }
 }

@@ -74,6 +74,13 @@ object GraftFunctions {
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix52",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "md5_prefix52(str)")
+        Md5Prefix52(exprs.head)
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_distinct",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "kmv_distinct(hash52, k)")

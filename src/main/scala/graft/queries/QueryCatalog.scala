@@ -2868,9 +2868,10 @@ object QueryCatalog {
     val k = 256
     t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"),
-        // 13 hex chars = 52 bits: h/2^52 is FP-exact (see KmvState.Norm)
-        conv(substring(md5(col("l_orderkey").cast("string")), 1, 13), 16, 10)
-          .cast("long").as("h52"))
+        // 13 hex chars = 52 bits: h/2^52 is FP-exact (see KmvState.Norm);
+        // the codegen'd native skips the hex-string round trip
+        graft.functions.Md5Prefix52.md5Prefix52(col("l_orderkey").cast("string"))
+          .as("h52"))
       .groupBy("l_returnflag")
       .agg(
         count_distinct(col("l_orderkey")).as("nd_exact"),
@@ -3467,8 +3468,7 @@ object QueryCatalog {
   def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
     val uh = Tables.events(s, dir)
       .select(col("event_type"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
-          .cast("long").as("h"))
+        graft.functions.Md5Prefix52.md5Prefix52(col("user_id").cast("string")).as("h"))
       .distinct()
     graft.ops.CoreOps.kmvSetOverlap(uh, "event_type", "h", 64)
       .orderBy("type_a", "type_b")
@@ -3505,8 +3505,8 @@ object QueryCatalog {
     val w = 64
     val ev = Tables.events(s, dir).select(col("user_id"))
     def rowHash(i: Int): Column =
-      pmod(conv(substring(md5(concat_ws("|", lit(s"cm$i"), col("user_id").cast("string"))), 1, 13), 16, 10)
-        .cast("long"), lit(w.toLong))
+      pmod(graft.functions.Md5Prefix52.md5Prefix52(
+        concat_ws("|", lit(s"cm$i"), col("user_id").cast("string"))), lit(w.toLong))
     val posted = ev.select(col("user_id"),
         explode(array((0 until d).map(i =>
           struct(lit(i).as("r"), rowHash(i).as("b"))): _*)).as("p"))

@@ -986,6 +986,39 @@ class Round8Spec extends SparkSpec {
     assert(1.0 - sq.toDouble / 16.0 == 0.375)
   }
 
+  // ---- Md5Prefix52 native expression ---------------------------------------
+
+  test("Md5Prefix52 equals the conv(substring(md5)) composition, SQL-registered, codegen'd") {
+    val rnd = new scala.util.Random(21)
+    val strs = (0 until 200).map(_ => rnd.nextString(rnd.nextInt(30))) ++
+      Seq("", "héllo wörld", "0", "cm3|12345")
+    val df = strs.toDF("s")
+    val both = df.select(
+      graft.functions.Md5Prefix52.md5Prefix52(col("s")).as("native"),
+      expr("CAST(conv(substring(md5(s), 1, 13), 16, 10) AS BIGINT)").as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    val bounds = both.agg(min("native"), max("native")).head()
+    assert(bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 52),
+      "range must be [0, 2^52)")
+    // null passthrough
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(graft.functions.Md5Prefix52.md5Prefix52(col("s"))).head().isNullAt(0))
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("mp52_in")
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM mp52_in WHERE md5_prefix52(s) <> CAST(conv(substring(md5(s), 1, 13), 16, 10) AS BIGINT)")
+      .head().getLong(0)
+    assert(viaSql == 0L)
+    // the expression must NOT fall back: its generated code appears in the
+    // codegen'd plan (CodegenFallback expressions never do)
+    val gen = both.queryExecution.executedPlan.toString
+    assert(!gen.contains("CodegenFallback") || {
+      val codegen = org.apache.spark.sql.execution.debug.codegenString(both.queryExecution.executedPlan)
+      codegen.contains("hash52")
+    }, "Md5Prefix52 should participate in codegen")
+  }
+
   // ---- edge cases across the continuation-session operators ----------------
 
   test("edge cases: frontier/skyline on empty, singleton, and all-identical frames") {

@@ -174,9 +174,11 @@ class QueryPlanSpec extends SparkSpec {
     assert(plan.contains("partial_kmv_distinct"),
       s"KMV state must partial-aggregate map-side (O(k) per partition crosses the shuffle):\n${plan.take(1500)}")
     // the 52-bit md5 hash is computed in the scan-side projection, so the
-    // aggregate's child is a bare attribute (no per-row interpreted eval)
-    assert(plan.contains("conv(substring(md5"),
-      s"hash should be a codegen'd projection below the aggregate:\n${plan.take(2000)}")
+    // aggregate's child is a bare attribute (no per-row interpreted eval);
+    // since the Md5Prefix52 swap, the projection carries the codegen'd
+    // native instead of the conv(substring(md5)) composition
+    assert(plan.contains("md5prefix52("),
+      s"hash should be the native codegen'd projection below the aggregate:\n${plan.take(2000)}")
   }
 
   test("q118 outlier days: median frames broadcast, never cartesian; events scanned zero times in the final plan") {

@@ -310,7 +310,9 @@ object SparkEntry {
     // market-basket association: support/confidence/lift per type pair
     "q159_market_basket"        -> (Q.marketBasket(_, _)),
     // Gini-Simpson language diversity (log-free index, exact internals)
-    "q160_lang_diversity"       -> (Q.langDiversity(_, _))
+    "q160_lang_diversity"       -> (Q.langDiversity(_, _)),
+    // Spark 4 VARIANT semi-structured decode (contract: paths agree)
+    "q161_variant_extract"      -> (Q.variantExtract(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1258,6 +1258,23 @@ object OracleCatalog {
          |FROM c GROUP BY source ORDER BY source""".stripMargin
     },
 
+    // q161: VARIANT extraction — numeric aggregates must match the
+    // string-path decode; each engine certifies its own two decode paths
+    // agree (the verified-contract pattern)
+    "q161_variant_extract" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER)
+        |      IS NOT DISTINCT FROM CAST(json_extract(props, '$.k') AS INTEGER) AS agree,
+        |    CAST(json_extract_string(props, '$.does_not_exist') AS INTEGER) AS miss
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  min(CASE WHEN agree THEN 1 ELSE 0 END) = 1 AS paths_agree,
+        |  count(miss) AS n_missing_hits
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

@@ -3630,6 +3630,36 @@ object QueryCatalog {
       .orderBy("source")
   }
 
+  /** VARIANT semi-structured extraction (q161): the Spark 4 binary
+    * semi-structured path — `parse_json` → VariantType → `variant_get`
+    * — beside q61's string paths (get_json_object / from_json). The
+    * variant never crosses an engine boundary (it is Spark's internal
+    * binary encoding); what crosses are the extracted ints, plus the
+    * CONTRACT booleans: variant-vs-string-path agreement on this side,
+    * json_extract-vs-json_extract_string agreement on the oracle's —
+    * each engine certifying its own decode paths coincide, the q61/q59
+    * verified-contract pattern. A probe of a missing path must yield
+    * null (try_variant_get), counted to prove it.
+    */
+  def variantExtract(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val v = parse_json(col("props"))
+    val kVar  = try_variant_get(v, "$.k", "int")
+    val kStr  = get_json_object(col("props"), "$.k").cast("int")
+    val miss  = try_variant_get(v, "$.does_not_exist", "int")
+    ev.select(col("event_type"), kVar.as("k"), (kVar <=> kStr).as("agree"),
+        miss.as("miss"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        (min(when(col("agree"), 1L).otherwise(0L)) === 1L).as("paths_agree"),
+        count(col("miss")).as("n_missing_hits"))
+      .orderBy("event_type")
+  }
+
   // ---- checks engine as a query ------------------------------------------
 
   /** C3-C7 as one result table (check_name, metric, passed) — the Soda-gate

@@ -986,6 +986,16 @@ class Round8Spec extends SparkSpec {
     assert(1.0 - sq.toDouble / 16.0 == 0.375)
   }
 
+  // ---- q161 VARIANT extraction ---------------------------------------------
+
+  test("variantExtract: variant and string decode paths agree; missing paths are null") {
+    val rows = Q.variantExtract(spark, sf)
+      .select("paths_agree", "n_missing_hits").as[(Boolean, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1), "variant_get must decode identically to get_json_object")
+    assert(rows.forall(_._2 == 0L), "try_variant_get on a missing path must be null")
+  }
+
   // ---- Md5Prefix52 native expression ---------------------------------------
 
   test("Md5Prefix52 equals the conv(substring(md5)) composition, SQL-registered, codegen'd") {

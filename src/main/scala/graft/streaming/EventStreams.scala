@@ -419,6 +419,59 @@ object EventStreams {
       }
   }
 
+  final case class TypeCount(user_id: Long, event_type: String,
+                             n: Long, value_1e4: Long)
+
+  /** Per-(user, type) running totals under `transformWithState` — the
+    * Spark 4 arbitrary-state API, demonstrated on the COMPOSITE state
+    * shape that motivates it: a MapState[event_type → (count, exact
+    * 1e4-scaled sum)] per user, where the old mapGroupsWithState API
+    * forces the whole map into one serialized blob per update (every
+    * batch rewrites every type's counters; MapState touches only the
+    * types the batch saw). State stays exact-decimal (the q119/rollup
+    * convention) and per-entry bounded; requires the RocksDB state
+    * store provider (the API's backing store), which StreamingSpec
+    * already exercises for restart coverage.
+    */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, (Long, Long)]("typeCounts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      rows.foreach { e =>
+        val add = BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.movePointRight(4).longValueExact()
+        val cur = touched.getOrElse(e.event_type,
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else (0L, 0L))
+        touched(e.event_type) = (cur._1 + 1L, cur._2 + add)
+      }
+      touched.foreach { case (t, v) => counts.updateValue(t, v) }
+      touched.iterator.map { case (t, (n, s)) => TypeCount(key, t, n, s) }
+    }
+  }
+
+  def typeCountsStream(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming quality gate — the Soda-gate analog for streams
     * (check_function.py:22-23 semantics per micro-batch): each batch is
     * evaluated against the checks; a failing batch throws, failing the

@@ -787,4 +787,45 @@ class StreamingSpec extends SparkSpec {
         s"est=${est.head} eps=$eps")
     } finally q.stop()
   }
+
+  test("typeCountsStream (transformWithState): MapState totals across batches equal the batch aggregate") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val source = MemoryStream[Event]
+      val q = EventStreams.runToMemory(
+        EventStreams.typeCountsStream(source.toDS()).toDF(), "twst_test")
+      val b1 = Seq(Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.00005),
+                   Event(2, ts("2024-01-01 00:20:00"), 1, "view",  2.5),
+                   Event(3, ts("2024-01-01 00:30:00"), 2, "click", 0.12344))
+      val b2 = Seq(Event(4, ts("2024-01-01 01:00:00"), 1, "click", 10.0),
+                   Event(5, ts("2024-01-01 01:30:00"), 2, "view",  7.77777))
+      try {
+        Seq(b1, b2).foreach { b => source.addData(b: _*); q.processAllAvailable() }
+        val streamed = spark.sql(
+          """SELECT user_id, event_type, max(n) AS n, max_by(value_1e4, n) AS v
+            |FROM twst_test GROUP BY user_id, event_type""".stripMargin)
+          .as[(Long, String, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+        val batch = (b1 ++ b2).toDS()
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).as("dec"))
+          .collect().map { r =>
+            (r.getLong(0), r.getString(1)) ->
+              (r.getLong(2), r.getDecimal(3).movePointRight(4).longValueExact())
+          }.toMap
+        assert(streamed == batch,
+          s"composite MapState must equal the batch rollup\n$streamed\nvs\n$batch")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

@@ -312,7 +312,9 @@ object SparkEntry {
     // Gini-Simpson language diversity (log-free index, exact internals)
     "q160_lang_diversity"       -> (Q.langDiversity(_, _)),
     // Spark 4 VARIANT semi-structured decode (contract: paths agree)
-    "q161_variant_extract"      -> (Q.variantExtract(_, _))
+    "q161_variant_extract"      -> (Q.variantExtract(_, _)),
+    // l-diversity: the homogeneity-attack audit beside q131's k-anonymity
+    "q162_l_diversity"          -> (Q.lDiversityAudit(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -254,4 +254,22 @@ object CheckSuite {
       .agg(count(lit(1)).as("group_size"))
       .withColumn("at_risk", col("group_size") < k)
   }
+
+  /** l-diversity audit — [[kAnonymity]]'s necessary complement: a QI
+    * group can be large (k-anonymous) yet still leak if every member
+    * shares the SAME sensitive value (the homogeneity attack — "all ten
+    * people matching those quasi-identifiers are in debt"). A group is
+    * at risk when its sensitive attribute takes fewer than `l` distinct
+    * values. Same single hash-aggregate shape as kAnonymity, with the
+    * distinct count riding the same shuffle.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(l >= 1, "l must be >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
 }

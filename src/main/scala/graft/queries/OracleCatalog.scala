@@ -775,6 +775,18 @@ object OracleCatalog {
         |  count(*) < 5 AS at_risk
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q162: l-diversity — same census shuffle as q131 with the
+    // sensitive-class distinct count riding along
+    "q162_l_diversity" ->
+      """WITH d AS (SELECT c_nationkey, c_mktsegment,
+        |    CASE WHEN c_acctbal < 0 THEN 'debt'
+        |         WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_class
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+        |  count(DISTINCT bal_class) AS n_sensitive,
+        |  count(DISTINCT bal_class) < 2 AS at_risk
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // q132: compaction plan — cumulative-before DIV target first-fit,
     // integer arithmetic replayed verbatim
     "q132_compaction_plan" ->

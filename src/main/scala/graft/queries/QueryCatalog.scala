@@ -2986,6 +2986,20 @@ object QueryCatalog {
         t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** l-diversity audit (q162): [[graft.checks.CheckSuite.lDiversity]] —
+    * k-anonymity's necessary complement (a large group still leaks when
+    * every member shares one sensitive value). Sensitive attribute:
+    * account-balance class (debt / low / high), QI as in q131.
+    */
+  def lDiversityAudit(s: SparkSession, dir: String): DataFrame = {
+    val sensitive = when(col("c_acctbal") < 0, lit("debt"))
+      .when(col("c_acctbal") < 5000, lit("low")).otherwise(lit("high"))
+    graft.checks.CheckSuite.lDiversity(
+        t(s, dir, "customer").withColumn("bal_class", sensitive),
+        Seq("c_nationkey", "c_mktsegment"), "bal_class", l = 2)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   /** Compaction plan (q132): [[graft.io.Compaction.plan]] over a file
     * listing derived from documents (per-source "files" sized by text
     * length) with 2 KiB bins — the OPTIMIZE scheduling step as pure

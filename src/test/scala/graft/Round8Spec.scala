@@ -986,6 +986,20 @@ class Round8Spec extends SparkSpec {
     assert(1.0 - sq.toDouble / 16.0 == 0.375)
   }
 
+  // ---- q162 l-diversity -----------------------------------------------------
+
+  test("lDiversity: planted homogeneous group flagged even when k-anonymous") {
+    val df = Seq(
+      ("qa", "debt"), ("qa", "debt"), ("qa", "debt"), ("qa", "debt"), // big but homogeneous
+      ("qb", "debt"), ("qb", "high")                                  // small but diverse
+    ).toDF("qi", "s")
+    val out = graft.checks.CheckSuite.lDiversity(df, Seq("qi"), "s", l = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("qa") == ((4L, 1L, true)), "homogeneity attack: large group, one value → at risk")
+    assert(out("qb") == ((2L, 2L, false)))
+  }
+
   // ---- q161 VARIANT extraction ---------------------------------------------
 
   test("variantExtract: variant and string decode paths agree; missing paths are null") {

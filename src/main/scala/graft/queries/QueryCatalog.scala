@@ -186,6 +186,38 @@ object QueryCatalog {
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     docCandidatePairs(s, dir)
 
+  /** Session-scoped rare-8-gram co-occurrence edges — q148 (triangle
+    * census) and q158 (incremental components) read the SAME graph, and
+    * the gram explode + df join + pair self-join is its expensive
+    * stage, so it builds once per (session, dir). Eagerly checkpointed
+    * (the [[pairsCache]] convention); [[invalidateRareGramEdges]] owns
+    * the block release, sequenced after the last sorted consumer.
+    */
+  private val rareEdgesCache =
+    graft.util.SessionScoped.cache[DataFrame]("rareGramEdges", dropCheckpointBlocks)
+
+  private def rareGramEdges(s: SparkSession, dir: String): DataFrame = {
+    CacheAccess.record("rareGramEdges")
+    rareEdgesCache.getOrElseUpdate(s, dir) {
+      import graft.dedup.Checkpoints
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
+      val rare = g.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 5)).select("gram")
+      val (gr, grBlocks) = Checkpoints.tracked(g.join(rare, Seq("gram")))
+      val (edges, _) = Checkpoints.tracked(
+        gr.as("x").join(gr.as("y"),
+            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct())
+      Checkpoints.release(grBlocks)
+      edges
+    }
+  }
+
+  def invalidateRareGramEdges(s: SparkSession, dir: String): Unit =
+    rareEdgesCache.invalidate(s, dir)
+
   /** Session-scoped component map over the default verified near-dup
     * pairs — q54 (min-id clusters) and q106 (quality keepers) consume the
     * SAME doc→component assignment, and the pointer-jumping rounds are
@@ -684,7 +716,7 @@ object QueryCatalog {
       s"cache $name: an early release at/after the last consumer is just the release")
   }
 
-  /** The five session caches and the queries that read them. Membership
+  /** The six session caches and the queries that read them. Membership
     * is verified by CacheLifecycleSpec against recorded getter accesses
     * on a cold sorted sweep — edit the sets here when adding a consumer;
     * the release schedule follows.
@@ -718,7 +750,10 @@ object QueryCatalog {
       invalidate = (s, d) => invalidateComponents(s, d)),
     SessionCache("corpus",
       consumers = Set("q32_clean_corpus", "q49_training_corpus"),
-      invalidate = (s, d) => invalidateCorpus(s, d)))
+      invalidate = (s, d) => invalidateCorpus(s, d)),
+    SessionCache("rareGramEdges",
+      consumers = Set("q148_triangle_census", "q158_incremental_components"),
+      invalidate = (s, d) => invalidateRareGramEdges(s, d)))
 
   /** Derived release schedule: query name → releases to run after it
     * (each cache's last sorted consumer, plus declared early points).
@@ -3303,23 +3338,8 @@ object QueryCatalog {
     * right dedup action. Oracle replays the edge build and counts
     * triangles by the ordered triple join.
     */
-  def triangleCensus(s: SparkSession, dir: String): DataFrame = {
-    val g = t(s, dir, "documents")
-      .select(col("doc_id"), explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
-    val rare = g.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 5))
-      .select("gram")
-    // gr feeds both sides of the pair self-join — checkpoint once or the
-    // 8-gram explode + df join replays per side
-    val (gr, grBlocks) = graft.dedup.Checkpoints.tracked(g.join(rare, Seq("gram")))
-    val edges = gr.as("x").join(gr.as("y"),
-        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    val out = graft.graph.Triangles.triangleCount(edges, "a", "b")
-    graft.dedup.Checkpoints.release(grBlocks)
-    out
-  }
+  def triangleCensus(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Triangles.triangleCount(rareGramEdges(s, dir), "a", "b")
 
   /** Water-filling token budget (q149):
     * [[graft.ops.CoreOps.waterFillAlloc]] over per-source token totals
@@ -3555,19 +3575,8 @@ object QueryCatalog {
     * incremental == full-recompute contract.
     */
   def incrementalComponents(s: SparkSession, dir: String): DataFrame = {
-    import graft.dedup.Checkpoints
     val docs = t(s, dir, "documents").select("doc_id")
-    val g = t(s, dir, "documents")
-      .select(col("doc_id"), explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
-    val rare = g.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 5)).select("gram")
-    val (gr, grBlocks) = Checkpoints.tracked(g.join(rare, Seq("gram")))
-    val (edges, eBlocks) = Checkpoints.tracked(
-      gr.as("x").join(gr.as("y"),
-          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct())
-    Checkpoints.release(grBlocks)
+    val edges = rareGramEdges(s, dir)
     val cutDf = docs.agg(expr("(max(doc_id) * 4) DIV 5").as("__cut"))
     val eC = edges.crossJoin(broadcast(cutDf))
     val eOld   = eC.filter(col("a") < col("__cut") && col("b") < col("__cut")).select("a", "b")
@@ -3579,13 +3588,11 @@ object QueryCatalog {
     val starEdges = oldMap.select(col("doc_id").as("a"), col("component").as("b"))
     val inc = graft.dedup.Components.connectedComponents(
       starEdges.unionByName(eTouch), "a", "b", docs, "doc_id")
-    val out = inc
+    inc
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("component")).cast("int"))
       .select("doc_id", "component", "cluster_size")
       .orderBy("doc_id")
-    Checkpoints.release(eBlocks)
-    out
   }
 
   /** Market-basket association (q159): support / confidence / lift for

@@ -289,6 +289,44 @@ class QueryPlanSpec extends SparkSpec {
       s"no unpartitioned window may touch the corpus:\n${plan.take(1500)}")
   }
 
+  test("runtime bloom-filter join pruning engages on a selective shuffled join") {
+    // the 100 TB join optimization beyond AQE: when one side of a
+    // shuffled equi-join is selective, Spark injects a bloom filter of
+    // its keys into the big side's scan, discarding non-matching rows
+    // BEFORE the shuffle. Pinned here so a conf or version change can't
+    // silently lose it; thresholds are tuned to test scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.io.Tables.table(spark, sf, "lineitem")
+      val sel = graft.io.Tables.table(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(sel,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("bloom_filter"),
+        s"runtime bloom filter must inject into the big side:\n${optimized.take(2000)}")
+      // and it must not change results vs the filter disabled
+      val withBloom = j.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = li.join(sel,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey")).count()
+      assert(withBloom == without, "bloom pruning must be semantically invisible")
+      assert(withBloom > 0, "fixture must actually join")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q157 count-min: the d-by-w counter table broadcasts to the estimate join") {
     val plan = executedPlan(QueryCatalog.countMinSketch(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),

@@ -314,7 +314,9 @@ object SparkEntry {
     // Spark 4 VARIANT semi-structured decode (contract: paths agree)
     "q161_variant_extract"      -> (Q.variantExtract(_, _)),
     // l-diversity: the homogeneity-attack audit beside q131's k-anonymity
-    "q162_l_diversity"          -> (Q.lDiversityAudit(_, _))
+    "q162_l_diversity"          -> (Q.lDiversityAudit(_, _)),
+    // REAL WAV audio decode round trip (javax.sound; q126's audio analog)
+    "q163_audio_decode"         -> (Q.audioDecode(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata (BASELINE.json north star). The IMAGE decode is
   * REAL — `javax.imageio` PNG encode/decode executor-side
-  * ([[syntheticPng]]/[[decodeImages]], oracle-checked by q126); audio and
-  * video demux remain stubbed (no codec libs in this container — see
-  * [[FakeDecoder]]). Everything Spark-side — schema, batching, partition
-  * shape, UDF signature — is real and tested.
+  * ([[syntheticPng]]/[[decodeImages]], oracle-checked by q126) — and so
+  * is the AUDIO decode — `javax.sound.sampled` WAV PCM encode/decode
+  * ([[syntheticWav]]/[[decodeAudio]], oracle-checked by q163); only
+  * video demux remains stubbed (no video codec libs in this container —
+  * see [[FakeDecoder]]). Everything Spark-side — schema, batching,
+  * partition shape, UDF signature — is real and tested.
   *
   * Scale notes: media bytes ride in the row (parquet binary), so
   * `spark.sql.files.maxPartitionBytes` governs batch memory; decode runs in
@@ -167,6 +169,80 @@ object Multimodal {
               val n = w.toLong * h
               DecodedImage(id, w, h, n, sum, sum.toDouble / n)
             }
+        }
+      }
+  }
+
+  /** Deterministic 16-bit mono PCM waveform for id: n = 50 + id%40
+    * samples at 8 kHz, sample_i = ((id·31 + i·17) mod 2001) − 1000 —
+    * integer-valued so peak/energy are exact and the q163 oracle can
+    * state the SEMANTIC values a correct WAV round trip must recover
+    * (the q126 gradient trick, for audio). Encoded through the REAL
+    * `javax.sound.sampled` WAV writer.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 50 + (id % 40).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 31 + i * 17) % 2001) - 1000).toInt
+      data(2 * i) = (s & 0xff).toByte // little-endian PCM16
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** (media_id, content) of real WAV bytes — encoder runs executor-side
+    * in the mapPartitions batch shape, like [[pngMedia]]. */
+  def wavMedia(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticWav(id))))
+      .toDF("media_id", "content")
+  }
+
+  final case class DecodedAudio(media_id: Long, n_samples: Long,
+                                sample_rate: Int, peak_abs: Int,
+                                sum_sq: Long, rms: Double)
+
+  /** REAL audio decode through `javax.sound.sampled` — the audio
+    * modality's codec seam made concrete (WAV PCM ships with the JDK;
+    * compressed formats plug into the same boundary via SPI).
+    * Undecodable payloads are dropped, the corrupt-media posture of
+    * [[decodeImages]]. peak/energy accumulate as exact integers; rms is
+    * the one sqrt-of-exact-ratio double both engines replay.
+    */
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, content) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(content))
+            try {
+              val fmt = ais.getFormat
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              var i = 0; var sumSq = 0L; var peak = 0
+              while (i < n) {
+                val v = (bytes(2 * i + 1) << 8 | (bytes(2 * i) & 0xff)).toShort.toInt
+                sumSq += v.toLong * v
+                val a = math.abs(v); if (a > peak) peak = a
+                i += 1
+              }
+              if (n == 0) None
+              else Some(DecodedAudio(id, n.toLong, fmt.getSampleRate.toInt,
+                peak, sumSq, math.sqrt(sumSq.toDouble / n)))
+            } finally ais.close()
+          } catch { case _: Exception => None }
         }
       }
   }

@@ -1287,6 +1287,22 @@ object OracleCatalog {
         |  count(miss) AS n_missing_hits
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // q163: WAV audio round trip — the oracle recomputes the waveform
+    // SEMANTICS (sample formula → peak/energy/rms); a hash match proves
+    // the javax.sound encode→decode path recovered every sample
+    "q163_audio_decode" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 100),
+        |s AS (SELECT media_id, 50 + (media_id % 40) AS n FROM ids),
+        |x AS (SELECT media_id, n, i,
+        |    ((media_id * 31 + i * 17) % 2001) - 1000 AS v
+        |  FROM s, unnest(generate_series(0, n - 1)) AS u(i))
+        |SELECT media_id, CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(max(abs(v)) AS INTEGER) AS peak_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(max(n) AS DOUBLE)) AS rms
+        |FROM x GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

@@ -402,6 +402,20 @@ object QueryCatalog {
       .orderBy("media_id")
   }
 
+  /** REAL audio decode (q163): WAV PCM through `javax.sound.sampled` —
+    * the audio analog of q126. The oracle states the SEMANTIC waveform
+    * (sample formula, peak, exact energy, rms) a correct encode→decode
+    * round trip must recover; a hash match proves the real codec path
+    * is lossless, not just that some bytes moved.
+    */
+  def audioDecode(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id")
+    graft.multimodal.Multimodal.decodeAudio(
+        graft.multimodal.Multimodal.wavMedia(ids))
+      .toDF()
+      .orderBy("media_id")
+  }
+
   /** Fully-trained IVF-PQ (q127): the complete production ANN — q68's
     * one-iteration quantized-mean k-means trains the IVF CELLS, q125's
     * per-sub-space Lloyd refinement trains the PQ CODEBOOKS, and the

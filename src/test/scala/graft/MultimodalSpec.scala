@@ -73,4 +73,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.media_id).toSeq == Seq(1L),
       s"only the decodable payload may survive: ${out.map(_.media_id).toSeq}")
   }
+
+  test("real audio codec: decoded WAV recovers the exact waveform; corrupt payloads dropped") {
+    import spark.implicits._
+    val good = Multimodal.wavMedia(Seq(3L).toDF("doc_id"))
+    val bad  = Seq((200L, Array[Byte](82, 73, 70)), (201L, null: Array[Byte]))
+      .toDF("media_id", "content")
+    val out = Multimodal.decodeAudio(good.unionByName(bad)).collect()
+    assert(out.map(_.media_id).toSeq == Seq(3L))
+    val d = out.head
+    // driver-side waveform replay: id=3 → n = 53, s_i = ((93 + 17i) % 2001) − 1000
+    val samples = (0 until 53).map(i => ((3L * 31 + i * 17) % 2001) - 1000)
+    assert(d.n_samples == 53L && d.sample_rate == 8000)
+    assert(d.peak_abs == samples.map(math.abs).max)
+    assert(d.sum_sq == samples.map(v => v * v).sum)
+    assert(d.rms == math.sqrt(d.sum_sq.toDouble / 53))
+  }
 }

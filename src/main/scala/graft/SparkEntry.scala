@@ -316,7 +316,9 @@ object SparkEntry {
     // l-diversity: the homogeneity-attack audit beside q131's k-anonymity
     "q162_l_diversity"          -> (Q.lDiversityAudit(_, _)),
     // REAL WAV audio decode round trip (javax.sound; q126's audio analog)
-    "q163_audio_decode"         -> (Q.audioDecode(_, _))
+    "q163_audio_decode"         -> (Q.audioDecode(_, _)),
+    // REAL video container demux + frame-sampled PNG decode
+    "q164_video_demux"          -> (Q.videoDemux(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

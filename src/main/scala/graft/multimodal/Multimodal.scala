@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata (BASELINE.json north star). The IMAGE decode is
-  * REAL — `javax.imageio` PNG encode/decode executor-side
-  * ([[syntheticPng]]/[[decodeImages]], oracle-checked by q126) — and so
-  * is the AUDIO decode — `javax.sound.sampled` WAV PCM encode/decode
-  * ([[syntheticWav]]/[[decodeAudio]], oracle-checked by q163); only
-  * video demux remains stubbed (no video codec libs in this container —
-  * see [[FakeDecoder]]). Everything Spark-side — schema, batching,
-  * partition shape, UDF signature — is real and tested.
+  * with typed metadata (BASELINE.json north star). All three modalities
+  * now run REAL codec paths executor-side: `javax.imageio` PNG
+  * encode/decode ([[syntheticPng]]/[[decodeImages]], q126),
+  * `javax.sound.sampled` WAV PCM ([[syntheticWav]]/[[decodeAudio]],
+  * q163), and a length-prefixed frame container demuxed + per-frame
+  * PNG-decoded ([[syntheticVideo]]/[[demuxVideo]], q164 — a third-party
+  * video codec slots into the per-frame decode without touching the
+  * demux). [[FakeDecoder]] remains only as the generic feature-extract
+  * stub behind [[extractFeatures]] (q27/q28's byte-stat path).
+  * Everything Spark-side — schema, batching, partition shape, UDF
+  * signature — is real and tested.
   *
   * Scale notes: media bytes ride in the row (parquet binary), so
   * `spark.sql.files.maxPartitionBytes` governs batch memory; decode runs in
@@ -103,16 +106,22 @@ object Multimodal {
     * which is what lets the q126 DuckDB oracle check the codec round
     * trip by replaying the gradient arithmetic instead of parsing PNG.
     */
-  def syntheticPng(id: Long): Array[Byte] = {
-    val w = 4 + (id % 5).toInt
-    val h = 3 + (id % 4).toInt
+  def syntheticPng(id: Long): Array[Byte] = pngFrame(id, 0)
+
+  /** One gray-gradient PNG frame of the (id, f) sequence: dims cycle
+    * with id+f, pixel g = (x·7 + y·11 + id·13 + f·17) mod 256 — frame 0
+    * is exactly [[syntheticPng]]'s image, so q126's oracle is untouched.
+    */
+  private[multimodal] def pngFrame(id: Long, f: Int): Array[Byte] = {
+    val w = 4 + ((id + f) % 5).toInt
+    val h = 3 + ((id + f) % 4).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = ((x * 7 + y * 11 + id * 13) % 256).toInt
+        val g = ((x * 7 + y * 11 + id * 13 + f * 17) % 256).toInt
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
@@ -243,6 +252,90 @@ object Multimodal {
                 peak, sumSq, math.sqrt(sumSq.toDouble / n)))
             } finally ais.close()
           } catch { case _: Exception => None }
+        }
+      }
+  }
+
+  /** Deterministic video container: magic "GFTV", frame count, then
+    * length-prefixed PNG frames of the (id, f) gradient sequence —
+    * 2 + id%3 frames per clip. The container grammar (magic + offset/
+    * length records) is what real demuxers parse; the per-frame codec is
+    * the same real PNG path as q126. Built through the actual writer so
+    * [[demuxVideo]] exercises true binary parsing, not a shortcut.
+    */
+  def syntheticVideo(id: Long): Array[Byte] = {
+    val nf = (2 + id % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeBytes("GFTV")
+    dos.writeInt(nf)
+    var f = 0
+    while (f < nf) {
+      val png = pngFrame(id, f)
+      dos.writeInt(png.length)
+      dos.write(png)
+      f += 1
+    }
+    dos.flush()
+    bos.toByteArray
+  }
+
+  /** (media_id, content) of real container bytes, executor-side. */
+  def videoMedia(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => (id, syntheticVideo(id)))
+      }
+      .toDF("media_id", "content")
+  }
+
+  final case class DecodedFrame(media_id: Long, frame_idx: Int,
+                                width: Int, height: Int, sum_luma: Long)
+
+  /** REAL video demux + frame-sampled decode: parse the container
+    * (magic check, frame table), decode every `stride`-th frame through
+    * `javax.imageio`, emit per-frame pixel sums — the video analog of
+    * [[decodeImages]]/[[decodeAudio]], closing the last modality's
+    * seam at the container level (a third-party codec slots into the
+    * per-frame decode without touching the demux). Malformed containers
+    * and undecodable frames are dropped, the corrupt-media posture.
+    */
+  def demuxVideo(media: DataFrame, stride: Int = 2): Dataset[DecodedFrame] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, content) =>
+          try {
+            val in = new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(content))
+            val magic = new Array[Byte](4)
+            in.readFully(magic)
+            if (new String(magic, "US-ASCII") != "GFTV") Iterator.empty
+            else {
+              val nf = in.readInt()
+              (0 until nf).iterator.flatMap { f =>
+                val len = in.readInt()
+                val png = new Array[Byte](len)
+                in.readFully(png)
+                if (f % stride != 0) None
+                else Option(javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(png)))
+                  .map { img =>
+                    val w = img.getWidth; val h = img.getHeight
+                    var sum = 0L; var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+                      y += 1
+                    }
+                    DecodedFrame(id, f, w, h, sum)
+                  }
+              }.toVector
+            }
+          } catch { case _: Exception => Iterator.empty }
         }
       }
   }

@@ -1303,6 +1303,25 @@ object OracleCatalog {
         |  sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(max(n) AS DOUBLE)) AS rms
         |FROM x GROUP BY media_id ORDER BY media_id""".stripMargin,
 
+    // q164: video demux — sampled frames' gradient semantics restated;
+    // a hash match proves container parse + per-frame decode round trip
+    "q164_video_demux" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 100),
+        |fr AS (SELECT media_id, f
+        |  FROM ids, unnest(generate_series(0, (2 + media_id % 3) - 1)) AS u(f)
+        |  WHERE f % 2 = 0),
+        |d AS (SELECT media_id, f,
+        |    4 + (media_id + f) % 5 AS w, 3 + (media_id + f) % 4 AS h FROM fr),
+        |px AS (SELECT media_id, f, w, h,
+        |    (x * 7 + y * 11 + media_id * 13 + f * 17) % 256 AS g
+        |  FROM d,
+        |    unnest(generate_series(0, w - 1)) AS ux(x),
+        |    unnest(generate_series(0, h - 1)) AS uy(y))
+        |SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+        |  CAST(sum(g) AS BIGINT) AS sum_luma
+        |FROM px GROUP BY media_id, f ORDER BY media_id, frame_idx""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

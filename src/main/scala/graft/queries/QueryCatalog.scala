@@ -416,6 +416,21 @@ object QueryCatalog {
       .orderBy("media_id")
   }
 
+  /** REAL video demux (q164): parse the GFTV container, decode every
+    * 2nd frame through the real PNG codec, emit per-frame pixel sums —
+    * the oracle restates each sampled frame's gradient semantics, so a
+    * hash match proves container parsing AND frame decode recovered
+    * every sampled pixel. Closes the last modality seam at the
+    * container level.
+    */
+  def videoDemux(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id")
+    graft.multimodal.Multimodal.demuxVideo(
+        graft.multimodal.Multimodal.videoMedia(ids))
+      .toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Fully-trained IVF-PQ (q127): the complete production ANN — q68's
     * one-iteration quantized-mean k-means trains the IVF CELLS, q125's
     * per-sub-space Lloyd refinement trains the PQ CODEBOOKS, and the

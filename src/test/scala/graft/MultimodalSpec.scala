@@ -89,4 +89,28 @@ class MultimodalSpec extends SparkSpec {
     assert(d.sum_sq == samples.map(v => v * v).sum)
     assert(d.rms == math.sqrt(d.sum_sq.toDouble / 53))
   }
+
+  test("real video demux: sampled frames recover exact pixels; bad magic and truncation dropped") {
+    import spark.implicits._
+    val good = Multimodal.videoMedia(Seq(4L).toDF("doc_id"))
+    val full = Multimodal.syntheticVideo(4L)
+    val bad = Seq(
+      (300L, "NOPE".getBytes("US-ASCII") ++ full.drop(4)), // wrong magic
+      (301L, full.take(full.length - 3)),                  // truncated last frame
+      (302L, null: Array[Byte])
+    ).toDF("media_id", "content")
+    val out = Multimodal.demuxVideo(good.unionByName(bad)).collect()
+      .sortBy(_.frame_idx)
+    // id=4 → 2 + 4%3 = 3 frames, stride 2 samples frames 0 and 2
+    assert(out.map(_.media_id).distinct.toSeq == Seq(4L))
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 2))
+    out.foreach { fr =>
+      val w = 4 + ((4 + fr.frame_idx) % 5)
+      val h = 3 + ((4 + fr.frame_idx) % 4)
+      val expect = (for { y <- 0 until h; x <- 0 until w }
+        yield (x * 7 + y * 11 + 4 * 13 + fr.frame_idx * 17) % 256).sum.toLong
+      assert(fr.width == w && fr.height == h)
+      assert(fr.sum_luma == expect, s"frame ${fr.frame_idx}")
+    }
+  }
 }

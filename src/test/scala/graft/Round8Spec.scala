@@ -1043,6 +1043,59 @@ class Round8Spec extends SparkSpec {
     }, "Md5Prefix52 should participate in codegen")
   }
 
+  // ---- algebraic properties of the session's statistical operators ---------
+
+  test("welchTTest: swapping the arms negates t and swaps the means exactly") {
+    val rnd = new scala.util.Random(33)
+    val rows = (0 until 120).map(i =>
+      ("g", i % 3 == 0, (rnd.nextInt(2000) - 1000) / 10.0))
+    val fwd = graft.ops.CoreOps.welchTTest(rows.toDF("g", "arm", "v"),
+      Seq("g"), "arm", "v").head()
+    val swapped = rows.map { case (g, a, v) => (g, !a, v) }
+    val rev = graft.ops.CoreOps.welchTTest(swapped.toDF("g", "arm", "v"),
+      Seq("g"), "arm", "v").head()
+    assert(fwd.getDouble(3) == rev.getDouble(4) && fwd.getDouble(4) == rev.getDouble(3),
+      "means must swap")
+    assert(fwd.getDouble(5) == -rev.getDouble(5), "t must negate exactly")
+  }
+
+  test("groupedOls: shifting y by a constant moves only the intercept, exactly") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 80).map(i => ("g", (i + 1).toLong, rnd.nextInt(1000).toLong))
+    def fit(shift: Long) = graft.ops.CoreOps.groupedOls(
+        rows.map { case (g, x, y) => (g, x, y + shift) }.toDF("g", "x", "y"),
+        Seq("g"), "x", "y").head()
+    val base = fit(0); val moved = fit(500)
+    assert(base.getDouble(2) == moved.getDouble(2),
+      "slope is exactly invariant under a y-shift (exact sufficient statistics)")
+    assert(moved.getDouble(3) == base.getDouble(3) + 500.0,
+      "intercept moves by exactly the shift")
+  }
+
+  test("paretoFrontier2D and skylineND are idempotent (frontier of the frontier)") {
+    val rnd = new scala.util.Random(55)
+    val pts = (0 until 200).map(i => (i.toLong, rnd.nextInt(30), rnd.nextInt(30)))
+    val df = pts.toDF("id", "x", "y")
+    val f1 = graft.ops.CoreOps.paretoFrontier2D(df, "x", "y")
+    val f2 = graft.ops.CoreOps.paretoFrontier2D(f1, "x", "y")
+    assert(f1.select("id").as[Long].collect().toSet ==
+           f2.select("id").as[Long].collect().toSet)
+    val s1 = graft.ops.CoreOps.skylineND(df, "id", Seq("x"), Seq("y"))
+    val s2 = graft.ops.CoreOps.skylineND(s1, "id", Seq("x"), Seq("y"))
+    assert(s1.select("id").as[Long].collect().toSet ==
+           s2.select("id").as[Long].collect().toSet)
+  }
+
+  test("skewedDistinctCount: invariant under row duplication (it counts values, not rows)") {
+    val rows = (0 until 400).map(i => ("k" + (i % 3), (i % 37).toLong))
+    val once = graft.ops.CoreOps.skewedDistinctCount(
+      rows.toDF("k", "v"), Seq("k"), "v", 8).as[(String, Long)].collect().toMap
+    val tripled = graft.ops.CoreOps.skewedDistinctCount(
+      (rows ++ rows ++ rows).toDF("k", "v"), Seq("k"), "v", 8)
+      .as[(String, Long)].collect().toMap
+    assert(once == tripled)
+  }
+
   // ---- edge cases across the continuation-session operators ----------------
 
   test("edge cases: frontier/skyline on empty, singleton, and all-identical frames") {

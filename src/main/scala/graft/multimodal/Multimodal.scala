@@ -234,10 +234,24 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, content) =>
           try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(content))
+            // Normalize to 16-bit LE signed PCM before sampling: other
+            // encodings (8-bit, big-endian, float) convert through the JDK
+            // SPI; unsupported conversions throw and the row is dropped.
+            // Channel mixing isn't attempted — non-mono payloads drop too.
+            val f0 = raw.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
+              f0.getSampleRate, false)
+            val ais =
+              if (f0.matches(target)) raw
+              else javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
             try {
               val fmt = ais.getFormat
+              if (fmt.getChannels != 1) { ais.close(); None }
+              else {
               val bytes = ais.readAllBytes()
               val n = bytes.length / 2
               var i = 0; var sumSq = 0L; var peak = 0
@@ -250,6 +264,7 @@ object Multimodal {
               if (n == 0) None
               else Some(DecodedAudio(id, n.toLong, fmt.getSampleRate.toInt,
                 peak, sumSq, math.sqrt(sumSq.toDouble / n)))
+              }
             } finally ais.close()
           } catch { case _: Exception => None }
         }
@@ -318,6 +333,12 @@ object Multimodal {
               val nf = in.readInt()
               (0 until nf).iterator.flatMap { f =>
                 val len = in.readInt()
+                // The length field is untrusted input — bound it by the
+                // bytes actually remaining before allocating, so a corrupt
+                // container can't trigger an OOM the corrupt-media catch
+                // wouldn't see. Violations make the container malformed.
+                if (len < 0 || len > in.available())
+                  throw new java.io.IOException(s"frame length $len exceeds remaining ${in.available()}")
                 val png = new Array[Byte](len)
                 in.readFully(png)
                 if (f % stride != 0) None

@@ -121,6 +121,15 @@ object CoreOps {
     floor(c * lit(p) + lit(0.5)) / lit(p)
   }
 
+  /** Leading significant digit of x ≥ 1: first character of the integer
+    * part's decimal rendering (floor → bigint → string → char). LOG-FREE
+    * (log10 is banned by the portability contract), exact at ANY
+    * magnitude — no CASE ladder to fall off of past 1e8 — and guaranteed
+    * to land in 1..9. Null for null input; callers filter x ≥ 1.
+    */
+  def leadingDigit(x: Column): Column =
+    substring(floor(x).cast("long").cast("string"), 1, 1).cast("int")
+
   /** SCD Type-2 snapshot: compress a per-key change stream into validity
     * intervals — the dbt-snapshot / dimension-history operator. Keeps
     * only rows where `stateCol` CHANGES vs the key's previous row (lag),
@@ -524,13 +533,20 @@ object CoreOps {
     * Scale: a single hash aggregation on the group keys; state per group
     * is five numbers, mergeable under any split — the same monoid
     * algebra as q119's maintained rollup.
+    *
+    * Null posture: rows where either coordinate is null are excluded
+    * BEFORE aggregation (the complete-case fit), keeping n consistent
+    * with the sums — a null x with non-null y would otherwise inflate n
+    * while the skipped sums silently bias the fit. Groups with no
+    * complete rows are absent from the output.
     */
   def groupedOls(df: DataFrame, groupCols: Seq[String],
                  xLong: String, yLong: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     val x = col(xLong).cast("decimal(19,0)")
     val y = col(yLong).cast("decimal(19,0)")
-    val agg = df.groupBy(groupCols.map(col): _*).agg(
+    val agg = df.filter(col(xLong).isNotNull && col(yLong).isNotNull)
+      .groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(x).cast("decimal(38,0)").as("__sx"),
       sum(y).cast("decimal(38,0)").as("__sy"),

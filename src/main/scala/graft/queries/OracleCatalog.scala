@@ -1088,17 +1088,10 @@ object OracleCatalog {
         |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY state) AS DOUBLE) AS prob
         |FROM c ORDER BY state, next_state""".stripMargin,
 
-    // q153: Benford audit — log-free magnitude ladder, literal expecteds
+    // q153: Benford audit — log-free leading digit via the integer
+    // part's decimal rendering (exact at any magnitude), literal expecteds
     "q153_benford_audit" ->
-      """WITH d AS (SELECT CAST(CASE
-        |    WHEN o_totalprice < 10 THEN floor(o_totalprice)
-        |    WHEN o_totalprice < 100 THEN floor(o_totalprice / 10)
-        |    WHEN o_totalprice < 1000 THEN floor(o_totalprice / 100)
-        |    WHEN o_totalprice < 10000 THEN floor(o_totalprice / 1000)
-        |    WHEN o_totalprice < 100000 THEN floor(o_totalprice / 10000)
-        |    WHEN o_totalprice < 1000000 THEN floor(o_totalprice / 100000)
-        |    WHEN o_totalprice < 10000000 THEN floor(o_totalprice / 1000000)
-        |    ELSE floor(o_totalprice / 10000000) END AS INTEGER) AS digit
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
         |  FROM orders WHERE o_totalprice >= 1 AND o_totalprice IS NOT NULL),
         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
         |m AS (SELECT digit, n,

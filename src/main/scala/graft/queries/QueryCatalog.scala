@@ -3464,19 +3464,18 @@ object QueryCatalog {
 
   /** Benford first-digit audit (q153): the leading-significant-digit
     * distribution of order totals against Benford's law — the classic
-    * fabricated-data screen. The digit extracts through a LOG-FREE
-    * magnitude CASE ladder (floor of one IEEE division per branch —
-    * log10 is banned by the portability contract), and the expected
-    * frequencies are 6-digit literals, so everything crossing the
-    * oracle is exact-count ratios and fixed constants. One aggregation;
-    * the normalize window runs over the 9-row digit frame.
+    * fabricated-data screen. The digit is the first character of the
+    * integer part's decimal rendering (floor → bigint → string → char):
+    * LOG-FREE (log10 is banned by the portability contract), exact for
+    * ANY magnitude — no CASE ladder to fall off of — and guaranteed to
+    * land in 1..9 for every x ≥ 1. Expected frequencies are 6-digit
+    * literals, so everything crossing the oracle is exact-count ratios
+    * and fixed constants. One aggregation; the normalize window runs
+    * over the 9-row digit frame.
     */
   def benfordAudit(s: SparkSession, dir: String): DataFrame = {
     val x = col("o_totalprice")
-    val digit = when(x < 10, floor(x)).when(x < 100, floor(x / 10))
-      .when(x < 1000, floor(x / 100)).when(x < 10000, floor(x / 1000))
-      .when(x < 100000, floor(x / 10000)).when(x < 1000000, floor(x / 100000))
-      .when(x < 10000000, floor(x / 1000000)).otherwise(floor(x / 10000000))
+    val digit = graft.ops.CoreOps.leadingDigit(x)
     val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
       0.066947, 0.057992, 0.051153, 0.045757)
     val expect = benford.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (f, i)) =>

@@ -704,6 +704,16 @@ object CoreOps {
     * non-dominated point is non-dominated in its own partition, so the
     * local pass can never lose a frontier point.
     *
+    * The merge input is SORTED on (dim 1, id) first (the SFS — sort-
+    * filter-skyline — ordering, Chomicki et al. ICDE'03): ascending dim 1
+    * means a scanned point can be evicted later only by an EQUAL-dim-1
+    * arrival, so the merge buffer grows monotonically to the GLOBAL
+    * frontier and never transiently holds dominated points — without the
+    * sort, an adversarial arrival order (dominator last) balloons the
+    * buffer to the full local-frontier union before collapsing
+    * (Round9Spec pins the bound with the peak-buffer accumulator).
+    * Output set is order-independent either way, so values are unchanged.
+    *
     * Dominance: a ≤ b on every dimension with at least one strict, after
     * negating `maxCols` (so everything minimizes). Duplicate points all
     * survive (neither dominates). This is one of the few operators where
@@ -712,7 +722,8 @@ object CoreOps {
     * q154 oracle states and this must equal.
     */
   def skylineND(df: DataFrame, idCol: String,
-                minCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+                minCols: Seq[String], maxCols: Seq[String],
+                peakMergeBuffer: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     require((minCols ++ maxCols).size >= 2, "need at least two dimensions")
     val spark = df.sparkSession
     import spark.implicits._
@@ -725,14 +736,18 @@ object CoreOps {
       }
       strict
     }
-    def scan(it: Iterator[(Long, Array[Double])]): Iterator[(Long, Array[Double])] = {
+    def scan(track: Boolean)(it: Iterator[(Long, Array[Double])]): Iterator[(Long, Array[Double])] = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      var peak = 0L
       it.foreach { case (id, v) =>
         if (!buf.exists(p => dominates(p._2, v))) {
           val keep = buf.filterNot(p => dominates(v, p._2))
           buf.clear(); buf ++= keep += ((id, v))
+          if (buf.length > peak) peak = buf.length.toLong
         }
       }
+      // the merge is one task, so add() reports its peak verbatim
+      if (track) peakMergeBuffer.foreach(_.add(peak))
       buf.iterator
     }
     val dims = minCols.map(c => col(c).cast("double")) ++
@@ -741,8 +756,14 @@ object CoreOps {
       .filter((minCols ++ maxCols).map(col(_).isNotNull).reduce(_ && _))
       .select(col(idCol).cast("long").as("_1"), array(dims: _*).as("_2"))
       .as[(Long, Array[Double])]
-    val frontierIds = proj.mapPartitions(scan)
-      .repartition(1).mapPartitions(scan)
+    // SFS merge ordering: ascending (dim 1, id) keeps the final buffer at
+    // the running GLOBAL frontier (see Scaladoc); id breaks dim-1 ties so
+    // the merge is deterministic under any partitioning of the union
+    val frontierIds = proj.mapPartitions(scan(track = false))
+      .repartition(1)
+      .sortWithinPartitions(element_at(col("_2"), 1), col("_1"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(scan(track = true))
       .map(_._1).toDF(idCol)
     df.join(broadcast(frontierIds), Seq(idCol), "left_semi")
   }

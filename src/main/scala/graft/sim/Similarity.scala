@@ -19,17 +19,26 @@ import org.apache.spark.sql.functions._
   *     or trained with [[kmeansCentroids]]); queries probe the nProbe
   *     nearest cells. The clustered-data 100 TB scale path.
   *
-  * All vector math uses zip_with + aggregate (left-to-right fold, no UDF):
-  * deterministic order ⇒ reproducible across runs and engines (the DuckDB
-  * oracle mirrors these folds digit-for-digit).
+  * All vector math is a strict left-to-right IEEE fold (no UDF), through
+  * the native [[graft.functions.VecDot]]/[[graft.functions.VecL2Sq]]
+  * expressions: deterministic order ⇒ reproducible across runs and
+  * engines (the DuckDB oracle mirrors these folds digit-for-digit).
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns, strict left fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<double> columns — the native
+    * [[graft.functions.VecDot]] loop: the identical left-to-right IEEE
+    * fold as `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (bit-identical
+    * values, oracle unchanged) without the interpreted
+    * higher-order-function walk. See VecMath's Scaladoc for why neither
+    * the HOF form nor an element_at expansion survives the hot path.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VecMath.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Squared L2 distance — native loop, same fold contract as [[dot]]. */
+  def l2sq(a: Column, b: Column): Column = graft.functions.VecMath.vec_l2sq(a, b)
 
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
@@ -243,6 +252,9 @@ object Similarity {
     var iter = 0
     var converged = false
     while (iter < iters && !converged) {
+      // arg-max as max(struct(sim, -cid, v)) — map-side partial reduce to
+      // one row per vector, not a window shuffle+sort of the k·n scored
+      // frame (see [[assignCells]] for the ordering-equivalence argument)
       val cents = centroids.withColumn("cnrm", norm(col("cv")))
       val assigned = c.withColumn("nrm", norm(col("v")))
         .join(broadcast(cents))
@@ -357,6 +369,16 @@ object Similarity {
     * assignment convention ([[ivfTopK]], [[ivfPqTopK]] and
     * [[semanticDedup]] all ride it). Input `c` must carry (vec_id, v,
     * nrm); centroids (cid, cv). Returns (vec_id, v, nrm, cell).
+    *
+    * The arg-max is `max(struct(sim, -cid, …))` — a hash aggregation
+    * whose partial step reduces the |corpus|·|centroids| scored frame to
+    * one row per vector ON THE MAP SIDE, where the former row_number
+    * window shuffled and sorted every scored row. Struct comparison is
+    * field-by-field with SQL double ordering (NaN largest, -0.0 = 0.0 —
+    * the same ordering the window sort used), so sim ties fall through
+    * to max(-cid) = the min-cid convention, and the payload fields after
+    * the unique cid are never compared. Values are bit-identical to the
+    * window form.
     */
   def assignCells(c: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cid"), col("cv")).withColumn("cnrm", norm(col("cv")))
@@ -459,18 +481,31 @@ object Similarity {
     * from the corpus frame by id, so an id absent from the corpus gets
     * no table and silently contributes zero output rows.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             m: Int = 8, dim: Int = 64, centroidStride: Int = 10,
-             shortlist: Int = 50,
-             idCol: String = "vec_id", vecCol: String = "embedding",
-             candidates: Option[DataFrame] = None,
-             trainCodebooks: Boolean = false,
-             codebookSize: Option[Int] = None): DataFrame = {
-    require(dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
+  /** A built PQ index: per-subspace codebooks (j, cid, scv) and the
+    * encoded corpus (vec_id, j, cid). THE reusable artifact of PQ — a
+    * production system trains/encodes once and serves every query batch
+    * from it; [[pqTopK]] accepts one so callers (and the session cache)
+    * stop re-encoding the corpus per query.
+    */
+  final case class PqIndex(cb: DataFrame, codes: DataFrame)
+
+  /** Train codebooks and encode the corpus — the build stage of
+    * [[pqTopK]], split out so the index can be materialized once and
+    * served to many query batches. Same conventions as pqTopK (stride
+    * codebooks, optional one-Lloyd-refinement training, fixed-ksub via
+    * `codebookSize`); the encode arg-min is the map-side
+    * min(struct(d, cid)) reduction (see [[assignCells]]).
+    */
+  def pqBuildIndex(corpus: DataFrame, m: Int = 8, dim: Int = 64,
+                   centroidStride: Int = 10,
+                   trainCodebooks: Boolean = false,
+                   codebookSize: Option[Int] = None,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): PqIndex = {
+    require(dim % m == 0, s"pqBuildIndex: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     val sub = pqSubVectors(e, m, dsub)
-    val l2sq = pqSubL2
     // `codebookSize` FIXES ksub (real PQ's convention — Jégou uses 256):
     // stride derives from the corpus count so training and encoding pair
     // work stay LINEAR in the corpus (ksub·n), where the raw
@@ -481,13 +516,35 @@ object Similarity {
     }
     val cb = pqCodebooks(sub, stride, trainCodebooks)
     val dists = sub.join(broadcast(cb), Seq("j")).select(
-      col("vec_id"), col("j"), col("cid"), l2sq.as("d"))
+      col("vec_id"), col("j"), col("cid"), pqSubL2.as("d"))
     // encode: nearest sub-centroid per (vector, subspace), ties to min cid
+    // — min(struct(d, cid)) partial-aggregates the m·ksub·n scored frame
+    // to one code per (vector, subspace) map-side instead of window-
+    // sorting it (see [[assignCells]] for the ordering equivalence)
     val codes = dists
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id", "j").orderBy(asc("d"), asc("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("j"), col("cid"))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("j"), col("m.cid").as("cid"))
+    PqIndex(cb, codes)
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, dim: Int = 64, centroidStride: Int = 10,
+             shortlist: Int = 50,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             candidates: Option[DataFrame] = None,
+             trainCodebooks: Boolean = false,
+             codebookSize: Option[Int] = None,
+             index: Option[PqIndex] = None): DataFrame = {
+    require(dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val sub = pqSubVectors(e, m, dsub)
+    val subL2 = pqSubL2
+    val idx = index.getOrElse(pqBuildIndex(corpus, m, dim, centroidStride,
+      trainCodebooks, codebookSize, idCol, vecCol))
+    val cb = idx.cb
+    val codes = idx.codes
     // ADC tables: same sub-distance expression, but restrict to the
     // query sub-vectors BEFORE the codebook join — computing the full
     // dists frame twice would be a second whole-corpus pass (measured:
@@ -495,7 +552,7 @@ object Similarity {
     val qIds = queries.select(col(idCol).as("query_id"))
     val qt = sub.join(broadcast(qIds), col("vec_id") === col("query_id"))
       .join(broadcast(cb), Seq("j"))
-      .select(col("query_id"), col("j"), col("cid"), l2sq.as("d"))
+      .select(col("query_id"), col("j"), col("cid"), subL2.as("d"))
     // approx distance = j-ordered fold of the m table lookups; an IVF
     // caller gates the pair space to its probed cells (left-semi on the
     // candidate pairs) BEFORE the aggregation
@@ -503,12 +560,20 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
     val paired = candidates.fold(pairedAll)(c =>
       pairedAll.join(c.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_semi"))
+    // approx distance via an m-way conditional-min pivot: one codegen'd
+    // HashAggregate (m scalar states/pair) instead of collect_list +
+    // array_sort + fold (ObjectHashAggregate, per-row array allocs).
+    // Each (pair, j) has exactly one d, so min(when(j=i, d)) IS that
+    // lookup, and the explicit left-to-right sum 0.0+d0+…+d(m-1) adds in
+    // the same j order as the sorted fold — bit-identical (d ≥ 0, so no
+    // -0.0; IEEE addition order preserved).
     val scored = paired
       .groupBy("query_id", "vec_id")
-      .agg(array_sort(collect_list(struct(col("j"), col("d")))).as("jd"))
+      .agg((0 until m).map(i => min(when(col("j") === i, col("d"))).as(s"__d$i")).head,
+        (0 until m).map(i => min(when(col("j") === i, col("d"))).as(s"__d$i")).tail: _*)
       .select(col("query_id"), col("vec_id"),
-        roundScore(aggregate(transform(col("jd"), e => e.getField("d")),
-          lit(0.0), (acc, d) => acc + d)).as("approx_dist"))
+        roundScore((0 until m).foldLeft(lit(0.0))((acc, i) => acc + col(s"__d$i")))
+          .as("approx_dist"))
     // shortlist selection through the bounded-heap [[TopK.TopKAgg]] — NOT a
     // row_number window: the ADC stage scores every corpus vector per query
     // (PQ's design), and a window over that stream shuffles |corpus| rows
@@ -535,10 +600,11 @@ object Similarity {
     // distance evaluations — the raw-vector reads PQ exists to bound
     val qv = e.select(col("vec_id").as("query_id"), col("v").as("qvec"))
       .join(broadcast(qIds), Seq("query_id"))
-    val exactL2 = aggregate(
-      zip_with(col("v"), col("qvec"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
-    val reranked = short.join(e, Seq("vec_id"))
+    val exactL2 = l2sq(col("v"), col("qvec"))
+    // broadcast the |queries|·shortlist frame into the corpus scan — the
+    // corpus side never shuffles (at 100 TB, e is the table you cannot
+    // move; the shortlist is always driver-sized)
+    val reranked = e.join(broadcast(short), Seq("vec_id"))
       .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("approx_dist"),
         roundScore(exactL2).as("dist"))
@@ -554,9 +620,7 @@ object Similarity {
 
   /** Exact L2² between the `sv` and `scv` columns of a joined sub-vector
     * × codebook frame. */
-  private[graft] def pqSubL2: Column = aggregate(
-    zip_with(col("sv"), col("scv"), (x, y) => (x - y) * (x - y)),
-    lit(0.0), (acc, d) => acc + d)
+  private[graft] def pqSubL2: Column = l2sq(col("sv"), col("scv"))
 
   /** Per-subspace codebooks (j, cid, scv): stride-sampled sub-vectors
     * keyed by donor id — and, when `trainCodebooks`, ONE Lloyd refinement
@@ -577,11 +641,13 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("j"), col("sv").as("scv"))
     if (!trainCodebooks) cb0
     else {
+      // arg-min as min(struct(d, cid, sv)): map-side partial reduce of the
+      // m·ksub·n assignment frame (the [[assignCells]] shape, not a window)
       val assigned = sub.join(broadcast(cb0), Seq("j"))
         .select(col("vec_id"), col("j"), col("sv"), col("cid"), pqSubL2.as("d"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id", "j").orderBy(asc("d"), asc("cid"))))
-        .filter(col("rk") === 1)
+        .groupBy("vec_id", "j")
+        .agg(min(struct(col("d"), col("cid"), col("sv"))).as("m"))
+        .select(col("j"), col("m.cid").as("cid"), col("m.sv").as("sv"))
       assigned
         .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("j", "cid", "pos")
@@ -615,7 +681,8 @@ object Similarity {
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 centroidsOverride: Option[DataFrame] = None,
                 trainCodebooks: Boolean = false,
-                codebookSize: Option[Int] = None): DataFrame = {
+                codebookSize: Option[Int] = None,
+                index: Option[PqIndex] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     // stride-sampled cells by default; pass kmeansCentroids(...) output
@@ -635,6 +702,6 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
     pqTopK(corpus, queries, k, m, dim, pqStride, shortlist, idCol, vecCol,
       candidates = Some(cands), trainCodebooks = trainCodebooks,
-      codebookSize = codebookSize)
+      codebookSize = codebookSize, index = index)
   }
 }

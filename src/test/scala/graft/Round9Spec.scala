@@ -93,6 +93,27 @@ class Round9Spec extends SparkSpec {
     assert(out == Seq(1, 9, 1, 9, 1, 9, 1, 9))
   }
 
+  test("skylineND merge buffer stays frontier-sized under adversarial arrival order (SFS sort)") {
+    import spark.implicits._
+    // 400 mutually non-dominated decoys (x rises, y falls) so every LOCAL
+    // frontier keeps everything — the merge input is the full union — plus
+    // ONE global dominator at the HIGHEST id. Unsorted, the dominator
+    // arrives last and the merge buffer balloons to ~401 before
+    // collapsing; sorted on dim 1 it arrives FIRST and the buffer never
+    // exceeds the global frontier (1 row).
+    val n = 400
+    val decoys = (1 to n).map(i => (i.toLong, i.toDouble, (n - i).toDouble, 5.0))
+    val all = decoys :+ ((n + 1).toLong, 0.0, 0.0, 0.0)
+    val df = all.toDF("id", "x", "y", "z").repartition(8)
+    val acc = spark.sparkContext.longAccumulator("skylinePeak")
+    val out = CoreOps.skylineND(df, "id", minCols = Seq("x", "y", "z"),
+        maxCols = Seq.empty, peakMergeBuffer = Some(acc))
+      .select("id").as[Long].collect()
+    assert(out.toSeq == Seq((n + 1).toLong), "only the dominator survives")
+    assert(acc.value == 1L,
+      s"sorted merge must hold only the running global frontier, peaked at ${acc.value}")
+  }
+
   test("groupedOls excludes incomplete rows so n matches the sums (complete-case fit)") {
     import spark.implicits._
     val df = Seq[(String, java.lang.Long, java.lang.Long)](

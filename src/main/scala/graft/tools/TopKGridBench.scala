@@ -44,7 +44,7 @@ object TopKGridBench {
         Window.partitionBy("g").orderBy(desc("v"), asc("id"))))
       .filter(col("rank") <= k)
 
-    val groupsGrid = Seq(16L, 1024L, 65536L, 1048576L)
+    val groupsGrid = if (sys.env.contains("TOPK_BIG")) Seq(4L, 64L) else Seq(16L, 1024L, 65536L, 1048576L)
     val kGrid      = Seq(1, 10, 100)
 
     println(s"""{"bench":"topk-grid","total_rows":$total,"cells":[""")

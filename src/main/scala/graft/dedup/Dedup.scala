@@ -344,57 +344,29 @@ object Dedup {
     * vocabulary-sized; the per-document ranking window partitions by
     * document (doc-sized groups). DedupSpec proves the no-false-negative
     * claim against the brute-force all-pairs join on random corpora.
+    *
+    * `suffixFilter` adds the PPJoin+ suffix level (lossless — see
+    * [[prefixCandidates]]). It is a DENSITY dial, off by default: the
+    * setup (a materialized global token rank + per-doc rank arrays)
+    * pays only when prefix candidates are plentiful relative to true
+    * pairs — measured 17% candidate drop with recall unchanged on a
+    * Zipf near-dup fixture (Round9Spec), but a 2× slowdown on the
+    * synthetic q142 corpus whose candidate set is already just 3% of
+    * the pair space. Enable on power-law / boilerplate-heavy corpora
+    * where verification dominates.
     */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
-                        thrNum: Int, thrDen: Int, shingleN: Int = 1): DataFrame = {
-    require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
-      s"threshold must be a fraction in (0,1]: $thrNum/$thrDen")
-    // sets is read by the prefix build AND both verification joins;
-    // prefix feeds both sides of the candidate self-join — checkpoint
-    // each once (the house lshBands lifecycle) or the full shingle
-    // pipeline recomputes per consumer. Verification intersects the
-    // HASHED gram arrays (8-byte longs, not n-gram strings): a cross-doc
-    // xxhash64 collision could overcount one intersection slot with
-    // probability ~sz²·2⁻⁶⁴ per pair — the string-exact oracle replay
-    // re-proves absence on every gated corpus.
-    val (sets, setsBlocks) = Checkpoints.tracked(
-      docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("toks"))
-        .withColumn("sz", size(col("toks")))
-        .filter(col("sz") > 0)
-        .select(col("id"), col("sz"),
-          transform(col("toks"), t => xxhash64(t)).as("ths")))
-    val tok = sets.select(col("id"), col("sz"), explode(col("ths")).as("th"))
-    // tok holds DISTINCT (id, gram) pairs, so count == document frequency
-    // (collisions merge gram identities — candidates only grow)
-    val dfreq = tok.groupBy("th").agg(count(lit(1)).as("df"))
-    val ranked = tok.join(dfreq, Seq("th"))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("id").orderBy(asc("df"), asc("th"))))
-    // prefix length = sz − ⌈num·sz/den⌉ + 1, all integer
-    val (prefix, prefixBlocks) = Checkpoints.tracked(ranked
-      .filter(col("rk") <= col("sz") - expr(s"($thrNum * sz + ${thrDen - 1}) DIV $thrDen") + 1)
-      .select(col("id"), col("th"), col("sz"), col("rk")))
-    // POSITIONAL filter (PPJoin): the smallest common token of a true
-    // pair sits in both prefixes at ranks (i, j), and every other common
-    // token follows it in both documents, so overlap ≤ 1 + min(szₐ−i,
-    // sz_b−j). Taking min-ranks per pair only over-estimates the bound
-    // (never drops a true pair); required overlap for J ≥ num/den is
-    // α = ⌈num·(szₐ+sz_b)/(num+den)⌉. This replaces the distinct() with
-    // the same-shuffle groupBy and prunes candidates before the
-    // verification join ever sees them.
-    val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.th") === col("b.th") && col("a.id") < col("b.id"))
-      .filter(least(col("a.sz"), col("b.sz")) * thrDen >=
-              greatest(col("a.sz"), col("b.sz")) * thrNum)
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(min(col("a.rk")).as("__ia"), min(col("b.rk")).as("__ib"),
-        first(col("a.sz")).as("__sza"), first(col("b.sz")).as("__szb"))
-      .filter(lit(1) + least(col("__sza") - col("__ia"), col("__szb") - col("__ib")) >=
-        expr(s"($thrNum * (__sza + __szb) + ${thrNum + thrDen - 1}) DIV ${thrNum + thrDen}"))
-      .select(col("doc_a"), col("doc_b"))
+                        thrNum: Int, thrDen: Int, shingleN: Int = 1,
+                        suffixFilter: Boolean = false): DataFrame = {
+    val (cands, stoks, blocks) =
+      prefixCandidates(docs, idCol, textCol, thrNum, thrDen, shingleN, suffixFilter)
+    // Verification intersects the per-doc SORTED global-token-rank arrays
+    // (longs in bijection with the grams — xxhash64 collisions could merge
+    // gram identities with probability ~sz²·2⁻⁶⁴ per pair; the
+    // string-exact oracle replay re-proves absence on every gated corpus).
     val withSets = cands
-      .join(sets.select(col("id").as("doc_a"), col("ths").as("tk_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sets.select(col("id").as("doc_b"), col("ths").as("tk_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .join(stoks.select(col("id").as("doc_a"), col("stoks").as("tk_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(stoks.select(col("id").as("doc_b"), col("stoks").as("tk_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
     val (out, _) = Checkpoints.tracked(withSets
@@ -402,9 +374,120 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
         graft.ops.CoreOps.roundPortable(
           col("inter").cast("double") / col("union_sz").cast("double"), 6).as("jaccard")))
-    Checkpoints.release(setsBlocks)
-    Checkpoints.release(prefixBlocks)
+    Checkpoints.release(blocks)
     out
+  }
+
+  /** Candidate generation for [[prefixFilterPairs]], split out so the
+    * pruning power of each filter level is countable (Round9Spec's
+    * Zipf-fixture measurement). Returns (candidates, per-doc sorted
+    * token-rank arrays, checkpoint blocks — caller releases after the
+    * last consumer).
+    *
+    * Filter ladder, every level LOSSLESS for J ≥ thrNum/thrDen:
+    *   1. length filter — min·den ≥ max·num;
+    *   2. PPJoin positional filter — the smallest common token of a true
+    *      pair sits in both prefixes at ranks (i, j) and every other
+    *      common token follows it in both docs, so
+    *      overlap ≤ 1 + min(szₐ−i, sz_b−j); required overlap is
+    *      α = ⌈num·(szₐ+sz_b)/(num+den)⌉. Min-ranks per pair only
+    *      over-estimate the bound — never drop a true pair;
+    *   3. PPJoin+ SUFFIX filter (Xiao et al. TODS'11 §4.2, one level) —
+    *      all common tokens lie in the rank-windows a[ia..szₐ],
+    *      b[ib..sz_b] of the GLOBAL (df, th) token order; partitioning
+    *      both windows at a's middle token m bounds the overlap by
+    *      min(left sizes) + min(right sizes). The probe into b is one
+    *      O(log sz) binary search ([[graft.functions.SortedSearch]]),
+    *      paid per candidate PAIR — the verification intersect it
+    *      replaces walks both full arrays.
+    *
+    * The global token order materializes as `tokid` = rank of (df, th)
+    * via [[graft.ops.CoreOps.globalRowNumber]] (range-partitioned — the
+    * vocabulary never sorts in one task), and each doc stores its tokens
+    * as the ASCENDING tokid array `stoks`, which triple-serves as prefix
+    * source, suffix-probe target and verification array.
+    */
+  private[graft] def prefixCandidates(docs: DataFrame, idCol: String, textCol: String,
+                                      thrNum: Int, thrDen: Int, shingleN: Int,
+                                      suffixFilter: Boolean)
+      : (DataFrame, DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
+      s"threshold must be a fraction in (0,1]: $thrNum/$thrDen")
+    // base feeds dfreq, the rank window and (suffix off) verification —
+    // checkpoint once or the shingle+hash pipeline recomputes per consumer
+    val (base, baseBlocks) = Checkpoints.tracked(
+      docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .filter(col("sz") > 0)
+        .select(col("id"), col("sz"),
+          transform(col("toks"), t => xxhash64(t)).as("ths")))
+    val tok = base.select(col("id"), col("sz"), explode(col("ths")).as("th"))
+    // tok holds DISTINCT (id, gram) pairs, so count == document frequency
+    // (collisions merge gram identities — candidates only grow)
+    val dfreq = tok.groupBy("th").agg(count(lit(1)).as("df"))
+    // The suffix filter needs a MATERIALIZED global token rank (tokid) so
+    // per-doc arrays binary-search consistently; without it the (df, th)
+    // window order serves directly and the vocabulary never globally
+    // sorts. The setup is the filter's price of admission — only pay it
+    // when candidate density warrants (see [[prefixFilterPairs]] doc).
+    val ranked =
+      if (suffixFilter) {
+        val vocab = graft.ops.CoreOps.globalRowNumber(dfreq, Seq("df", "th"),
+          rankCol = "tokid")
+        tok.join(vocab.select("th", "tokid"), Seq("th"))
+          .withColumn("rk",
+            row_number().over(Window.partitionBy("id").orderBy(asc("tokid"))))
+      } else
+        tok.join(dfreq, Seq("th"))
+          .withColumn("tokid", col("th"))
+          .withColumn("rk",
+            row_number().over(Window.partitionBy("id").orderBy(asc("df"), asc("th"))))
+    // stoks is read by the suffix probe AND both verification joins.
+    // With the filter on it is the tokid arrays (own checkpoint); off, it
+    // is just `base`'s gram hashes renamed — same blocks, no new
+    // materialization (array_intersect is order-blind).
+    val (stoks, stoksBlocks) =
+      if (suffixFilter)
+        Checkpoints.tracked(ranked
+          .groupBy(col("id"), col("sz"))
+          .agg(array_sort(collect_list(col("tokid"))).as("stoks")))
+      else
+        (base.select(col("id"), col("sz"), col("ths").as("stoks")),
+          Seq.empty[org.apache.spark.rdd.RDD[_]])
+    // prefix length = sz − ⌈num·sz/den⌉ + 1, all integer
+    val (prefix, prefixBlocks) = Checkpoints.tracked(ranked
+      .filter(col("rk") <= col("sz") - expr(s"($thrNum * sz + ${thrDen - 1}) DIV $thrDen") + 1)
+      .select(col("id"), col("tokid"), col("sz"), col("rk")))
+    val positional = prefix.as("a").join(prefix.as("b"),
+        col("a.tokid") === col("b.tokid") && col("a.id") < col("b.id"))
+      .filter(least(col("a.sz"), col("b.sz")) * thrDen >=
+              greatest(col("a.sz"), col("b.sz")) * thrNum)
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(min(col("a.rk")).as("__ia"), min(col("b.rk")).as("__ib"),
+        first(col("a.sz")).as("__sza"), first(col("b.sz")).as("__szb"))
+      .filter(lit(1) + least(col("__sza") - col("__ia"), col("__szb") - col("__ib")) >=
+        expr(s"($thrNum * (__sza + __szb) + ${thrNum + thrDen - 1}) DIV ${thrNum + thrDen}"))
+    val cands =
+      if (!suffixFilter) positional.select(col("doc_a"), col("doc_b"))
+      else {
+        val alpha = expr(s"($thrNum * (__sza + __szb) + ${thrNum + thrDen - 1}) DIV ${thrNum + thrDen}")
+        // pivot = a's middle window token; both windows split at its
+        // VALUE, so left parts share at most min(left sizes), right parts
+        // min(right sizes) — an upper bound on the true overlap
+        val pa = expr("(__ia + __sza) DIV 2")
+        positional
+          .join(stoks.select(col("id").as("doc_a"), col("stoks").as("__sa")), Seq("doc_a"))
+          .join(stoks.select(col("id").as("doc_b"), col("stoks").as("__sb")), Seq("doc_b"))
+          .withColumn("__m", element_at(col("__sa"), pa.cast("int")))
+          .withColumn("__lb", graft.functions.SortedSearch.sorted_count_less_from(
+            col("__sb"), col("__ib").cast("int"), col("__m")))
+          .filter(
+            least(pa - col("__ia"), col("__lb")) +
+            least(col("__sza") - pa + 1,
+              (col("__szb") - col("__ib") + 1) - col("__lb")) >= alpha)
+          .select(col("doc_a"), col("doc_b"))
+      }
+    (cands, stoks, baseBlocks ++ stoksBlocks ++ prefixBlocks)
   }
 
   /** Sorted-neighborhood (SNM) near-dup pairs — the third blocking

@@ -93,6 +93,56 @@ class Round9Spec extends SparkSpec {
     assert(out == Seq(1, 9, 1, 9, 1, 9, 1, 9))
   }
 
+  test("PPJoin+ suffix filter prunes candidates on a Zipf corpus with recall unchanged") {
+    import spark.implicits._
+    // power-law vocabulary: dense 3-gram collisions on the head words make
+    // prefix candidates plentiful — the regime the suffix filter exists for
+    val rng = new scala.util.Random(11)
+    val vocabSize = 60
+    def zipfWord(): String = {
+      // inverse-CDF over 1/r weights
+      val z = (1 to vocabSize).map(1.0 / _).sum
+      var u = rng.nextDouble() * z; var r = 1
+      while (u > 1.0 / r && r < vocabSize) { u -= 1.0 / r; r += 1 }
+      s"w$r"
+    }
+    // near-dup families: each base doc spawns variants with 0-6 word
+    // edits, so 3-gram overlap spans the whole Jaccard range — plenty of
+    // prefix candidates above AND below the 0.5 threshold
+    val docs = (0 until 60).flatMap { b =>
+      val baseWords = (1 to 28).map(_ => zipfWord()).toVector
+      (0 until 4).map { v =>
+        val edits = v * 2
+        val w = (0 until edits).foldLeft(baseWords)((acc, _) =>
+          acc.updated(rng.nextInt(acc.size), zipfWord()))
+        ((b * 4 + v + 1).toLong, w.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+
+    val (candsOff, _, blocksOff) = graft.dedup.Dedup.prefixCandidates(
+      docs, "doc_id", "text", 1, 2, shingleN = 3, suffixFilter = false)
+    val nOff = candsOff.count()
+    val (candsOn, _, blocksOn) = graft.dedup.Dedup.prefixCandidates(
+      docs, "doc_id", "text", 1, 2, shingleN = 3, suffixFilter = true)
+    val nOn = candsOn.count()
+    assert(nOn < nOff,
+      s"suffix filter must prune candidates: $nOn !< $nOff")
+
+    val pairsOff = graft.dedup.Dedup.prefixFilterPairs(
+        docs, "doc_id", "text", 1, 2, shingleN = 3, suffixFilter = false)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val pairsOn = graft.dedup.Dedup.prefixFilterPairs(
+        docs, "doc_id", "text", 1, 2, shingleN = 3, suffixFilter = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairsOn == pairsOff,
+      s"suffix filter is an upper-bound filter — recall must be unchanged " +
+      s"(on=${pairsOn.size} off=${pairsOff.size})")
+    graft.dedup.Checkpoints.release(blocksOff)
+    graft.dedup.Checkpoints.release(blocksOn)
+    info(s"candidates without suffix filter: $nOff, with: $nOn " +
+      f"(${100.0 * (nOff - nOn) / math.max(nOff, 1)}%.1f%% pruned), true pairs: ${pairsOn.size}")
+  }
+
   test("skylineND merge buffer stays frontier-sized under adversarial arrival order (SFS sort)") {
     import spark.implicits._
     // 400 mutually non-dominated decoys (x rises, y falls) so every LOCAL

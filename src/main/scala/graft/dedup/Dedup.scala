@@ -138,10 +138,14 @@ object Dedup {
       concat_ws("|", minhashSignature(col(textCol), shingleN, k)).as("sigs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { b =>
-      // hashes are 32 hex chars + 1 separator; band b = "m(4b)|...|m(4b+3)"
+      // hashes are 32 hex chars + 1 separator; band b = "m(4b)|...|m(4b+3)".
+      // The bucket key is xxhash64 of the band slice — an 8-byte long
+      // through every bucket groupBy/join (was md5 hex, 32-char strings);
+      // bucketing by h(x) equals bucketing by x absent collisions, which
+      // the capped==uncapped and oracle-replay checks re-prove per corpus.
       struct(
         lit(b).as("band"),
-        md5(substring(col("sigs"), b * rowsPerBand * 33 + 1, rowsPerBand * 33 - 1)).as("band_key")
+        xxhash64(substring(col("sigs"), b * rowsPerBand * 33 + 1, rowsPerBand * 33 - 1)).as("band_key")
       )
     }
     val banded = sigDf

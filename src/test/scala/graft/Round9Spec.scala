@@ -143,6 +143,45 @@ class Round9Spec extends SparkSpec {
       f"(${100.0 * (nOff - nOn) / math.max(nOff, 1)}%.1f%% pruned), true pairs: ${pairsOn.size}")
   }
 
+  test("suffix filter is lossless across random corpora (three seeds, both shingle widths)") {
+    import spark.implicits._
+    for (seed <- Seq(3, 19, 41); n <- Seq(1, 3)) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0 until 30).flatMap { b =>
+        val base = (1 to 20).map(_ => s"t${rng.nextInt(25)}").toVector
+        (0 until 3).map { v =>
+          val w = (0 until v * 3).foldLeft(base)((acc, _) =>
+            acc.updated(rng.nextInt(acc.size), s"t${rng.nextInt(25)}"))
+          ((b * 3 + v + 1).toLong, w.mkString(" "))
+        }
+      }.toDF("doc_id", "text")
+      val off = graft.dedup.Dedup.prefixFilterPairs(docs, "doc_id", "text", 1, 2,
+          shingleN = n, suffixFilter = false)
+        .select("doc_a", "doc_b", "jaccard").collect().map(_.toSeq).toSet
+      val on = graft.dedup.Dedup.prefixFilterPairs(docs, "doc_id", "text", 1, 2,
+          shingleN = n, suffixFilter = true)
+        .select("doc_a", "doc_b", "jaccard").collect().map(_.toSeq).toSet
+      assert(on == off, s"seed=$seed shingleN=$n: suffix filter changed the output")
+    }
+  }
+
+  test("PQ results are identical with a prebuilt index and with inline build") {
+    val e = graft.io.Tables.table(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val inline = graft.sim.Similarity.pqTopK(e, q, 3,
+        trainCodebooks = true, codebookSize = Some(16))
+      .collect().map(_.toSeq).toSet
+    val idx = graft.sim.Similarity.pqBuildIndex(e,
+      trainCodebooks = true, codebookSize = Some(16))
+    val cached = graft.sim.Similarity.pqTopK(e, q, 3,
+        trainCodebooks = true, codebookSize = Some(16),
+        index = Some(graft.sim.Similarity.PqIndex(
+          idx.cb.localCheckpoint(true), idx.codes.localCheckpoint(true))))
+      .collect().map(_.toSeq).toSet
+    assert(inline == cached,
+      "a checkpointed prebuilt index must serve the same neighbors as inline build")
+  }
+
   test("skylineND merge buffer stays frontier-sized under adversarial arrival order (SFS sort)") {
     import spark.implicits._
     // 400 mutually non-dominated decoys (x rises, y falls) so every LOCAL

@@ -102,19 +102,13 @@ object Dedup {
     graft.functions.MinHashSig.minhash_sig(shingleSet(text, shingleN), k)
 
   /** LSH banding: split the k-row signature into bands of `rowsPerBand`,
-    * hash each band to one bucket key. Docs sharing any (band, key) bucket
-    * are near-dup candidates. Returns (band, band_key) pairs exploded —
-    * |docs| × bands rows, the only thing that ever shuffles.
-    */
-  def lshBands(docs: DataFrame, idCol: String, textCol: String,
-               shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    lshBandsWithSig(docs, idCol, textCol, shingleN, k, rowsPerBand)._1
-
-  /** [[lshBands]] plus the persisted signature frame backing it, so callers
-    * that fully consume the bands (e.g. [[minhashCandidatePairs]]) can
-    * unpersist the signature cache instead of leaving it to ContextCleaner
-    * GC. Callers that keep the returned bands lazy must NOT unpersist until
-    * their own result is materialized.
+    * hash each band to one bucket key; docs sharing any (band, key)
+    * bucket are near-dup candidates. Returns (bands, signature frame) —
+    * the signature frame is PERSISTED and the caller owns unpersisting it
+    * once the bands are fully consumed ([[minhashCandidatePairs]] does;
+    * the former public `lshBands` wrapper that leaked this lifecycle to
+    * ContextCleaner GC had no callers and was removed in r9 — band
+    * consumers go through [[minhashCandidatePairs]]).
     */
   private[graft] def lshBandsWithSig(docs: DataFrame, idCol: String, textCol: String,
                shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {

@@ -43,6 +43,31 @@ object Dedup {
   /** Distinct shingle set (for Jaccard). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
 
+  /** n-gram IDENTITIES as xxhash64 longs WITHOUT materializing the gram
+    * strings: hash each token once, then hash each n-window of token
+    * hashes (xxhash64 over the arrays_zip struct of the n shifted
+    * slices — the same constant-reference trick as [[shingles]]; the
+    * transform lambda touches only its own argument, so nothing outer
+    * re-evaluates per element). Two grams are equal iff their token
+    * sequences are equal, so this is the [[shingles]] identity under a
+    * different injection — consumers that only JOIN/GROUP/COUNT gram
+    * keys (decontamination, overlap matrices, rare-gram edges, prefix
+    * candidates) get 8-byte keys and zero per-gram string allocation.
+    * Docs shorter than n contribute one whole-doc gram, matching
+    * [[shingles]]'s short-doc convention.
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val th = transform(TextOps.tokens(lower(text)), t => xxhash64(t))
+    def windowLen = size(th) - (n - 1)
+    val shifted = (0 until n).map(k => slice(th, lit(k + 1), windowLen))
+    val hashed = transform(arrays_zip(shifted: _*), s => xxhash64(s))
+    when(size(th) < n, array(xxhash64(th))).otherwise(hashed)
+  }
+
+  /** Distinct hashed-gram set (the [[shingleSet]] identity as longs). */
+  def shingleHashSet(text: Column, n: Int): Column =
+    array_distinct(shingleHashes(text, n))
+
   /** Prefix-duplicate detection: flag documents whose FULL token sequence
     * is a strict prefix of some longer document — the truncated-crawl dup
     * class exact dedup misses (different full hash) and Jaccard
@@ -304,7 +329,7 @@ object Dedup {
     // bit-identical under the bijection, re-proven by every green oracle
     // run (a collision could only merge two grams of the same doc pair)
     val sets  = docs.select(col(idCol).as("id"),
-      transform(shingleSet(col(textCol), shingleN), t => xxhash64(t)).as("sh"))
+      shingleHashSet(col(textCol), shingleN).as("sh"))
     val (out, _) = Checkpoints.tracked(cands
       .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
@@ -420,11 +445,10 @@ object Dedup {
     // base feeds dfreq, the rank window and (suffix off) verification —
     // checkpoint once or the shingle+hash pipeline recomputes per consumer
     val (base, baseBlocks) = Checkpoints.tracked(
-      docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("toks"))
-        .withColumn("sz", size(col("toks")))
+      docs.select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleN).as("ths"))
+        .withColumn("sz", size(col("ths")))
         .filter(col("sz") > 0)
-        .select(col("id"), col("sz"),
-          transform(col("toks"), t => xxhash64(t)).as("ths")))
+        .select(col("id"), col("sz"), col("ths")))
     val tok = base.select(col("id"), col("sz"), explode(col("ths")).as("th"))
     // tok holds DISTINCT (id, gram) pairs, so count == document frequency
     // (collisions merge gram identities — candidates only grow)

@@ -207,8 +207,7 @@ object QueryCatalog {
       // green oracle run re-proves)
       val g = t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
-        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+          explode(Dedup.shingleHashSet(col("text"), 8)).as("gh"))
       val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5)).select("gh")
       val (gr, grBlocks) = Checkpoints.tracked(g.join(rare, Seq("gh")))
@@ -385,8 +384,7 @@ object QueryCatalog {
     val clean = cleanedCorpus(s, dir)
       .withColumn("split", splitCol(col("doc_id")))
     val grams = clean.select(col("doc_id"), col("split"),
-        explode(Dedup.shingleSet(col("text"), 8)).as("g"))
-      .select(col("doc_id"), col("split"), xxhash64(col("g")).as("gh"))
+        explode(Dedup.shingleHashSet(col("text"), 8)).as("gh"))
     val trainGrams = grams.filter(col("split") === "train").select("gh").distinct()
     val contaminated = grams.filter(col("split") === "heldout")
       .join(trainGrams, Seq("gh"), "left_semi")
@@ -753,8 +751,7 @@ object QueryCatalog {
     gramsCache.getOrElseUpdate(s, dir)(
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), splitCol(col("doc_id")).as("split"),
-          explode(Dedup.shingleSet(col("text"), 8)).as("gram"))
-        .select(col("doc_id"), col("source"), col("split"), xxhash64(col("gram")).as("gh"))
+          explode(Dedup.shingleHashSet(col("text"), 8)).as("gh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 

@@ -50,6 +50,35 @@ class TextDedupSpec extends SparkSpec {
     assert(shinglesOf("a b") == Seq("a b"))
   }
 
+  test("shingleHashSet is the shingleSet identity: sizes and pairwise intersections match") {
+    // texts spanning the conventions: normal windows, short-doc (<n) whole-doc
+    // gram, repeated grams (distinct must collapse), case/whitespace noise
+    val texts = Seq(
+      "a b c d e f",
+      "a b c d e f",          // exact dup of the first
+      "A  b C d e G",         // case + spacing noise, one token changed
+      "x y",                  // short doc (< n): whole-doc gram
+      "x y",                  // matching short doc
+      "a b c a b c a b c",    // repeated grams
+      "q r s t u v w"
+    )
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val n = 3
+    val strs = docs.select(col("doc_id"), explode(Dedup.shingleSet(col("text"), n)).as("g"))
+    val hshs = docs.select(col("doc_id"), explode(Dedup.shingleHashSet(col("text"), n)).as("g"))
+    // per-doc distinct-set sizes identical
+    def sizes(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes(strs) == sizes(hshs))
+    // pairwise intersection cardinalities identical (the Jaccard inputs)
+    def inter(df: org.apache.spark.sql.DataFrame) =
+      df.as("a").join(df.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(inter(strs) == inter(hshs))
+  }
+
   test("exactDedup groups identical canonical text, keeps min id") {
     val docs = Seq((1L, "Hello  world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(docs, "doc_id", "text")

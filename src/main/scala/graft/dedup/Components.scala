@@ -54,15 +54,27 @@ object Components {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           vertices: DataFrame, idCol: String,
                           maxIters: Int = 25): DataFrame = {
-    // Symmetrized edges plus a self-loop per vertex: with self-loops, the
-    // propagate join alone covers every vertex AND its own current label,
-    // so the loop body needs no union with the label frame (unioning a
-    // checkpointed frame with its own derivative also trips Catalyst's
-    // Union constraint rewrite on the shared attribute ids).
+    // Vertices touching no edge are singleton components by DEFINITION —
+    // their label never moves, so carrying them through the iteration
+    // only inflates every per-round shuffle. The loop runs over
+    // EDGE-INCIDENT vertices only (at corpus scale the near-dup graph
+    // touches a small fraction of documents, so rounds cost O(|E|), not
+    // O(|V| + |E|)); isolated vertices re-attach as self-labelled rows
+    // after convergence, via one anti-join that never enters the loop.
+    val endpoints = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Symmetrized edges plus a self-loop per active vertex: with
+    // self-loops, the propagate join alone covers every vertex AND its own
+    // current label, so the loop body needs no union with the label frame
+    // (unioning a checkpointed frame with its own derivative also trips
+    // Catalyst's Union constraint rewrite on the shared attribute ids).
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .union(vertices.select(col(idCol).as("src"), col(idCol).as("dst")))
+      .union(endpoints.select(col("id").as("src"), col("id").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // localCheckpoint truncates lineage to a LogicalRDD over the persisted
@@ -80,7 +92,7 @@ object Components {
       Checkpoints.release(rdds)
 
     var (labels, labelIds) = checkpointTracked(
-      vertices.select(col(idCol).as("id"), col(idCol).as("label")))
+      endpoints.select(col("id"), col("id").as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -122,6 +134,15 @@ object Components {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents: labels NOT converged after $maxIters rounds — " +
         "component ids may be non-minimal; raise maxIters")
-    labels.select(col("id").as(idCol), col("label").as("component"))
+    endpoints.unpersist()
+    // Singletons: every vertex the edge set never touched labels itself.
+    // The anti-join probes the final (checkpointed — flat scan, no
+    // recompute) label frame, so the full vertex frame streams through
+    // once against a small build side, unshuffled under AQE.
+    val isolated = vertices.select(col(idCol).as("id"))
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.select("id", "label").union(isolated)
+      .select(col("id").as(idCol), col("label").as("component"))
   }
 }

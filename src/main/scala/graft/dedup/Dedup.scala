@@ -327,9 +327,18 @@ object Dedup {
     // two candidate joins shuffle 8-byte longs per shingle instead of
     // n-gram strings, and Jaccard is a pure function of SET IDENTITY —
     // bit-identical under the bijection, re-proven by every green oracle
-    // run (a collision could only merge two grams of the same doc pair)
-    val sets  = docs.select(col(idCol).as("id"),
-      shingleHashSet(col(textCol), shingleN).as("sh"))
+    // run (a collision could only merge two grams of the same doc pair).
+    // Shingle ONLY candidate-incident documents: the semi-join runs
+    // BELOW the shingle projection, so the per-token hash work scales
+    // with the candidate set (bounded by near-dup density), not the
+    // corpus — the full scan would otherwise tokenize+hash every doc
+    // once per join side.
+    val candIds = cands.select(col("doc_a").as("id"))
+      .union(cands.select(col("doc_b").as("id")))
+      .distinct()
+    val sets = docs.select(col(idCol).as("id"), col(textCol))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), shingleHashSet(col(textCol), shingleN).as("sh"))
     val (out, _) = Checkpoints.tracked(cands
       .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
@@ -541,11 +550,10 @@ object Dedup {
     require(w >= 2, "window must cover at least adjacent pairs")
     val sets = docs.select(col(idCol).cast("long").as("id"),
       concat_ws(" ", slice(TextOps.tokens(lower(col(textCol))), 1, 3)).as("sort_key"),
-      shingleSet(col(textCol), 3).as("toks"))
-      .withColumn("sz", size(col("toks")))
+      shingleHashSet(col(textCol), 3).as("ths"))
+      .withColumn("sz", size(col("ths")))
       .filter(col("sz") > 0)
-      .select(col("id"), col("sort_key"), col("sz"),
-        transform(col("toks"), t => xxhash64(t)).as("ths"))
+      .select(col("id"), col("sort_key"), col("sz"), col("ths"))
     val ranked = graft.ops.CoreOps.globalRowNumber(sets, Seq("sort_key", "id"),
       rankCol = "rank")
     val withB = ranked.withColumn("b", expr(s"rank DIV $w"))

@@ -255,8 +255,11 @@ object QueryCatalog {
     * a linear, oracle-checkable slice of the pairwise similarity operator.
     */
   def jaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
+    // hashed gram sets (the q142 convention): Jaccard is a pure function
+    // of set identity, and the window exchange + join shuffle carry
+    // 8-byte longs per gram instead of gram strings
     val sets = t(s, dir, "documents")
-      .select(col("source"), col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sh"))
+      .select(col("source"), col("doc_id"), Dedup.shingleHashSet(col("text"), 3).as("sh"))
     val w = Window.partitionBy("source").orderBy("doc_id")
     val withNext = sets
       .withColumn("doc_b", lead("doc_id", 1).over(w))
@@ -1983,8 +1986,16 @@ object QueryCatalog {
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .join(exFps, Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("exact_dup", lit(true))
-    val sets = docs.select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sh"))
-    val nearHits = Dedup.incrementalCandidatePairs(existing, incoming, "doc_id", "text")
+    // hashed gram sets + candidate-incident pruning (the nearDupPairsFrom
+    // convention): only docs named by a candidate pair get shingled, and
+    // the verification joins shuffle long arrays, not gram strings
+    val cands = Dedup.incrementalCandidatePairs(existing, incoming, "doc_id", "text")
+    val candIds = cands.select(col("existing_id").as("doc_id"))
+      .union(cands.select(col("incoming_id").as("doc_id"))).distinct()
+    val sets = docs.select(col("doc_id"), col("text"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), Dedup.shingleHashSet(col("text"), 3).as("sh"))
+    val nearHits = cands
       .join(sets.select(col("doc_id").as("existing_id"), col("sh").as("sh_e")), Seq("existing_id"))
       .join(sets.select(col("doc_id").as("incoming_id"), col("sh").as("sh_i")), Seq("incoming_id"))
       .filter(Dedup.jaccard(col("sh_e"), col("sh_i")) >= 0.8)

@@ -252,17 +252,21 @@ object Similarity {
     var iter = 0
     var converged = false
     while (iter < iters && !converged) {
-      // arg-max as max(struct(sim, -cid, v)) — map-side partial reduce to
-      // one row per vector, not a window shuffle+sort of the k·n scored
-      // frame (see [[assignCells]] for the ordering-equivalence argument)
+      // arg-max as max(struct(sim, -cid)) — map-side partial reduce of the
+      // k·n scored frame to one row per vector, with the vector kept OUT
+      // of the buffer (array-bearing buffers force SortAggregate on
+      // interpreted orderings — the r9 revert) and re-attached by one
+      // n-row equi-join (see [[assignCells]], the single source of this
+      // convention and its ordering-equivalence argument)
       val cents = centroids.withColumn("cnrm", norm(col("cv")))
-      val assigned = c.withColumn("nrm", norm(col("v")))
+      val best = c.withColumn("nrm", norm(col("v")))
         .join(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cid"),
+        .select(col("vec_id"), col("cid"),
           cosineFromNorms(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("sim"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
-        .filter(col("rk") === 1)
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("b"))
+        .select(col("vec_id"), (-col("b.ncid")).as("cid"))
+      val assigned = c.join(best, Seq("vec_id"))
       val next = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(meanExpr.as("m"))
@@ -370,25 +374,30 @@ object Similarity {
     * [[semanticDedup]] all ride it). Input `c` must carry (vec_id, v,
     * nrm); centroids (cid, cv). Returns (vec_id, v, nrm, cell).
     *
-    * The arg-max is `max(struct(sim, -cid, …))` — a hash aggregation
-    * whose partial step reduces the |corpus|·|centroids| scored frame to
-    * one row per vector ON THE MAP SIDE, where the former row_number
-    * window shuffled and sorted every scored row. Struct comparison is
+    * The arg-max is `max(struct(sim, -cid))` — an aggregation whose
+    * partial step reduces the |corpus|·|centroids| scored frame to one
+    * row per vector ON THE MAP SIDE, where a row_number window would
+    * shuffle and sort every scored row WITH its vector payload (k copies
+    * of each 64-double array through one exchange). Struct comparison is
     * field-by-field with SQL double ordering (NaN largest, -0.0 = 0.0 —
-    * the same ordering the window sort used), so sim ties fall through
-    * to max(-cid) = the min-cid convention, and the payload fields after
-    * the unique cid are never compared. Values are bit-identical to the
-    * window form.
+    * the same ordering the window sort uses), so sim ties fall through
+    * to max(-cid) = the min-cid convention — values bit-identical to the
+    * window form. The buffer holds only (double, long): an array-bearing
+    * buffer would force SortAggregate with interpreted array ordering
+    * (measured slower than the window it replaced — the r9 revert), so
+    * the vector is re-attached by one n-row equi-join afterwards instead
+    * of riding the aggregation.
     */
   def assignCells(c: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cid"), col("cv")).withColumn("cnrm", norm(col("cv")))
-    c.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+    val best = c.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
         cosineFromNorms(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("b"))
+      .select(col("vec_id"), (-col("b.ncid")).as("cell"))
+    c.join(best, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
   }
 
   /** The query-side dual of [[assignCells]]: each query's `nProbe`

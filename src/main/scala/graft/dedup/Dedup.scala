@@ -338,11 +338,11 @@ object Dedup {
       .distinct()
     val sets = docs.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), shingleHashSet(col(textCol), shingleN).as("sh"))
+      .select(col("id"), sort_array(shingleHashSet(col(textCol), shingleN)).as("sh"))
     val (out, _) = Checkpoints.tracked(cands
       .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         graft.ops.CoreOps.roundPortable(col("jaccard"), 6).as("jaccard")))
@@ -398,14 +398,16 @@ object Dedup {
                         suffixFilter: Boolean = false): DataFrame = {
     val (cands, stoks, blocks) =
       prefixCandidates(docs, idCol, textCol, thrNum, thrDen, shingleN, suffixFilter)
-    // Verification intersects the per-doc SORTED global-token-rank arrays
-    // (longs in bijection with the grams — xxhash64 collisions could merge
+    // Verification merge-intersects the per-doc SORTED arrays — tokid
+    // ranks with the suffix filter on, sorted gram hashes off; either way
+    // longs in bijection with the grams (xxhash64 collisions could merge
     // gram identities with probability ~sz²·2⁻⁶⁴ per pair; the
     // string-exact oracle replay re-proves absence on every gated corpus).
     val withSets = cands
       .join(stoks.select(col("id").as("doc_a"), col("stoks").as("tk_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(stoks.select(col("id").as("doc_b"), col("stoks").as("tk_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersect.sorted_intersect_count(col("tk_a"), col("tk_b")))
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
     val (out, _) = Checkpoints.tracked(withSets
       .filter(col("inter") * thrDen >= col("union_sz") * thrNum)
@@ -454,7 +456,8 @@ object Dedup {
     // base feeds dfreq, the rank window and (suffix off) verification —
     // checkpoint once or the shingle+hash pipeline recomputes per consumer
     val (base, baseBlocks) = Checkpoints.tracked(
-      docs.select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleN).as("ths"))
+      docs.select(col(idCol).as("id"),
+          sort_array(shingleHashSet(col(textCol), shingleN)).as("ths"))
         .withColumn("sz", size(col("ths")))
         .filter(col("sz") > 0)
         .select(col("id"), col("sz"), col("ths")))
@@ -482,7 +485,9 @@ object Dedup {
     // stoks is read by the suffix probe AND both verification joins.
     // With the filter on it is the tokid arrays (own checkpoint); off, it
     // is just `base`'s gram hashes renamed — same blocks, no new
-    // materialization (array_intersect is order-blind).
+    // materialization. Both shapes are sorted ascending (tokid arrays by
+    // array_sort, gram hashes at base build), the contract the native
+    // merge-intersection verification relies on.
     val (stoks, stoksBlocks) =
       if (suffixFilter)
         Checkpoints.tracked(ranked
@@ -550,13 +555,18 @@ object Dedup {
     require(w >= 2, "window must cover at least adjacent pairs")
     val sets = docs.select(col(idCol).cast("long").as("id"),
       concat_ws(" ", slice(TextOps.tokens(lower(col(textCol))), 1, 3)).as("sort_key"),
-      shingleHashSet(col(textCol), 3).as("ths"))
+      sort_array(shingleHashSet(col(textCol), 3)).as("ths"))
       .withColumn("sz", size(col("ths")))
       .filter(col("sz") > 0)
       .select(col("id"), col("sort_key"), col("sz"), col("ths"))
-    val ranked = graft.ops.CoreOps.globalRowNumber(sets, Seq("sort_key", "id"),
-      rankCol = "rank")
-    val withB = ranked.withColumn("b", expr(s"rank DIV $w"))
+    // globalRowNumber's checkpoint materializes the RANGE PARTITIONING,
+    // but its window+offset-join suffix re-executes per reference — and
+    // the bucket join reads the ranked frame on BOTH sides. Checkpoint
+    // the ranked+bucketed frame once so each side scans the materialized
+    // rows instead of re-sorting the corpus (with its gram arrays) twice.
+    val (withB, wbBlocks) = Checkpoints.tracked(
+      graft.ops.CoreOps.globalRowNumber(sets, Seq("sort_key", "id"), rankCol = "rank")
+        .withColumn("b", expr(s"rank DIV $w")))
     val posted = withB.select(col("id"), col("rank"), col("sz"), col("ths"),
       explode(array(col("b"), col("b") + 1)).as("jb"))
     val cands = posted.as("a").join(withB.as("c"), col("a.jb") === col("c.b"))
@@ -564,19 +574,22 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("c.id").as("doc_b"),
         col("a.sz").as("sz_a"), col("c.sz").as("sz_b"),
         col("a.ths").as("tk_a"), col("c.ths").as("tk_b"))
-    cands
+    val (out, _) = Checkpoints.tracked(cands
       // length filter first: J ≥ t needs min·den ≥ max·num — prunes
       // mismatched-size neighbors before any array intersection
       .filter(least(col("sz_a"), col("sz_b")) * thrDen >=
               greatest(col("sz_a"), col("sz_b")) * thrNum)
-      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersect.sorted_intersect_count(col("tk_a"), col("tk_b")))
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * thrDen >= col("union_sz") * thrNum)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"),
         col("inter"), col("union_sz"),
         graft.ops.CoreOps.roundPortable(
-          col("inter").cast("double") / col("union_sz").cast("double"), 6).as("jaccard"))
+          col("inter").cast("double") / col("union_sz").cast("double"), 6).as("jaccard")))
+    Checkpoints.release(wbBlocks)
+    out
   }
 
   /** Jaccard similarity of two pre-distinct arrays. */
@@ -584,6 +597,20 @@ object Dedup {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(a) + size(b) - size(array_intersect(a, b))
     when(union === 0, lit(0.0)).otherwise(inter / union.cast("double"))
+  }
+
+  /** [[jaccard]] over ASCENDING-sorted distinct `array<long>` sets — the
+    * native two-pointer merge ([[graft.functions.SortedIntersectCount]])
+    * instead of `array_intersect`'s per-pair hash-set build. Same value
+    * whenever the sortedness contract holds; callers establish it once
+    * per document (`sort_array` at set build), then every candidate pair
+    * the document participates in rides the allocation-free merge.
+    */
+  def sortedJaccard(a: Column, b: Column): Column = {
+    val inter = graft.functions.SortedIntersect.sorted_intersect_count(a, b)
+    val union = size(a) + size(b) - inter
+    when(union === 0, lit(0.0))
+      .otherwise(inter.cast("double") / union.cast("double"))
   }
 
   /** SimHash-64: per token, md5 → first 8 digest bytes → 64-bit int; each

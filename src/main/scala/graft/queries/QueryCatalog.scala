@@ -257,9 +257,11 @@ object QueryCatalog {
   def jaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
     // hashed gram sets (the q142 convention): Jaccard is a pure function
     // of set identity, and the window exchange + join shuffle carry
-    // 8-byte longs per gram instead of gram strings
+    // 8-byte longs per gram instead of gram strings; sorted at build so
+    // scoring rides the native merge-intersection
     val sets = t(s, dir, "documents")
-      .select(col("source"), col("doc_id"), Dedup.shingleHashSet(col("text"), 3).as("sh"))
+      .select(col("source"), col("doc_id"),
+        sort_array(Dedup.shingleHashSet(col("text"), 3)).as("sh"))
     val w = Window.partitionBy("source").orderBy("doc_id")
     val withNext = sets
       .withColumn("doc_b", lead("doc_id", 1).over(w))
@@ -268,7 +270,7 @@ object QueryCatalog {
     val right = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     withNext.join(right, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-              roundPortable(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+              roundPortable(Dedup.sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
   }
 
   /** Session-cached clean corpus — the shared prefix of q32 and q49
@@ -1994,11 +1996,11 @@ object QueryCatalog {
       .union(cands.select(col("incoming_id").as("doc_id"))).distinct()
     val sets = docs.select(col("doc_id"), col("text"))
       .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), Dedup.shingleHashSet(col("text"), 3).as("sh"))
+      .select(col("doc_id"), sort_array(Dedup.shingleHashSet(col("text"), 3)).as("sh"))
     val nearHits = cands
       .join(sets.select(col("doc_id").as("existing_id"), col("sh").as("sh_e")), Seq("existing_id"))
       .join(sets.select(col("doc_id").as("incoming_id"), col("sh").as("sh_i")), Seq("incoming_id"))
-      .filter(Dedup.jaccard(col("sh_e"), col("sh_i")) >= 0.8)
+      .filter(Dedup.sortedJaccard(col("sh_e"), col("sh_i")) >= 0.8)
       .select(col("incoming_id").as("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
     incoming.select("doc_id")
@@ -2418,12 +2420,15 @@ object QueryCatalog {
       .join(toks, Seq("doc_id"))
       .filter(col("n") >= 8 && col("n") <= maxLen)
       .select(col("doc_id"), col("n"), col("joined"), col("gh"))
-    val hosts = grams
-      .join(toks.withColumnRenamed("doc_id", "host_id"),
-        col("doc_id") === col("host_id"))
-      .select(col("host_id"), col("n").as("host_n"), col("joined").as("host_joined"), col("gh"))
+    // candidate⋈gram FIRST on the slim (host_id, gh) table, host text
+    // attached only to HIT rows afterwards: materializing the text onto
+    // every gram row up front would replicate each document's full
+    // joined string once per gram (~|grams| wide rows), where hits are
+    // bounded by the docs sharing the candidate's one min-gram
     val verified = cands
-      .join(hosts, Seq("gh"))
+      .join(grams.withColumnRenamed("doc_id", "host_id"), Seq("gh"))
+      .join(toks.select(col("doc_id").as("host_id"), col("n").as("host_n"),
+        col("joined").as("host_joined")), Seq("host_id"))
       .filter(col("host_n") > col("n"))
       .filter(instr(concat(lit(" "), col("host_joined"), lit(" ")),
         concat(lit(" "), col("joined"), lit(" "))) > 0)

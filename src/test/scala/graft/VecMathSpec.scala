@@ -77,4 +77,27 @@ class VecMathSpec extends SparkSpec {
       assert(out(id) == expect, s"id=$id arr=${arr.toSeq} from=$from v=$v")
     }
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 200).map { i =>
+      // overlapping domains so intersections are non-trivial; distinct + sorted
+      val a = Array.fill(rng.nextInt(40))(rng.nextLong() % 50).distinct.sorted
+      val b = Array.fill(rng.nextInt(40))(rng.nextLong() % 50).distinct.sorted
+      (i.toLong, a, b)
+    } :+ ((201L, Array.empty[Long], Array(1L, 2L)))
+    val out = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        graft.functions.SortedIntersect.sorted_intersect_count(col("a"), col("b")).as("c"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    out.foreach { case (id, (c, ref)) => assert(c == ref, s"id=$id: $c != $ref") }
+    // interpreted path (nullSafeEval) agrees with codegen
+    val interp = graft.functions.SortedIntersectCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1L, 3L, 7L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(3L, 5L, 7L, 9L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))).eval(null)
+    assert(interp == 2)
+  }
 }

@@ -2511,9 +2511,10 @@ object QueryCatalog {
     * Same ranking family as average conditional probability (monotone in
     * the same counts), one double division per doc at the end.
     *
-    * Plan shape: one tokenize scan → exploded bigram stream → two
-    * map-side-combined groupBys (pair counts, head counts) → two
-    * equi-joins back on the bigram stream (shuffles bounded by distinct
+    * Plan shape: one tokenize scan → exploded bigram stream → one
+    * map-side-combined groupBy to the distinct-pair count frame (head
+    * counts are its per-w1 sums — `pair` determines `w1`) → one
+    * equi-join back on the bigram stream (shuffles bounded by distinct
     * bigrams, never doc×doc) → per-doc integer sums. The bucket cut is
     * integer rank math (rn·3 vs n) with a doc_id tiebreak, so the
     * boundary is engine-exact. The global row_number is the one
@@ -2532,9 +2533,16 @@ object QueryCatalog {
             concat_ws(" ", element_at(col("t"), i),
               element_at(col("t"), i + 1)).as("pair")))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.pair"))
-    val pairCnt = bg.groupBy("pair").agg(count(lit(1)).as("c_pair"))
-    val headCnt = bg.groupBy("w1").agg(count(lit(1)).as("c_head"))
-    val perDoc = bg.join(pairCnt, Seq("pair")).join(headCnt, Seq("w1"))
+    // `pair` DETERMINES `w1` (pair = w1 + " " + w2), so head counts are
+    // the per-w1 sums of the DISTINCT-PAIR count frame — one groupBy over
+    // the bigram stream and one join back, where the naive shape
+    // (separate pair/head groupBys + two joins) evaluates the
+    // tokenize+explode stream three times
+    val pairCnt = bg.groupBy("w1", "pair").agg(count(lit(1)).as("c_pair"))
+    val headCnt = pairCnt.groupBy("w1").agg(sum("c_pair").as("c_head"))
+    val stats = pairCnt.join(headCnt, Seq("w1"))
+      .select(col("pair"), col("c_pair"), col("c_head"))
+    val perDoc = bg.select("doc_id", "pair").join(stats, Seq("pair"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("c_pair")).as("sum_pair"),

@@ -14,9 +14,12 @@ import graft.text.TextOps
   * buckets, which stay tiny when documents are genuinely distinct. That is
   * the 100 TB shape: cost ≈ |docs| × bands, not |docs|².
   *
-  * Engine portability: all hashes are md5 hex strings (identical in Spark
-  * and DuckDB), minima are lexicographic string-minima — the DuckDB oracle
-  * can replay every step.
+  * Engine portability: every hash the ORACLE must replay is md5-derived
+  * (md5 hex strings for fingerprints; the 13-hex-digit / 52-bit md5
+  * prefix for minhash's base hash) with exact-integer mixing on top —
+  * DuckDB replays every step bit-identically. Hashes that only bucket or
+  * join WITHIN the engine (band keys, gram identities) ride xxhash64
+  * longs, where only the partition induced by equality matters.
   */
 object Dedup {
 
@@ -111,17 +114,15 @@ object Dedup {
         count(lit(1)).as("dup_count")
       )
 
-  /** MinHash signature: k permutation-free hash functions
-    * h_i(s) = md5(i || '|' || s); the signature component is the
-    * lexicographic MIN hex digest over the doc's shingles. String minima
-    * make the oracle trivial and are exactly as collision-resistant as the
-    * underlying digest. Returns array<string> of length k.
-    *
-    * Implemented as the native [[graft.functions.MinHashSig]] expression
-    * (one pass over the shingles, ~6× faster than composing k
-    * array_min/transform/md5 built-ins — see its Scaladoc); equivalent
-    * built-in composition:
-    * `array((0 until k).map(i => array_min(transform(sh, s => md5(...)))))`.
+  /** MinHash signature: k universal hash functions
+    * h_i(s) = (A_i · u(s) + B_i) mod (2^61 − 1) over the 52-bit md5
+    * prefix u(s) of each shingle; the signature component is the numeric
+    * MIN over the doc's shingles. ONE digest per shingle + k long mixes —
+    * the earlier h_i = md5(i || '|' || s) scheme paid k digests per
+    * shingle, the dominant cost of the whole LSH build at corpus scale.
+    * Returns array<long> of length k. The DuckDB oracle replays u as the
+    * 13-nibble md5 fold and the mix in HUGEINT — bit-identical; see
+    * [[graft.functions.MinHashSig]] for the full portability argument.
     */
   def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
     graft.functions.MinHashSig.minhash_sig(shingleSet(text, shingleN), k)
@@ -139,32 +140,30 @@ object Dedup {
                shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
     require(k % rowsPerBand == 0, "k must divide into bands evenly")
     val bands = k / rowsPerBand
-    // Compute the k-hash signature in ONE codegen'd projection (identical
-    // plan shape to the signature query), then materialize it behind
-    // persist(): InMemoryRelation is a barrier Catalyst won't collapse
-    // projections through, so past it `sig` is a bound attribute and the
-    // 16 element_at band references cost pointer reads. Without a barrier,
-    // Catalyst inlines the whole signature expression into every reference
-    // (measured 16× work); an RDD-conversion barrier instead drops the
-    // projection out of whole-stage codegen (measured 3× slower); fusing
-    // banding into one giant projection costs ~15s of Janino compile. The
-    // cached slice is only (id, k×32-byte sig) — what a multi-stage
-    // pipeline would persist between stages at warehouse scale.
-    // One pipe-joined string, not array<string>: columnar cache encoding of
-    // a string array measured ~4× slower than a single string, and md5 hex
-    // is fixed-width so bands are constant substring slices.
+    // Compute the k-hash signature in ONE projection, then materialize it
+    // behind persist(): InMemoryRelation is a barrier Catalyst won't
+    // collapse projections through, so past it `sig` is a bound attribute
+    // and the 16 element_at band references cost pointer reads. Without a
+    // barrier, Catalyst inlines the whole signature expression into every
+    // reference (measured 16× work); an RDD-conversion barrier instead
+    // drops the projection out of whole-stage codegen (measured 3×
+    // slower). The cached slice is only (id, k longs) — what a
+    // multi-stage pipeline would persist between stages at warehouse
+    // scale. (The hex-era caveat about array<string> cache encoding does
+    // not apply: array<long> is primitive-encoded.)
     val sigDf = docs.select(col(idCol).as("doc_id"),
-      concat_ws("|", minhashSignature(col(textCol), shingleN, k)).as("sigs"))
+      minhashSignature(col(textCol), shingleN, k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { b =>
-      // hashes are 32 hex chars + 1 separator; band b = "m(4b)|...|m(4b+3)".
-      // The bucket key is xxhash64 of the band slice — an 8-byte long
-      // through every bucket groupBy/join (was md5 hex, 32-char strings);
-      // bucketing by h(x) equals bucketing by x absent collisions, which
-      // the capped==uncapped and oracle-replay checks re-prove per corpus.
+      // band b = sig components [b·rowsPerBand, (b+1)·rowsPerBand). The
+      // bucket key is xxhash64 over the band's longs — an 8-byte long
+      // through every bucket groupBy/join; bucketing by h(x) equals
+      // bucketing by x absent collisions, which the capped==uncapped and
+      // oracle-replay checks re-prove per corpus.
       struct(
         lit(b).as("band"),
-        xxhash64(substring(col("sigs"), b * rowsPerBand * 33 + 1, rowsPerBand * 33 - 1)).as("band_key")
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("band_key")
       )
     }
     val banded = sigDf

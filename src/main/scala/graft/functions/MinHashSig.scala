@@ -1,86 +1,74 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.sql.GraftShim
 
-/** MinHash signature as a native Catalyst expression: for each of k hash
-  * functions h_i(s) = md5(i + "|" + s), the lexicographic minimum hex digest
-  * over the input shingle array — in ONE pass per row, with shingle bytes
-  * converted once and digests compared as raw bytes.
+/** MinHash signature as a native Catalyst expression — ONE digest per
+  * shingle, k universal-hash mixes per digest.
   *
-  * Exists for throughput, not semantics: the identical computation composed
-  * from built-ins (k × array_min(transform(sh, md5(...)))) evaluates the
-  * interpreted higher-order-function tree k times per row and measured ~6×
-  * slower at 5k docs. Semantics stay digit-for-digit identical to the
-  * DuckDB oracle's `list_min(list_transform(sh, x -> md5(i || '|' || x)))`
-  * (lowercase hex; hex lexicographic order == unsigned byte order).
+  * Scheme: u(s) = the 52-bit md5 prefix of the shingle
+  * ([[Md5Prefix52.hash52]] — the repo-wide sketch-hash convention), then
+  * h_i(s) = (A_i · u(s) + B_i) mod p with p = 2^61 − 1 and fixed
+  * coefficients [[MinHashSig.As]]/[[MinHashSig.Bs]]; the signature
+  * component is min over shingles of h_i — numeric minima over BIGINTs.
+  * The affine family over a Mersenne prime is the standard MinHash
+  * construction (universal hashing; Broder'97, Indyk'99 analysis), and
+  * it cuts digest work k-fold against the earlier h_i = md5(i || '|' ||
+  * s) scheme: at k = 16 that scheme spent 16 md5 passes per SHINGLE —
+  * the dominant cost of the whole LSH dedup build at corpus scale.
   *
-  * CodegenFallback is deliberate: the per-row work (k·|shingles| digests)
-  * dwarfs codegen's per-row dispatch savings, and the fallback keeps the
-  * expression inside any surrounding whole-stage-codegen projection.
+  * Engine portability: the DuckDB oracle replays u(s) as the 13-hex-
+  * nibble fold of md5(s) (exactly [[Md5Prefix52]]'s contract) and the
+  * mix as `(CAST(A AS HUGEINT) * u + B) % p` — 128-bit-exact, so every
+  * signature component crosses the engine boundary bit-identically. The
+  * oracle SQL is generated FROM [[MinHashSig.As]]/[[MinHashSig.Bs]]
+  * (OracleCatalog reads these fields), so the coefficients have one
+  * source of truth.
+  *
+  * The JVM mix avoids 128-bit division: with a < p < 2^61 and u < 2^52,
+  * a·u < 2^113; Math.multiplyHigh gives the exact high word, and
+  * 2^64 ≡ 8, 2^61 ≡ 1 (mod p) fold the product into [0, p) with shifts
+  * and adds (Mersenne reduction). Bit-equality with the BigInteger
+  * definition is property-pinned in TextDedupSpec.
+  *
+  * CodegenFallback is deliberate: the per-row work (|shingles| digests +
+  * k·|shingles| long mixes) dwarfs codegen's per-row dispatch savings,
+  * and the fallback keeps the expression inside any surrounding
+  * whole-stage-codegen projection.
   */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  require(k <= MinHashSig.MaxK, s"minhash_sig: k=$k exceeds ${MinHashSig.MaxK}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n   = arr.numElements()
-    val shingleBytes = new Array[Array[Byte]](n)
+    val as  = MinHashSig.As
+    val bs  = MinHashSig.Bs
+    // empty shingle arrays are unreachable under shingleSet's short-doc
+    // convention (always >= 1 gram); the Long.MaxValue fill is a
+    // deterministic sentinel, not a contract
+    val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      shingleBytes(j) = arr.getUTF8String(j).getBytes
+      val u = Md5Prefix52.hash52(arr.getUTF8String(j))
+      var i = 0
+      while (i < k) {
+        val h = MinHashSig.mix(as(i), bs(i), u)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
       j += 1
     }
-    val md   = java.security.MessageDigest.getInstance("MD5")
-    val mins = new Array[Any](k)
-    var i = 0
-    while (i < k) {
-      val prefix = (i.toString + "|").getBytes(StandardCharsets.UTF_8)
-      var best: Array[Byte] = null
-      j = 0
-      while (j < n) {
-        md.reset()
-        md.update(prefix)
-        md.update(shingleBytes(j))
-        val d = md.digest()
-        if (best == null || unsignedLess(d, best)) best = d
-        j += 1
-      }
-      mins(i) = if (best == null) null else UTF8String.fromString(hex(best))
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
-
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val x = a(i) & 0xff
-      val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    false
-  }
-
-  private def hex(bytes: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      val v = bytes(i) & 0xff
-      sb.append(Character.forDigit(v >>> 4, 16)).append(Character.forDigit(v & 0xf, 16))
-      i += 1
-    }
-    sb.toString
+    UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -88,7 +76,37 @@ case class MinHashSig(child: Expression, k: Int)
 }
 
 object MinHashSig {
-  /** Column wrapper: shingles array<string> → array<string> of k minima. */
+  /** 2^61 − 1 (Mersenne prime) — the mix modulus. */
+  val P: Long = (1L << 61) - 1
+
+  val MaxK = 32
+
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Fixed mix coefficients, derived from a splitmix64 stream so they are
+    * reproducible from this file alone: A_i ∈ [1, p), B_i ∈ [0, p). */
+  val As: Array[Long] = Array.tabulate(MaxK)(i => (splitmix64(2L * i) >>> 3) % (P - 1) + 1)
+  val Bs: Array[Long] = Array.tabulate(MaxK)(i => (splitmix64(2L * i + 1) >>> 3) % P)
+
+  /** (a·u + b) mod p, exact for a < p, u < 2^52, b < p — Mersenne
+    * reduction of the 128-bit product (2^64 ≡ 8, 2^61 ≡ 1 mod p). */
+  def mix(a: Long, b: Long, u: Long): Long = {
+    val hi = Math.multiplyHigh(a, u) // both operands positive: exact unsigned high word
+    val lo = a * u                   // wrapping low 64 bits
+    var r = hi * 8 + (lo >>> 61) + (lo & P)
+    r = (r & P) + (r >>> 61)
+    if (r >= P) r -= P
+    r += b
+    if (r >= P) r -= P
+    r
+  }
+
+  /** Column wrapper: shingles array<string> → array<long> of k minima. */
   def minhash_sig(shingles: Column, k: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(shingles), k))
 }

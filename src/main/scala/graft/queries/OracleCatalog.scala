@@ -157,13 +157,28 @@ object OracleCatalog {
       |   - CAST(0.1 AS DOUBLE) * (CAST(n_digits AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))
       |   + CAST(0.3 AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
 
-  private def minhash(i: Int): String =
-    s"list_min(list_transform(sh, x -> md5('$i|' || x)))"
+  /** u(x): the 52-bit md5 prefix of shingle x as a BIGINT — the 13-hex-
+    * nibble fold, exactly [[graft.functions.Md5Prefix52]]'s contract. */
+  private val uFold =
+    "list_reduce([CAST(strpos('0123456789abcdef', substr(md5(x), __i, 1)) - 1 AS BIGINT) " +
+      "for __i in generate_series(1, 13)], (__a, __v) -> __a * 16 + __v)"
+
+  /** MinHash component i: numeric min over shingles of the universal hash
+    * (A_i · u + B_i) mod (2^61 − 1), HUGEINT-exact. Coefficients read
+    * from [[graft.functions.MinHashSig]] — one source of truth with the
+    * engine expression. */
+  private def minhash(i: Int): String = {
+    val a = graft.functions.MinHashSig.As(i)
+    val b = graft.functions.MinHashSig.Bs(i)
+    val p = graft.functions.MinHashSig.P
+    s"list_min(list_transform(sh, x -> " +
+      s"CAST((CAST($a AS HUGEINT) * ($uFold) + $b) % $p AS BIGINT)))"
+  }
 
   private val sigCols = (0 until 16).map(i => s"${minhash(i)} AS m${i}").mkString(",\n ")
 
   private def bandKey(b: Int): String =
-    s"md5(concat_ws('|', ${(0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")}))"
+    s"md5(concat_ws('|', ${(0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)").mkString(", ")}))"
 
   private val stopList = graft.text.TextOps.StopwordsEn.map(w => s"'$w'").mkString(", ")
 
@@ -448,7 +463,8 @@ object OracleCatalog {
 
     "q18_minhash_sig" ->
       s"""WITH $tkCte, $shCte
-         |SELECT doc_id, concat_ws('|', ${(0 until 16).map(minhash).mkString(",\n ")}) AS sig
+         |SELECT doc_id, concat_ws('|', ${(0 until 16)
+            .map(i => s"CAST(${minhash(i)} AS VARCHAR)").mkString(",\n ")}) AS sig
          |FROM sh""".stripMargin,
 
     "q19_minhash_pairs" ->

@@ -152,7 +152,10 @@ object QueryCatalog {
   def minhashSig(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),
-      concat_ws("|", Dedup.minhashSignature(col("text"), 3, 16)).as("sig"))
+      // long components render as decimal strings — identical to the
+      // oracle's CAST(... AS VARCHAR) rendering
+      concat_ws("|", transform(Dedup.minhashSignature(col("text"), 3, 16),
+        x => x.cast("string"))).as("sig"))
 
   /** Session-scoped default MinHash candidate pairs over `documents` —
     * q19 (pairs report), q54 (cluster building), and q60 (edit-distance

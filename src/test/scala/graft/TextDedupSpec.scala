@@ -92,7 +92,7 @@ class TextDedupSpec extends SparkSpec {
     val far  = (100 to 160).map(i => s"zzz$i").mkString(" ")
     val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
     val sigs = df.select(col("doc_id"), Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) == sigs(2L))
     val agreeNear = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
     val agreeFar  = sigs(1L).zip(sigs(4L)).count { case (x, y) => x == y }
@@ -180,8 +180,26 @@ class TextDedupSpec extends SparkSpec {
       "SELECT minhash_sig(array('a b c', 'b c d'), 4) AS sig").head()
     val viaColumn = Seq(Seq("a b c", "b c d")).toDF("sh")
       .select(graft.functions.MinHashSig.minhash_sig(col("sh"), 4).as("sig")).head()
-    assert(row.getSeq[String](0) == viaColumn.getSeq[String](0))
-    assert(row.getSeq[String](0).forall(_.matches("[0-9a-f]{32}")))
+    assert(row.getSeq[Long](0) == viaColumn.getSeq[Long](0))
+    assert(row.getSeq[Long](0).forall(v => v >= 0L && v < graft.functions.MinHashSig.P))
+  }
+
+  test("minhash mix equals the BigInteger definition (Mersenne reduction exactness)") {
+    import graft.functions.MinHashSig
+    val P = java.math.BigInteger.valueOf(MinHashSig.P)
+    val rng = new scala.util.Random(41)
+    for (_ <- 1 to 2000) {
+      val i = rng.nextInt(MinHashSig.MaxK)
+      val a = MinHashSig.As(i); val b = MinHashSig.Bs(i)
+      val u = rng.nextLong() >>> 12 // any 52-bit value
+      val expect = java.math.BigInteger.valueOf(a)
+        .multiply(java.math.BigInteger.valueOf(u))
+        .add(java.math.BigInteger.valueOf(b)).mod(P).longValueExact()
+      assert(MinHashSig.mix(a, b, u) == expect, s"a=$a b=$b u=$u")
+    }
+    // coefficient domains: the oracle SQL embeds these as literals
+    assert(MinHashSig.As.forall(a => a >= 1 && a < MinHashSig.P))
+    assert(MinHashSig.Bs.forall(b => b >= 0 && b < MinHashSig.P))
   }
 
   test("simhash64 and min_window_hash are SQL-callable after GraftFunctions.register") {

@@ -435,7 +435,11 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cells = assignCells(c, centroids)
+    // assignment is a corpus pass; three consumers (both cell-join sides
+    // and the final labelling) would re-run it per reference — checkpoint
+    // once, release after the output materializes
+    val (cells, cellBlocks) =
+      graft.dedup.Checkpoints.tracked(assignCells(c, centroids))
     val l = cells.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val r = cells.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     val dups = l.join(r, Seq("cell"))
@@ -443,10 +447,12 @@ object Similarity {
       .filter(roundScore(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
         >= threshold)
       .groupBy(col("id_b").as("vec_id")).agg(min(col("id_a")).as("dup_of"))
-    cells.select("vec_id", "cell")
+    val (out, _) = graft.dedup.Checkpoints.tracked(cells.select("vec_id", "cell")
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup_of"),
-        col("dup_of").isNotNull.as("is_semantic_dup"))
+        col("dup_of").isNotNull.as("is_semantic_dup")))
+    graft.dedup.Checkpoints.release(cellBlocks)
+    out
   }
 
   /** Product-quantization ANN (Jégou, Douze, Schmid, "Product

@@ -208,12 +208,15 @@ object QueryCatalog {
       // convention — edges depend only on gram EQUALITY, so the key
       // choice is output-invariant in the collision-free regime the
       // green oracle run re-proves)
-      val g = t(s, dir, "documents")
+      // the gram explode is a corpus pass with two consumers (df
+      // aggregation, rare join) — checkpoint once so it runs once
+      val (g, gBlocks) = Checkpoints.tracked(t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(Dedup.shingleHashSet(col("text"), 8)).as("gh"))
+          explode(Dedup.shingleHashSet(col("text"), 8)).as("gh")))
       val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5)).select("gh")
       val (gr, grBlocks) = Checkpoints.tracked(g.join(rare, Seq("gh")))
+      Checkpoints.release(gBlocks)
       val (edges, _) = Checkpoints.tracked(
         gr.as("x").join(gr.as("y"),
             col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))

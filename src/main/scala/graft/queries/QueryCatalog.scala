@@ -3517,12 +3517,16 @@ object QueryCatalog {
     val reps = when(n >= 2,
       size(filter(zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
         (a, b) => a === b), x => x))).otherwise(lit(0))
-    val sh5 = Dedup.shingles(col("text"), 5)
+    // gram identities as xxhash64 longs (the splitGrams convention):
+    // every fraction below is a pure function of gram EQUALITY, so the
+    // dup-count arithmetic and the (doc, gram) shuffle carry 8-byte
+    // longs instead of materialized gram strings
+    val sh5 = Dedup.shingleHashes(col("text"), 5)
     val dup5 = (size(sh5) - size(array_distinct(sh5))).cast("double") /
       size(sh5).cast("double")
     val perRow = d.select(col("doc_id"), n.as("n_tokens"),
       reps.as("__reps"), dup5.as("dup5gram_frac"))
-    val top2 = d.select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("g"))
+    val top2 = d.select(col("doc_id"), explode(Dedup.shingleHashes(col("text"), 2)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("__top2"), sum(col("c")).as("__tot2"))
     perRow.join(top2, Seq("doc_id"))

@@ -1104,7 +1104,9 @@ object QueryCatalog {
     */
   def repetitionScore(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("g"))
+      // hashed gram identities (the q151 convention): the fraction is a
+      // pure function of gram equality, so no gram string materializes
+      .select(col("doc_id"), explode(Dedup.shingleHashes(col("text"), 3)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_grams"), max(col("c")).as("max_gram_count"))

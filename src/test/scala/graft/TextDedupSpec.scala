@@ -79,6 +79,20 @@ class TextDedupSpec extends SparkSpec {
     assert(inter(strs) == inter(hshs))
   }
 
+  test("sortedJaccard edge cases: empty docs, identical docs, disjoint docs") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "a b c d"), (4L, "a b c d"), (5L, "x y z w"))
+      .toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"),
+      sort_array(Dedup.shingleHashSet(col("text"), 3)).as("sh"))
+    def j(a: Long, b: Long): Double = sets.as("l").join(sets.as("r"),
+        col("l.doc_id") === a && col("r.doc_id") === b)
+      .select(Dedup.sortedJaccard(col("l.sh"), col("r.sh"))).head().getDouble(0)
+    assert(j(1L, 2L) == 1.0, "empty and whitespace-only docs share the empty-token whole-doc gram")
+    assert(j(3L, 4L) == 1.0)
+    assert(j(3L, 5L) == 0.0)
+    assert(j(1L, 3L) == 0.0)
+  }
+
   test("exactDedup groups identical canonical text, keeps min id") {
     val docs = Seq((1L, "Hello  world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(docs, "doc_id", "text")

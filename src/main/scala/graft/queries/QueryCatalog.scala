@@ -339,9 +339,12 @@ object QueryCatalog {
   private def pqIndex(s: SparkSession, dir: String, trained: Boolean): Similarity.PqIndex = {
     CacheAccess.record("pqIndex")
     pqIndexCache.getOrElseUpdate(s, s"$dir|trained=$trained") {
-      val idx = Similarity.pqBuildIndex(t(s, dir, "embeddings"),
+      // pqBuildIndex checkpoints cb and codes eagerly itself (cb BEFORE
+      // the encode plans against it — re-checkpointing the lazy frames
+      // here used to re-run codebook training inside the codes
+      // materialization)
+      Similarity.pqBuildIndex(t(s, dir, "embeddings"),
         trainCodebooks = trained, codebookSize = Some(64))
-      Similarity.PqIndex(idx.cb.localCheckpoint(true), idx.codes.localCheckpoint(true))
     }
   }
 

@@ -520,7 +520,10 @@ object Similarity {
     require(dim % m == 0, s"pqBuildIndex: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    val sub = pqSubVectors(e, m, dsub)
+    // the sub-vector explode is a corpus pass with three consumers
+    // (codebook sampling, the training assignment, the encode) —
+    // checkpoint once so each reads materialized rows
+    val (sub, subBlocks) = graft.dedup.Checkpoints.tracked(pqSubVectors(e, m, dsub))
     // `codebookSize` FIXES ksub (real PQ's convention — Jégou uses 256):
     // stride derives from the corpus count so training and encoding pair
     // work stay LINEAR in the corpus (ksub·n), where the raw
@@ -529,17 +532,23 @@ object Similarity {
     val stride = codebookSize.fold(centroidStride.toLong) { ks =>
       math.max(1L, e.count() / ks)
     }
-    val cb = pqCodebooks(sub, stride, trainCodebooks)
+    // cb checkpoints BEFORE codes so the encode plans against the
+    // materialized codebooks — checkpointing the lazy frames afterwards
+    // (the former session-cache pattern) re-ran codebook training inside
+    // the codes materialization, whose plan embeds pre-checkpoint lineage
+    val (cb, _) = graft.dedup.Checkpoints.tracked(
+      pqCodebooks(sub, stride, trainCodebooks))
     val dists = sub.join(broadcast(cb), Seq("j")).select(
       col("vec_id"), col("j"), col("cid"), pqSubL2.as("d"))
     // encode: nearest sub-centroid per (vector, subspace), ties to min cid
     // — min(struct(d, cid)) partial-aggregates the m·ksub·n scored frame
     // to one code per (vector, subspace) map-side instead of window-
     // sorting it (see [[assignCells]] for the ordering equivalence)
-    val codes = dists
+    val (codes, _) = graft.dedup.Checkpoints.tracked(dists
       .groupBy("vec_id", "j")
       .agg(min(struct(col("d"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("j"), col("m.cid").as("cid"))
+      .select(col("vec_id"), col("j"), col("m.cid").as("cid")))
+    graft.dedup.Checkpoints.release(subBlocks)
     PqIndex(cb, codes)
   }
 

@@ -621,7 +621,11 @@ object CoreOps {
     */
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         tieCol: String, as: String = "norm_value"): DataFrame = {
-    val ranked = globalRowNumber(df, Seq(valueCol, tieCol), rankCol = "__gi")
+    // three consumers (global count, the group-ranked frame, the target
+    // lookup) — checkpoint the global ranking once or globalRowNumber's
+    // window+offset suffix re-executes per reference
+    val (ranked, rankedBlocks) = graft.dedup.Checkpoints.tracked(
+      globalRowNumber(df, Seq(valueCol, tieCol), rankCol = "__gi"))
     val gn = ranked.agg(count(lit(1)).as("__gn"))
     val wS  = Window.partitionBy(groupCol).orderBy(asc(valueCol), asc(tieCol))
     val wSg = Window.partitionBy(groupCol)
@@ -632,8 +636,11 @@ object CoreOps {
         when(col("__ns") > 1, expr("1 + ((__rk - 1) * (__gn - 1)) DIV (__ns - 1)"))
           .otherwise(expr("1 + (__gn - 1) DIV 2")))
     val lookup = ranked.select(col("__gi").as("__ti"), col(valueCol).as(as))
-    indexed.join(lookup, Seq("__ti"))
-      .drop("__ti", "__gi", "__gn", "__rk", "__ns")
+    val (out, _) = graft.dedup.Checkpoints.tracked(
+      indexed.join(lookup, Seq("__ti"))
+        .drop("__ti", "__gi", "__gn", "__rk", "__ns"))
+    graft.dedup.Checkpoints.release(rankedBlocks)
+    out
   }
 
   /** Pairwise distinct-set overlap between every pair of groups,

@@ -397,12 +397,18 @@ object QueryCatalog {
   def trainingCorpus(s: SparkSession, dir: String): DataFrame = {
     val clean = cleanedCorpus(s, dir)
       .withColumn("split", splitCol(col("doc_id")))
-    val grams = clean.select(col("doc_id"), col("split"),
-        explode(Dedup.shingleHashSet(col("text"), 8)).as("gh"))
+    // the clean-corpus gram explode feeds both split sides — checkpoint
+    // once so shingling runs one pass, released after the contaminated
+    // set (tiny) materializes
+    val (grams, gramBlocks) = graft.dedup.Checkpoints.tracked(
+      clean.select(col("doc_id"), col("split"),
+        explode(Dedup.shingleHashSet(col("text"), 8)).as("gh")))
     val trainGrams = grams.filter(col("split") === "train").select("gh").distinct()
-    val contaminated = grams.filter(col("split") === "heldout")
-      .join(trainGrams, Seq("gh"), "left_semi")
-      .select(col("doc_id").as("cont_id")).distinct()
+    val (contaminated, _) = graft.dedup.Checkpoints.tracked(
+      grams.filter(col("split") === "heldout")
+        .join(trainGrams, Seq("gh"), "left_semi")
+        .select(col("doc_id").as("cont_id")).distinct())
+    graft.dedup.Checkpoints.release(gramBlocks)
     clean.join(contaminated, clean("doc_id") === contaminated("cont_id"), "left_anti")
       .select("doc_id", "split", "n_tokens", "quality")
       .orderBy("doc_id")
@@ -2423,9 +2429,12 @@ object QueryCatalog {
     */
   def containmentDups(s: SparkSession, dir: String): DataFrame = {
     val maxLen = 64
-    val toks = t(s, dir, "documents")
+    // tokenize+join runs once (two consumers: candidate build, host
+    // attach); the checkpoint holds (id, n, joined) — corpus-text-sized,
+    // released with the frame by ContextCleaner after the query runs
+    val (toks, _) = graft.dedup.Checkpoints.tracked(t(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
-      .select(col("doc_id"), size(col("t")).as("n"), concat_ws(" ", col("t")).as("joined"))
+      .select(col("doc_id"), size(col("t")).as("n"), concat_ws(" ", col("t")).as("joined")))
     val grams = splitGrams(s, dir).select("doc_id", "gh")
     val cands = grams.groupBy("doc_id").agg(min(col("gh")).as("gh"))
       .join(toks, Seq("doc_id"))

@@ -48,14 +48,22 @@ case class MinHashSig(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // null on empty input (below) makes the expression nullable even over a
+  // non-null child — the SQL-registered surface must match the oracle's
+  // NULL-on-empty (list_min of an empty list), not a sentinel
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n   = arr.numElements()
+    // empty shingle arrays are unreachable under shingleSet's short-doc
+    // convention (always >= 1 gram), but the expression is SQL-registered
+    // so direct callers can reach it: return null — min over an empty set
+    // is undefined, and a Long.MaxValue sentinel is outside [0, P) and
+    // diverges from the oracle's NULL
+    if (n == 0) return null
     val as  = MinHashSig.As
     val bs  = MinHashSig.Bs
-    // empty shingle arrays are unreachable under shingleSet's short-doc
-    // convention (always >= 1 gram); the Long.MaxValue fill is a
-    // deterministic sentinel, not a contract
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {

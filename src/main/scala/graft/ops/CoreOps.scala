@@ -122,13 +122,22 @@ object CoreOps {
   }
 
   /** Leading significant digit of x ≥ 1: first character of the integer
-    * part's decimal rendering (floor → bigint → string → char). LOG-FREE
-    * (log10 is banned by the portability contract), exact at ANY
-    * magnitude — no CASE ladder to fall off of past 1e8 — and guaranteed
-    * to land in 1..9. Null for null input; callers filter x ≥ 1.
+    * part's decimal rendering. LOG-FREE (log10 is banned by the
+    * portability contract), no CASE ladder to fall off of past 1e8, and
+    * guaranteed to land in 1..9. The integer part is `x - x % 1` — exact
+    * IEEE for x ≥ 0 in both engines (fmod is exact; the subtraction's
+    * integer result is representable) — NOT `floor()`: Spark's
+    * floor(double) returns LongType and silently saturates at
+    * Long.MaxValue for x ≳ 9.22e18 (digit 9) where the oracle's BIGINT
+    * cast errors. Rendering goes through decimal(38,0) (a no-op HALF_UP
+    * round, the input is already integral), which is exact to 1e38;
+    * above that Spark's cast nulls where DuckDB errors — the one
+    * remaining bound, documented here in place of the old silent 9.22e18
+    * saturation. Null for null input; callers filter x ≥ 1.
     */
   def leadingDigit(x: Column): Column =
-    substring(floor(x).cast("long").cast("string"), 1, 1).cast("int")
+    substring((x - x % lit(1.0)).cast("decimal(38,0)").cast("string"), 1, 1)
+      .cast("int")
 
   /** SCD Type-2 snapshot: compress a per-key change stream into validity
     * intervals — the dbt-snapshot / dimension-history operator. Keeps

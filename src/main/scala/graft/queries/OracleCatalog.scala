@@ -1105,9 +1105,11 @@ object OracleCatalog {
         |FROM c ORDER BY state, next_state""".stripMargin,
 
     // q153: Benford audit — log-free leading digit via the integer
-    // part's decimal rendering (exact at any magnitude), literal expecteds
+    // part's decimal rendering; integer part as x - x%1 (exact IEEE,
+    // mirrors CoreOps.leadingDigit — no BIGINT saturation/error bound),
+    // rendered through DECIMAL(38,0); literal expecteds
     "q153_benford_audit" ->
-      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice - (o_totalprice % 1) AS DECIMAL(38,0)) AS VARCHAR), 1, 1) AS INTEGER) AS digit
         |  FROM orders WHERE o_totalprice >= 1 AND o_totalprice IS NOT NULL),
         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
         |m AS (SELECT digit, n,

@@ -1292,17 +1292,21 @@ object QueryCatalog {
     */
   def approxDistinctContract(s: SparkSession, dir: String): DataFrame = {
     val rsd = 0.02
-    // exact and sketch in SEPARATE aggregations joined on the group key:
-    // fused in one agg, Catalyst plans count_distinct via Expand, which
-    // duplicates every input row for the sketch branch too — two clean
-    // passes beat one doubled pass (measured 3.3s -> 2.4s steady at
-    // sf0.1), and the group key is 3 rows, so the join is free
+    // ONE scan: dedup on (group, key) first — a map-side-combined
+    // groupBy, the standard skew-free exact-distinct shape — then count
+    // AND sketch the distinct keys in a second tiny aggregation. HLL
+    // registers are max-merged, so inserting a key once or n times is
+    // identical: the estimate over distinct keys is bit-equal to the
+    // estimate over raw rows, and count(*) over them IS the exact
+    // distinct. The alternatives both lose: exact+sketch fused over raw
+    // rows plans count_distinct via Expand (every input row duplicated
+    // for the sketch branch); two separate aggregations (the r8 form)
+    // scan lineitem twice (measured 3.6s -> ~2s bench median at sf0.1)
     val li = t(s, dir, "lineitem")
-    val exact = li.groupBy("l_returnflag")
-      .agg(count_distinct(col("l_orderkey")).as("nd_exact"))
-    val approx = li.groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_orderkey"), rsd).as("nd_approx"))
-    exact.join(approx, Seq("l_returnflag"))
+    val dk = li.select("l_returnflag", "l_orderkey").distinct()
+    dk.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("nd_exact"),
+        approx_count_distinct(col("l_orderkey"), rsd).as("nd_approx"))
       .select(
         col("l_returnflag"), col("nd_exact"),
         (abs(col("nd_approx") - col("nd_exact")).cast("double") <=

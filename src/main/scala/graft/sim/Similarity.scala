@@ -502,7 +502,12 @@ object Similarity {
     * from it; [[pqTopK]] accepts one so callers (and the session cache)
     * stop re-encoding the corpus per query.
     */
-  final case class PqIndex(cb: DataFrame, codes: DataFrame)
+  /** Carries the (m, dim) geometry it was built with: [[pqTopK]]
+    * require()s they match the call's — a mismatched prebuilt index makes
+    * the conditional-min ADC pivot yield null sub-distances and rows
+    * silently vanish instead of failing.
+    */
+  final case class PqIndex(cb: DataFrame, codes: DataFrame, m: Int, dim: Int)
 
   /** Train codebooks and encode the corpus — the build stage of
     * [[pqTopK]], split out so the index can be materialized once and
@@ -549,7 +554,7 @@ object Similarity {
       .agg(min(struct(col("d"), col("cid"))).as("m"))
       .select(col("vec_id"), col("j"), col("m.cid").as("cid")))
     graft.dedup.Checkpoints.release(subBlocks)
-    PqIndex(cb, codes)
+    PqIndex(cb, codes, m, dim)
   }
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -567,6 +572,9 @@ object Similarity {
     val subL2 = pqSubL2
     val idx = index.getOrElse(pqBuildIndex(corpus, m, dim, centroidStride,
       trainCodebooks, codebookSize, idCol, vecCol))
+    require(idx.m == m && idx.dim == dim,
+      s"pqTopK: prebuilt index geometry (m=${idx.m}, dim=${idx.dim}) " +
+        s"does not match the call's (m=$m, dim=$dim)")
     val cb = idx.cb
     val codes = idx.codes
     // ADC tables: same sub-distance expression, but restrict to the

@@ -47,7 +47,9 @@ object TopKGridBench {
     val groupsGrid = if (sys.env.contains("TOPK_BIG")) Seq(4L, 64L) else Seq(16L, 1024L, 65536L, 1048576L)
     val kGrid      = Seq(1, 10, 100)
 
-    println(s"""{"bench":"topk-grid","total_rows":$total,"cells":[""")
+    // cells print per-cell as progress (comment lines) and the final JSON
+    // line assembles them with mkString — a per-cell trailing comma made
+    // the raw output invalid JSON (the committed r9 grid was hand-cleaned)
     val cells = for (ng <- groupsGrid; k <- kGrid) yield {
       val df = fixture(ng)
       def run(flag: Boolean): Double = {
@@ -65,10 +67,10 @@ object TopKGridBench {
       val tWin  = run(flag = false)
       val tHeap = run(flag = true)
       val cell = f"""{"groups":$ng,"rows_per_group":${total / ng},"k":$k,"window_sec":$tWin%.3f,"heap_sec":$tHeap%.3f,"speedup":${tWin / tHeap}%.2f}"""
-      println(cell + ",")
+      println(s"# $cell")
       cell
     }
-    println(s"""],"done":${cells.size}}""")
+    println(s"""{"bench":"topk-grid","total_rows":$total,"cells":[${cells.mkString(",")}],"done":${cells.size}}""")
     spark.stop()
   }
 }

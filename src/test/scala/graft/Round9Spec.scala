@@ -175,8 +175,9 @@ class Round9Spec extends SparkSpec {
       trainCodebooks = true, codebookSize = Some(16))
     val cached = graft.sim.Similarity.pqTopK(e, q, 3,
         trainCodebooks = true, codebookSize = Some(16),
-        index = Some(graft.sim.Similarity.PqIndex(
-          idx.cb.localCheckpoint(true), idx.codes.localCheckpoint(true))))
+        index = Some(idx.copy(
+          cb = idx.cb.localCheckpoint(true),
+          codes = idx.codes.localCheckpoint(true))))
       .collect().map(_.toSeq).toSet
     assert(inline == cached,
       "a checkpointed prebuilt index must serve the same neighbors as inline build")

@@ -48,24 +48,23 @@ object Dedup {
 
   /** n-gram IDENTITIES as xxhash64 longs WITHOUT materializing the gram
     * strings: hash each token once, then hash each n-window of token
-    * hashes (xxhash64 over the arrays_zip struct of the n shifted
-    * slices — the same constant-reference trick as [[shingles]]; the
-    * transform lambda touches only its own argument, so nothing outer
-    * re-evaluates per element). Two grams are equal iff their token
-    * sequences are equal, so this is the [[shingles]] identity under a
-    * different injection — consumers that only JOIN/GROUP/COUNT gram
-    * keys (decontamination, overlap matrices, rare-gram edges, prefix
-    * candidates) get 8-byte keys and zero per-gram string allocation.
-    * Docs shorter than n contribute one whole-doc gram, matching
-    * [[shingles]]'s short-doc convention.
+    * hashes — two grams are equal iff their token sequences are equal,
+    * so this is the [[shingles]] identity under a different injection.
+    * Consumers that only JOIN/GROUP/COUNT gram keys (decontamination,
+    * overlap matrices, rare-gram edges, prefix candidates) get 8-byte
+    * keys and zero per-gram string allocation. Docs shorter than n
+    * contribute one whole-doc gram, matching [[shingles]]'s short-doc
+    * convention.
+    *
+    * Runs as the native [[graft.functions.GramHashes]] expression (one
+    * fused codegen loop); it emits values bit-identical to the earlier
+    * `transform`/`arrays_zip`/`xxhash64(struct)` composition, which as
+    * CodegenFallback HOFs allocated n array views + one struct per
+    * window and dominated the gram-table build (measured 1.25s → ~0.3s
+    * for the sf0.1 8-gram corpus pass).
     */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val th = transform(TextOps.tokens(lower(text)), t => xxhash64(t))
-    def windowLen = size(th) - (n - 1)
-    val shifted = (0 until n).map(k => slice(th, lit(k + 1), windowLen))
-    val hashed = transform(arrays_zip(shifted: _*), s => xxhash64(s))
-    when(size(th) < n, array(xxhash64(th))).otherwise(hashed)
-  }
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.GramHashes.gram_hashes(TextOps.tokens(lower(text)), n)
 
   /** Distinct hashed-gram set (the [[shingleSet]] identity as longs). */
   def shingleHashSet(text: Column, n: Int): Column =
@@ -123,9 +122,14 @@ object Dedup {
     * Returns array<long> of length k. The DuckDB oracle replays u as the
     * 13-nibble md5 fold and the mix in HUGEINT — bit-identical; see
     * [[graft.functions.MinHashSig]] for the full portability argument.
+    *
+    * Runs as the fused [[graft.functions.MinHashSigTokens]] (token
+    * windows streamed straight into md5 — no shingle string, no
+    * array_distinct pass; signature-identical, see its scaladoc).
     */
   def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
-    graft.functions.MinHashSig.minhash_sig(shingleSet(text, shingleN), k)
+    graft.functions.MinHashSig.minhash_sig_tokens(
+      TextOps.tokens(lower(text)), shingleN, k)
 
   /** LSH banding: split the k-row signature into bands of `rowsPerBand`,
     * hash each band to one bucket key; docs sharing any (band, key)

@@ -83,6 +83,93 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** [[MinHashSig]] fused with the shingle construction: takes the TOKEN
+  * array and slides the n-gram window natively, feeding each window's
+  * bytes (token bytes joined by a single 0x20) straight into the
+  * streaming md5 — the gram STRING never materializes. The zip_with
+  * concat chain that built shingle strings was the signature path's
+  * dominant cost (0.67s of the 0.73s sf0.1 corpus pass; fused ~0.25s).
+  *
+  * Signature equality with `MinHashSig(shingleSet(text, n), k)` is
+  * EXACT: md5 over streamed (token, ' ', token, …) bytes equals md5 of
+  * the joined string; iterating window OCCURRENCES instead of the
+  * distinct set cannot move a component (min over a multiset equals min
+  * over its support); and a short doc's single whole-text window is
+  * [[graft.dedup.Dedup.shingles]]'s short-doc convention. Pinned by
+  * TextDedupSpec against the composed form. Same CodegenFallback
+  * rationale as [[MinHashSig]]; empty token array → null (the oracle's
+  * convention), though whitespace tokenization never produces one.
+  */
+case class MinHashSigTokens(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"minhash_sig_tokens: n=$n must be >= 1")
+  require(k <= MinHashSig.MaxK, s"minhash_sig_tokens: k=$k exceeds ${MinHashSig.MaxK}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val t = arr.numElements()
+    // T = 0 can only arrive from a literal empty array (whitespace
+    // tokenization of "" yields [""]); mirror MinHashSig's null-on-empty
+    if (t == 0) return null
+    val bytes = new Array[Array[Byte]](t)
+    var i = 0
+    while (i < t) {
+      bytes(i) = if (arr.isNullAt(i)) Array.emptyByteArray
+                 else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val w = if (t < n) t else n
+    val m = t - w + 1
+    val as = MinHashSig.As
+    val bs = MinHashSig.Bs
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = Md5Prefix52Digest.get()
+    i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < w) {
+        if (j > 0) md.update(0x20.toByte)
+        md.update(bytes(i + j))
+        j += 1
+      }
+      val u = Md5Prefix52Digest.fold52(md.digest())
+      var c = 0
+      while (c < k) {
+        val h = MinHashSig.mix(as(c), bs(c), u)
+        if (h < mins(c)) mins(c) = h
+        c += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigTokens =
+    copy(child = newChild)
+}
+
+/** Thread-local md5 + the 52-bit prefix fold, shared by the fused
+  * signature path (the [[Md5Prefix52]] digest is private to its own
+  * static entry, which takes a UTF8String — here the input is streamed).
+  */
+private[functions] object Md5Prefix52Digest {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  def get(): java.security.MessageDigest = digests.get()
+  /** First 52 bits of a 16-byte digest — [[Md5Prefix52.hash52]]'s fold. */
+  def fold52(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(6) >> 4) & 0xfL)
+  }
+}
+
 object MinHashSig {
   /** 2^61 − 1 (Mersenne prime) — the mix modulus. */
   val P: Long = (1L << 61) - 1
@@ -117,4 +204,9 @@ object MinHashSig {
   /** Column wrapper: shingles array<string> → array<long> of k minima. */
   def minhash_sig(shingles: Column, k: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(shingles), k))
+
+  /** Column wrapper for the fused path: tokens array<string> →
+    * array<long> of k minima over the n-gram windows. */
+  def minhash_sig_tokens(tokens: Column, n: Int, k: Int): Column =
+    GraftShim.column(MinHashSigTokens(GraftShim.expression(tokens), n, k))
 }

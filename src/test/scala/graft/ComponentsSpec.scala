@@ -77,4 +77,36 @@ class ComponentsSpec extends SparkSpec {
       assert(run(vs, es) == ufComponents(vs, es))
     }
   }
+
+  test("single-task union-find path and forced pointer-jumping path agree") {
+    // smallGraphEdges = 0 forces the iterative rounds; the default takes
+    // the one-task union-find. Labels must be identical — both contracts
+    // say component = min reachable vertex id.
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 80
+      val vs = (1L to n.toLong)
+      val es = Seq.fill(60)((rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))
+      val v = vs.toDF("doc_id")
+      val e = es.toDF("doc_a", "doc_b")
+      val small = Components.connectedComponents(e, "doc_a", "doc_b", v, "doc_id")
+        .as[(Long, Long)].collect().toMap
+      val loop = Components.connectedComponents(e, "doc_a", "doc_b", v, "doc_id",
+          smallGraphEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(small == loop, s"trial $trial: paths diverge")
+      assert(small == ufComponents(vs, es), s"trial $trial: vs reference")
+    }
+  }
+
+  test("non-long edge keys always take the pointer-jumping path") {
+    // ids as strings: the union-find path requires LongType, so this
+    // exercises the loop under the DEFAULT gate — a type regression here
+    // would throw in the small path's typed Dataset cast
+    val v = Seq("a", "b", "c", "d").toDF("doc_id")
+    val e = Seq(("a", "b"), ("c", "c")).toDF("doc_a", "doc_b")
+    val got = Components.connectedComponents(e, "doc_a", "doc_b", v, "doc_id")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "d"))
+  }
 }

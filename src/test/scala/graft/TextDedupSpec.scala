@@ -114,6 +114,24 @@ class TextDedupSpec extends SparkSpec {
     assert(agreeFar == 0, "disjoint shingle sets should share no minima")
   }
 
+  test("fused token-window signature is bit-identical to the composed shingleSet form") {
+    // real corpus slice + adversarial shorts: below/at/above the window
+    // size, duplicate windows (the multiset-vs-set min equivalence),
+    // multi-space runs collapsed by tokenization
+    val edge = Seq((9001L, "a"), (9002L, "a b c"), (9003L, "a b c d"),
+      (9004L, "x y x y x y x y"), (9005L, "  padded   spaces  here   "))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").union(edge)
+    val bad = docs.select(
+        Dedup.minhashSignature(col("text"), 3, 16).as("fused"),
+        graft.functions.MinHashSig.minhash_sig(
+          Dedup.shingleSet(col("text"), 3), 16).as("composed"))
+      .filter(not(col("fused") === col("composed")))
+      .count()
+    assert(bad == 0L, s"$bad docs diverge between fused and composed signatures")
+  }
+
   test("minhashCandidatePairs surfaces exact and near duplicates") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")

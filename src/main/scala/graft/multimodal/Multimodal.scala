@@ -39,53 +39,128 @@ object Multimodal {
                                  byte_mean: Double, byte_entropy: Double,
                                  feature: Array[Float])
 
-  /** STUB decoder — deterministic fake standing in for a real codec
-    * (??? boundary). A real deployment swaps `decodeFeature` for e.g. a
-    * JPEG decode + resize + CNN embed; signature and batch shape stay.
+  /** Feature-vector length every modality folds to. */
+  val FeatureDim = 8
+
+  /** Shannon entropy of the byte distribution, bits ∈ [0, 8] — a
+    * modality-independent payload statistic (corrupt-media triage,
+    * compression detection).
     */
-  object FakeDecoder {
-    val FeatureDim = 8
-    /** Deterministic "feature": byte-histogram moments folded to FeatureDim. */
-    def decodeFeature(bytes: Array[Byte]): Array[Float] = {
-      val f = new Array[Float](FeatureDim)
-      var i = 0
-      while (i < bytes.length) { f(i % FeatureDim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
-      f.map(x => if (bytes.isEmpty) 0f else x / bytes.length * FeatureDim)
-    }
-    def entropy(bytes: Array[Byte]): Double = {
-      if (bytes.isEmpty) return 0.0
-      val counts = new Array[Long](256)
-      bytes.foreach(b => counts(b & 0xff) += 1)
-      counts.filter(_ > 0).map { c =>
-        val p = c.toDouble / bytes.length; -p * math.log(p) / math.log(2)
-      }.sum
-    }
+  def byteEntropy(bytes: Array[Byte]): Double = {
+    if (bytes.isEmpty) return 0.0
+    val counts = new Array[Long](256)
+    bytes.foreach(b => counts(b & 0xff) += 1)
+    counts.filter(_ > 0).map { c =>
+      val p = c.toDouble / bytes.length; -p * math.log(p) / math.log(2)
+    }.sum
   }
 
-  /** Batch feature extraction over the opaque binary column. mapPartitions:
-    * one (stub) decoder per partition, streamed row-by-row — constant
-    * memory per task regardless of partition row count.
+  /** FeatureDim-bin luma histogram (fraction of pixels per 256/FeatureDim
+    * luma band) — the image feature. */
+  private def lumaHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+    val f = new Array[Float](FeatureDim)
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        f((img.getRGB(x, y) & 0xff) * FeatureDim / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    f.map(_ / n)
+  }
+
+  /** FeatureDim-segment amplitude envelope (mean |sample| / 32768 per
+    * equal time slice) — the audio feature. */
+  private def audioEnvelope(samples: Array[Int]): Array[Float] = {
+    val f = new Array[Float](FeatureDim)
+    val cnt = new Array[Int](FeatureDim)
+    val n = samples.length
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * FeatureDim / n).toInt
+      f(b) += math.abs(samples(i)) / 32768f
+      cnt(b) += 1
+      i += 1
+    }
+    // divide by each segment's ACTUAL sample count so short clips don't
+    // dilute the envelope (n < FeatureDim leaves trailing segments 0)
+    (0 until FeatureDim).map(b => if (cnt(b) > 0) f(b) / cnt(b) else 0f).toArray
+  }
+
+  /** Per-frame mean luma / 255 for the first FeatureDim frames (0-padded;
+    * an undecodable frame contributes 0) — the video feature. */
+  private def videoFrameLumas(frames: Vector[Array[Byte]]): Array[Float] = {
+    val f = new Array[Float](FeatureDim)
+    frames.take(FeatureDim).zipWithIndex.foreach { case (png, i) =>
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
+        .foreach { img =>
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          f(i) = (sum.toDouble / (w.toLong * h * 255L)).toFloat
+        }
+    }
+    f
+  }
+
+  /** Batch feature extraction over the opaque binary column, dispatching
+    * each row to its modality's REAL codec — `javax.imageio` PNG for
+    * image, `javax.sound.sampled` WAV PCM for audio, the GFTV demux +
+    * per-frame PNG decode for video (the same decode paths
+    * [[decodeImages]]/[[decodeAudio]]/[[demuxVideo]] drive end-to-end
+    * under the q126/q163/q164 oracles). The byte statistics (n_bytes,
+    * byte_mean, byte_entropy) are modality-independent and always
+    * computed; `feature` is null when the payload does not decode — the
+    * corrupt-media posture of the standalone decoders, surfaced as a
+    * column instead of a dropped row so triage queries can COUNT the
+    * failures. mapPartitions: per-partition codec init, rows streamed —
+    * constant memory per task regardless of partition row count.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.select("media_id", "modality", "content").as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // real impl: val codec = Codec.open(...) — once per partition
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
         rows.map { case (id, modality, content) =>
           val bytes = Option(content).getOrElse(Array.emptyByteArray)
+          val feature: Array[Float] =
+            try {
+              modality match {
+                case "image" =>
+                  Option(javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(bytes)))
+                    .map(lumaHistogram).orNull
+                case "audio" =>
+                  decodePcm16Mono(bytes).map(s => audioEnvelope(s._1)).orNull
+                case "video" =>
+                  demuxFrames(bytes).map(videoFrameLumas).orNull
+                case _ => null
+              }
+            } catch { case _: Exception => null }
           MediaFeatures(
             id, modality, bytes.length.toLong,
             if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length,
-            FakeDecoder.entropy(bytes),
-            FakeDecoder.decodeFeature(bytes)
+            byteEntropy(bytes),
+            feature
           )
         }
       }
   }
 
-  /** Frame-sample stub for video: pick every `stride`-th chunk of the
-    * payload as a "frame" (real impl: demux + decode keyframes). Shows the
-    * explode-to-frames shape: one media row → N frame rows.
+  /** Byte-stride frame sampler: pick every `stride`-th fixed-size chunk
+    * of the OPAQUE payload as a "frame" — the container-agnostic
+    * explode-to-frames shape (one media row → N frame rows) a pipeline
+    * applies before it knows the container format. The format-aware path
+    * is [[demuxVideo]], which parses the real container and decodes
+    * true frames through the codec.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int = 1024, stride: Int = 4): DataFrame =
     media
@@ -221,6 +296,46 @@ object Multimodal {
                                 sample_rate: Int, peak_abs: Int,
                                 sum_sq: Long, rms: Double)
 
+  /** Decode an audio payload to 16-bit mono PCM samples + sample rate —
+    * the shared audio codec body of [[decodeAudio]] and
+    * [[extractFeatures]]. Normalizes to 16-bit LE signed PCM first:
+    * other encodings (8-bit, big-endian, float) convert through the JDK
+    * SPI; unsupported conversions throw → None. Channel mixing isn't
+    * attempted — non-mono payloads return None too, and so do empty
+    * sample streams (the corrupt-media posture).
+    */
+  private[multimodal] def decodePcm16Mono(content: Array[Byte]): Option[(Array[Int], Int)] =
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val f0 = raw.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
+        f0.getSampleRate, false)
+      val ais =
+        if (f0.matches(target)) raw
+        else javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getChannels != 1) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          if (n == 0) None
+          else {
+            val samples = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = (bytes(2 * i + 1) << 8 | (bytes(2 * i) & 0xff)).toShort.toInt
+              i += 1
+            }
+            Some((samples, fmt.getSampleRate.toInt))
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
   /** REAL audio decode through `javax.sound.sampled` — the audio
     * modality's codec seam made concrete (WAV PCM ships with the JDK;
     * compressed formats plug into the same boundary via SPI).
@@ -233,40 +348,18 @@ object Multimodal {
     media.select("media_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, content) =>
-          try {
-            val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(content))
-            // Normalize to 16-bit LE signed PCM before sampling: other
-            // encodings (8-bit, big-endian, float) convert through the JDK
-            // SPI; unsupported conversions throw and the row is dropped.
-            // Channel mixing isn't attempted — non-mono payloads drop too.
-            val f0 = raw.getFormat
-            val target = new javax.sound.sampled.AudioFormat(
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-              f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
-              f0.getSampleRate, false)
-            val ais =
-              if (f0.matches(target)) raw
-              else javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
-            try {
-              val fmt = ais.getFormat
-              if (fmt.getChannels != 1) { ais.close(); None }
-              else {
-              val bytes = ais.readAllBytes()
-              val n = bytes.length / 2
-              var i = 0; var sumSq = 0L; var peak = 0
-              while (i < n) {
-                val v = (bytes(2 * i + 1) << 8 | (bytes(2 * i) & 0xff)).toShort.toInt
-                sumSq += v.toLong * v
-                val a = math.abs(v); if (a > peak) peak = a
-                i += 1
-              }
-              if (n == 0) None
-              else Some(DecodedAudio(id, n.toLong, fmt.getSampleRate.toInt,
-                peak, sumSq, math.sqrt(sumSq.toDouble / n)))
-              }
-            } finally ais.close()
-          } catch { case _: Exception => None }
+          decodePcm16Mono(content).map { case (samples, rate) =>
+            val n = samples.length
+            var i = 0; var sumSq = 0L; var peak = 0
+            while (i < n) {
+              val v = samples(i)
+              sumSq += v.toLong * v
+              val a = math.abs(v); if (a > peak) peak = a
+              i += 1
+            }
+            DecodedAudio(id, n.toLong, rate, peak, sumSq,
+              math.sqrt(sumSq.toDouble / n))
+          }
         }
       }
   }
@@ -309,13 +402,43 @@ object Multimodal {
   final case class DecodedFrame(media_id: Long, frame_idx: Int,
                                 width: Int, height: Int, sum_luma: Long)
 
+  /** Parse a GFTV container to its raw frame payloads — the shared demux
+    * body of [[demuxVideo]] and [[extractFeatures]]: magic check, frame
+    * table, each length field bounded by the bytes actually remaining
+    * BEFORE allocating (a corrupt container must not trigger an OOM the
+    * corrupt-media catch wouldn't see). Any violation makes the whole
+    * container malformed → None (all-or-nothing, so a truncated tail
+    * can't silently pass off a partial clip as complete).
+    */
+  private[multimodal] def demuxFrames(content: Array[Byte]): Option[Vector[Array[Byte]]] =
+    try {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      if (new String(magic, "US-ASCII") != "GFTV") None
+      else {
+        val nf = in.readInt()
+        if (nf < 0) None
+        else Some((0 until nf).map { _ =>
+          val len = in.readInt()
+          if (len < 0 || len > in.available())
+            throw new java.io.IOException(
+              s"frame length $len exceeds remaining ${in.available()}")
+          val png = new Array[Byte](len)
+          in.readFully(png)
+          png
+        }.toVector)
+      }
+    } catch { case _: Exception => None }
+
   /** REAL video demux + frame-sampled decode: parse the container
-    * (magic check, frame table), decode every `stride`-th frame through
+    * ([[demuxFrames]]), decode every `stride`-th frame through
     * `javax.imageio`, emit per-frame pixel sums — the video analog of
     * [[decodeImages]]/[[decodeAudio]], closing the last modality's
     * seam at the container level (a third-party codec slots into the
     * per-frame decode without touching the demux). Malformed containers
-    * and undecodable frames are dropped, the corrupt-media posture.
+    * drop whole; an individually undecodable frame drops alone.
     */
   def demuxVideo(media: DataFrame, stride: Int = 2): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
@@ -323,40 +446,22 @@ object Multimodal {
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.flatMap { case (id, content) =>
-          try {
-            val in = new java.io.DataInputStream(
-              new java.io.ByteArrayInputStream(content))
-            val magic = new Array[Byte](4)
-            in.readFully(magic)
-            if (new String(magic, "US-ASCII") != "GFTV") Iterator.empty
-            else {
-              val nf = in.readInt()
-              (0 until nf).iterator.flatMap { f =>
-                val len = in.readInt()
-                // The length field is untrusted input — bound it by the
-                // bytes actually remaining before allocating, so a corrupt
-                // container can't trigger an OOM the corrupt-media catch
-                // wouldn't see. Violations make the container malformed.
-                if (len < 0 || len > in.available())
-                  throw new java.io.IOException(s"frame length $len exceeds remaining ${in.available()}")
-                val png = new Array[Byte](len)
-                in.readFully(png)
-                if (f % stride != 0) None
-                else Option(javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(png)))
-                  .map { img =>
-                    val w = img.getWidth; val h = img.getHeight
-                    var sum = 0L; var y = 0
-                    while (y < h) {
-                      var x = 0
-                      while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
-                      y += 1
-                    }
-                    DecodedFrame(id, f, w, h, sum)
+          demuxFrames(content).toVector.flatten.zipWithIndex.flatMap {
+            case (png, f) =>
+              if (f % stride != 0) None
+              else Option(javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(png)))
+                .map { img =>
+                  val w = img.getWidth; val h = img.getHeight
+                  var sum = 0L; var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+                    y += 1
                   }
-              }.toVector
-            }
-          } catch { case _: Exception => Iterator.empty }
+                  DecodedFrame(id, f, w, h, sum)
+                }
+          }
         }
       }
   }

@@ -2446,10 +2446,18 @@ object QueryCatalog {
       .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
       .select(col("doc_id"), size(col("t")).as("n"), concat_ws(" ", col("t")).as("joined")))
     val grams = splitGrams(s, dir).select("doc_id", "gh")
-    val cands = grams.groupBy("doc_id").agg(min(col("gh")).as("gh"))
-      .join(toks, Seq("doc_id"))
+    // candidate min-grams are a PROJECTION on the (already length-bounded)
+    // candidate rows — re-deriving grams from `joined` (space-joined
+    // lowercased tokens, so split-on-' ' reproduces the token array
+    // exactly) and taking array_min, instead of the former
+    // groupBy(doc_id).min over the full exploded gram table, which
+    // shuffled |grams| rows to recover a value computable per row (min
+    // over gram instances = min over the distinct set)
+    val cands = toks
       .filter(col("n") >= 8 && col("n") <= maxLen)
-      .select(col("doc_id"), col("n"), col("joined"), col("gh"))
+      .select(col("doc_id"), col("n"), col("joined"),
+        array_min(graft.functions.GramHashes.gram_hashes(
+          split(col("joined"), " "), 8)).as("gh"))
     // candidate⋈gram FIRST on the slim (host_id, gh) table, host text
     // attached only to HIT rows afterwards: materializing the text onto
     // every gram row up front would replicate each document's full

@@ -16,13 +16,44 @@ class MultimodalSpec extends SparkSpec {
     assert(mods == Set("image", "audio", "video"))
   }
 
-  test("extractFeatures: deterministic, bounded feature dim, entropy in [0,8]") {
+  test("extractFeatures: byte stats always computed; undecodable payloads get null feature") {
+    // the documents-derived fixture carries TEXT bytes — none of it is
+    // valid PNG/WAV/GFTV, so every feature must be null while the
+    // modality-independent byte stats stay populated and deterministic
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
-    assert(f1.map(_.byte_entropy).toSeq == f2.map(_.byte_entropy).toSeq, "deterministic stub decode")
-    assert(f1.forall(f => f.feature.length == Multimodal.FakeDecoder.FeatureDim))
+    assert(f1.map(_.byte_entropy).toSeq == f2.map(_.byte_entropy).toSeq, "deterministic byte stats")
+    assert(f1.forall(_.feature == null), "text bytes must not decode as media")
     assert(f1.forall(f => f.byte_entropy >= 0 && f.byte_entropy <= 8))
     assert(f1.forall(f => f.n_bytes > 0))
+  }
+
+  test("extractFeatures routes each modality through its real codec") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 11L).toDF("doc_id")
+    val real = Multimodal.pngMedia(ids).withColumn("modality", lit("image"))
+      .union(Multimodal.wavMedia(ids).withColumn("modality", lit("audio")))
+      .union(Multimodal.videoMedia(ids).withColumn("modality", lit("video")))
+    val out = Multimodal.extractFeatures(real).collect()
+    assert(out.length == 9)
+    assert(out.forall(_.feature != null), "real payloads must decode")
+    assert(out.forall(_.feature.length == Multimodal.FeatureDim))
+    // image: luma histogram is a pixel-fraction distribution (sums to 1)
+    out.filter(_.modality == "image").foreach { f =>
+      assert(math.abs(f.feature.map(_.toDouble).sum - 1.0) < 1e-5) }
+    // audio: envelope of the ±1000-amplitude synthetic wave stays well
+    // inside (0, 1000/32768 + eps]
+    out.filter(_.modality == "audio").foreach { f =>
+      assert(f.feature.forall(v => v > 0f && v <= 1000f / 32768f + 1e-4f)) }
+    // video: 2 + id%3 frames → leading entries populated, the rest 0
+    out.filter(_.modality == "video").foreach { f =>
+      val nf = (2 + (f.media_id % 3)).toInt
+      assert(f.feature.take(nf).forall(_ > 0f))
+      assert(f.feature.drop(nf).forall(_ == 0f)) }
+    // cross-modality decode must fail cleanly, not mislabel: an image
+    // payload tagged audio is corrupt media, null feature
+    val cross = Multimodal.pngMedia(ids).withColumn("modality", lit("audio"))
+    assert(Multimodal.extractFeatures(cross).collect().forall(_.feature == null))
   }
 
   test("extractFeatures handles null/empty payloads without crashing") {

@@ -368,27 +368,66 @@ object Similarity {
       .distinct()
   }
 
-  /** Nearest-centroid cell assignment — one broadcast-centroid pass over
-    * the corpus, ties broken by centroid id; the single source of the
-    * assignment convention ([[ivfTopK]], [[ivfPqTopK]] and
-    * [[semanticDedup]] all ride it). Input `c` must carry (vec_id, v,
-    * nrm); centroids (cid, cv). Returns (vec_id, v, nrm, cell).
+  /** Centroid-count cap for the inlined-codebook assignment path:
+    * 65536 × dim-64 doubles ≈ 32 MB of expression literals — the upper
+    * end of what should ride in a task closure. Above it (or for an
+    * uncollectable codebook), the broadcast-join + max-struct
+    * aggregation path below takes over.
+    */
+  val MaxInlinedCentroids = 1 << 16
+
+  /** Nearest-centroid cell assignment — ties broken by centroid id; the
+    * single source of the assignment convention ([[ivfTopK]],
+    * [[ivfPqTopK]] and [[semanticDedup]] all ride it). Input `c` must
+    * carry (vec_id, v, nrm); centroids (cid, cv). Returns
+    * (vec_id, v, nrm, cell).
     *
-    * The arg-max is `max(struct(sim, -cid))` — an aggregation whose
-    * partial step reduces the |corpus|·|centroids| scored frame to one
-    * row per vector ON THE MAP SIDE, where a row_number window would
-    * shuffle and sort every scored row WITH its vector payload (k copies
-    * of each 64-double array through one exchange). Struct comparison is
-    * field-by-field with SQL double ordering (NaN largest, -0.0 = 0.0 —
-    * the same ordering the window sort uses), so sim ties fall through
-    * to max(-cid) = the min-cid convention — values bit-identical to the
-    * window form. The buffer holds only (double, long): an array-bearing
-    * buffer would force SortAggregate with interpreted array ordering
-    * (measured slower than the window it replaced — the r9 revert), so
-    * the vector is re-attached by one n-row equi-join afterwards instead
-    * of riding the aggregation.
+    * Codebooks are driver-sized by construction (they are the BROADCAST
+    * side in every consumer), so the default path collects them once and
+    * inlines the matrix into a [[graft.functions.NearestCentroid]]
+    * projection — the lshSignature pattern: assignment becomes one
+    * map-side pass with NO exchange at any k, where the former
+    * broadcast-cross-join → max-struct-aggregation → re-attach-join
+    * shape materialized k rows per vector and paid two shuffles (its
+    * scored frame is k·n rows even though the partial aggregation eats
+    * them map-side). Values are bit-identical: the expression replicates
+    * cosineFromNorms (left-to-right VecDot fold, zero-norm → 0.0,
+    * centroid norms folded driver-side in the same IEEE order) and the
+    * `max(struct(sim, -cid))` selection (nan-safe double ordering, sim
+    * ties to min cid) — pinned by SimilaritySpec against the join path,
+    * which remains below as the >[[MaxInlinedCentroids]] fallback.
     */
   def assignCells(c: DataFrame, centroids: DataFrame): DataFrame = {
+    val collected = centroids.select(col("cid").cast("long").as("cid"),
+      asDouble(col("cv")).as("cv")).collect()
+    if (collected.length <= MaxInlinedCentroids) {
+      val cids = collected.map(_.getLong(0))
+      val cvs = collected.map(_.getSeq[Double](1).toArray)
+      // centroid norms: the same left-to-right self-dot fold + sqrt that
+      // norm() computes, run driver-side on the same doubles
+      val cnrms = cvs.map { cv =>
+        var acc = 0.0; var i = 0
+        while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+        math.sqrt(acc)
+      }
+      c.select(col("vec_id"), col("v"), col("nrm"),
+          graft.functions.NearestCentroid.nearest_centroid(
+            col("v"), col("nrm"), cids, cvs, cnrms).as("cell"))
+        // empty codebook ⇒ null cell ⇒ no rows — the empty-join result
+        .filter(col("cell").isNotNull)
+    } else assignCellsJoined(c, centroids)
+  }
+
+  /** The join+aggregation assignment path (codebooks too large to
+    * inline): one broadcast-centroid pass; the arg-max is
+    * `max(struct(sim, -cid))`, whose partial step reduces the k·n scored
+    * frame to one row per vector ON THE MAP SIDE (a row_number window
+    * would shuffle every scored row with its vector payload). The buffer
+    * holds only (double, long) — an array-bearing buffer would force
+    * SortAggregate with interpreted array ordering (the r9 revert) — so
+    * the vector re-attaches by one n-row equi-join.
+    */
+  private[graft] def assignCellsJoined(c: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cid"), col("cv")).withColumn("cnrm", norm(col("cv")))
     val best = c.join(broadcast(cents))
       .select(col("vec_id"), col("cid"),

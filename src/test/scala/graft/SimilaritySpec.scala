@@ -121,6 +121,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getInt(3))).toSet.size == 15, "distinct (query, rank)")
   }
 
+  test("inlined-codebook assignCells equals the join+aggregation path, and plans NO exchange at k=4096") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val c = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    // 4096 synthetic centroids: deterministic pseudo-random unit-ish
+    // vectors, ids offset so none collides with a corpus vec_id
+    val rng = new scala.util.Random(41)
+    val cents = (0 until 4096).map(i =>
+      (1000000L + i, Array.fill(64)(rng.nextDouble() * 2 - 1).toSeq))
+      .toDF("cid", "cv")
+    val inlined = Similarity.assignCells(c, cents)
+    val joined = Similarity.assignCellsJoined(c, cents)
+      .select("vec_id", "v", "nrm", "cell")
+    assert(inlined.schema("cell").dataType.typeName == "long")
+    val diff = inlined.select("vec_id", "cell")
+      .except(joined.select("vec_id", "cell")).count()
+    assert(diff == 0L, s"$diff assignments diverge between inlined and joined paths")
+    assert(inlined.count() == c.count())
+    // the scale claim: assignment is a pure projection — no exchange
+    // anywhere in its plan even at k=4096 (the joined path shuffles)
+    val plan = inlined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"inlined assignment must plan no shuffle:\n$plan")
+  }
+
+  test("assignCells small-codebook sanity: nearest centroid by cosine, ties to min cid") {
+    val c = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val cents = Seq((10L, Seq(2.0, 0.0)), (20L, Seq(0.0, 3.0)),
+      (30L, Seq(1.0, 1.0)), (31L, Seq(2.0, 2.0))) // 30/31 tie on cosine
+      .toDF("cid", "cv")
+    val got = Similarity.assignCells(c, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+  }
+
   test("lshSignature is deterministic across evaluations") {
     val e = Tables.table(spark, sf, "embeddings").limit(20)
     val s1 = e.select(col("vec_id"), Similarity.lshSignature(col("embedding"), 64, 8).as("sig"))

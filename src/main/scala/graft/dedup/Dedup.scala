@@ -398,9 +398,11 @@ object Dedup {
     */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
                         thrNum: Int, thrDen: Int, shingleN: Int = 1,
-                        suffixFilter: Boolean = false): DataFrame = {
+                        suffixFilter: Boolean = false,
+                        suffixDepth: Int = 1): DataFrame = {
     val (cands, stoks, blocks) =
-      prefixCandidates(docs, idCol, textCol, thrNum, thrDen, shingleN, suffixFilter)
+      prefixCandidates(docs, idCol, textCol, thrNum, thrDen, shingleN,
+        suffixFilter, suffixDepth)
     // Verification merge-intersects the per-doc SORTED arrays — tokid
     // ranks with the suffix filter on, sorted gram hashes off; either way
     // longs in bijection with the grams (xxhash64 collisions could merge
@@ -452,10 +454,13 @@ object Dedup {
     */
   private[graft] def prefixCandidates(docs: DataFrame, idCol: String, textCol: String,
                                       thrNum: Int, thrDen: Int, shingleN: Int,
-                                      suffixFilter: Boolean)
+                                      suffixFilter: Boolean,
+                                      suffixDepth: Int = 1)
       : (DataFrame, DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold must be a fraction in (0,1]: $thrNum/$thrDen")
+    require(suffixDepth == 1 || suffixDepth == 2,
+      s"suffixDepth must be 1 or 2, got $suffixDepth")
     // base feeds dfreq, the rank window and (suffix off) verification —
     // checkpoint once or the shingle+hash pipeline recomputes per consumer
     val (base, baseBlocks) = Checkpoints.tracked(
@@ -518,19 +523,51 @@ object Dedup {
         val alpha = expr(s"($thrNum * (__sza + __szb) + ${thrNum + thrDen - 1}) DIV ${thrNum + thrDen}")
         // pivot = a's middle window token; both windows split at its
         // VALUE, so left parts share at most min(left sizes), right parts
-        // min(right sizes) — an upper bound on the true overlap
+        // min(right sizes) — an upper bound on the true overlap. The
+        // per-doc arrays are sorted ascending with distinct values, so
+        // a's rank slices ARE its value intervals.
         val pa = expr("(__ia + __sza) DIV 2")
-        positional
+        val base2 = positional
           .join(stoks.select(col("id").as("doc_a"), col("stoks").as("__sa")), Seq("doc_a"))
           .join(stoks.select(col("id").as("doc_b"), col("stoks").as("__sb")), Seq("doc_b"))
-          .withColumn("__m", element_at(col("__sa"), pa.cast("int")))
+          .withColumn("__pa", pa)
+          .withColumn("__m", element_at(col("__sa"), col("__pa").cast("int")))
           .withColumn("__lb", graft.functions.SortedSearch.sorted_count_less_from(
             col("__sb"), col("__ib").cast("int"), col("__m")))
-          .filter(
-            least(pa - col("__ia"), col("__lb")) +
-            least(col("__sza") - pa + 1,
-              (col("__szb") - col("__ib") + 1) - col("__lb")) >= alpha)
-          .select(col("doc_a"), col("doc_b"))
+        val filtered =
+          if (suffixDepth == 1)
+            base2.filter(
+              least(col("__pa") - col("__ia"), col("__lb")) +
+              least(col("__sza") - col("__pa") + 1,
+                (col("__szb") - col("__ib") + 1) - col("__lb")) >= alpha)
+          else {
+            // SECOND recursion level (Xiao et al. §4.2, maxdepth 2):
+            // re-split each half at ITS OWN middle pivot — the value
+            // partition refines to four intervals (−∞,m₁), [m₁,m),
+            // [m,m₂), [m₂,∞), and the overlap bound Σ min(part sizes)
+            // can only TIGHTEN (min(x+y, u+v) ≥ min(x,u) + min(y,v)),
+            // so depth 2 subsumes the level-1 filter and stays lossless
+            // by the same partition argument. Cost per pair: two more
+            // element_at pivots + two more O(log sz) binary searches —
+            // b's < m elements occupy positions [ib, ib+lb), so the
+            // right-half probe starts at ib+lb.
+            base2
+              .withColumn("__pa1", expr("(__ia + __pa) DIV 2"))
+              .withColumn("__pa2", expr("(__pa + __sza) DIV 2"))
+              .withColumn("__m1", element_at(col("__sa"), col("__pa1").cast("int")))
+              .withColumn("__m2", element_at(col("__sa"), col("__pa2").cast("int")))
+              .withColumn("__lb1", graft.functions.SortedSearch.sorted_count_less_from(
+                col("__sb"), col("__ib").cast("int"), col("__m1")))
+              .withColumn("__rb1", graft.functions.SortedSearch.sorted_count_less_from(
+                col("__sb"), (col("__ib") + col("__lb")).cast("int"), col("__m2")))
+              .filter(
+                least(col("__pa1") - col("__ia"), col("__lb1")) +
+                least(col("__pa") - col("__pa1"), col("__lb") - col("__lb1")) +
+                least(col("__pa2") - col("__pa"), col("__rb1")) +
+                least(col("__sza") - col("__pa2") + 1,
+                  (col("__szb") - col("__ib") + 1) - col("__lb") - col("__rb1")) >= alpha)
+          }
+        filtered.select(col("doc_a"), col("doc_b"))
       }
     (cands, stoks, baseBlocks ++ stoksBlocks ++ prefixBlocks)
   }

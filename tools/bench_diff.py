@@ -1,25 +1,39 @@
 #!/usr/bin/env python3
-"""Bench regression diff: compare two Bench JSON lines (BENCH_LOCAL.json /
+"""Bench regression diff: compare Bench JSON lines (BENCH_LOCAL.json /
 BENCH_r*.json) and flag per-query regressions.
 
-Usage: bench_diff.py BASE.json NEW.json [--ratio 1.5] [--min-sec 0.5]
+Two-file mode (back-compat):
+    bench_diff.py BASE.json NEW.json [--ratio 1.5] [--min-sec 0.5]
 
-A query is flagged when new/base >= ratio AND new-base >= min-sec (the
-min-sec floor keeps 0.1s->0.2s planner jitter out of the report). Exits 1
-when any regression is flagged, so it can gate a commit. Noise guards: a
-run whose gc_sec > 5% of value, or whose wall_sec exceeds value by > 30%,
-is labeled CONTENDED -- treat its per-query numbers as upper bounds and
-re-run on a quiet box before acting (SCALE.md benchmark-number caveat).
+Multi-run median mode (the round-9/10 adjudication discipline, now a
+flag instead of a by-hand argument):
+    bench_diff.py base1.json base2.json ... --vs new1.json new2.json ...
+
+In median mode each side collapses to per-query MEDIANS first, and every
+flagged query gets an explicit verdict:
+  REGRESSION (reproduces k/n) -- the regression holds in at least half
+      of the new runs individually, not just in the median.
+  HOST-STALL (spikes k/n, median clean) -- one-off spikes: some run(s)
+      exceed the threshold but the median does not. Not a code problem;
+      re-run on a quiet box instead of re-litigating.
+A query is flagged when newMed/baseMed >= ratio AND newMed-baseMed >=
+min-sec (the min-sec floor keeps 0.1s->0.2s planner jitter out of the
+report). Exits 1 only on reproduced REGRESSIONs, so it can gate a commit.
+
+Noise guards: a run whose gc_sec > 5% of value, or whose wall_sec exceeds
+value by > 30%, is labeled CONTENDED -- treat its numbers as upper bounds
+(SCALE.md benchmark-number caveat).
 """
-import json, sys
+import json, statistics, sys
 
 
 def load(path):
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
+            i = line.find("{")
+            if i >= 0:
+                return json.loads(line[i:])
     raise SystemExit(f"{path}: no JSON line found")
 
 
@@ -33,23 +47,44 @@ def contended(b):
     return notes
 
 
+def report_errors_contention(label, runs):
+    for i, b in enumerate(runs):
+        tag = f"{label}[{i}]" if len(runs) > 1 else label
+        for q, e in (b.get("errors") or {}).items():
+            print(f"{tag} ERROR {q}: {e}")
+        for note in contended(b):
+            print(f"{tag} CONTENDED: {note}")
+
+
+def medians(runs):
+    keys = set().union(*[set(b.get("queries", {})) for b in runs])
+    return {q: statistics.median([b["queries"][q] for b in runs
+                                  if q in b.get("queries", {})])
+            for q in keys}
+
+
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     opts = dict(a.lstrip("-").split("=", 1) if "=" in a else (a.lstrip("-"), True)
-                for a in sys.argv[1:] if a.startswith("--"))
-    if len(args) != 2:
-        raise SystemExit(__doc__)
+                for a in argv if a.startswith("--") and a != "--vs")
     ratio = float(opts.get("ratio", 1.5))
     min_sec = float(opts.get("min-sec", 0.5))
-    base, new = load(args[0]), load(args[1])
-    bq, nq = base.get("queries", {}), new.get("queries", {})
+    paths = [a for a in argv if not a.startswith("--") or a == "--vs"]
+    if "--vs" in paths:
+        cut = paths.index("--vs")
+        base_paths, new_paths = paths[:cut], paths[cut + 1:]
+    else:
+        if len(paths) != 2:
+            raise SystemExit(__doc__)
+        base_paths, new_paths = paths[:1], paths[1:]
+    if not base_paths or not new_paths:
+        raise SystemExit(__doc__)
 
-    for name, b in (("BASE", base), ("NEW", new)):
-        errs = b.get("errors") or {}
-        for q, e in errs.items():
-            print(f"{name} ERROR {q}: {e}")
-        for note in contended(b):
-            print(f"{name} CONTENDED: {note}")
+    base_runs = [load(p) for p in base_paths]
+    new_runs = [load(p) for p in new_paths]
+    report_errors_contention("BASE", base_runs)
+    report_errors_contention("NEW", new_runs)
+    bq, nq = medians(base_runs), medians(new_runs)
 
     added = sorted(set(nq) - set(bq))
     removed = sorted(set(bq) - set(nq))
@@ -59,23 +94,34 @@ def main():
         print(f"removed ({len(removed)}): {', '.join(removed)}")
 
     shared = sorted(set(bq) & set(nq))
-    regressions, improvements = [], []
+    reproduced, stalls, improvements = [], [], []
     for q in shared:
         b, n = bq[q], nq[q]
+        per_run = [r["queries"][q] for r in new_runs if q in r.get("queries", {})]
+        over = sum(1 for v in per_run if b > 0 and v / b >= ratio and v - b >= min_sec)
         if b > 0 and n / b >= ratio and n - b >= min_sec:
-            regressions.append((n / b, q, b, n))
+            if len(per_run) == 1 or over * 2 >= len(per_run):
+                reproduced.append((n / b, q, b, n, over, len(per_run)))
+            else:
+                stalls.append((n / b, q, b, n, over, len(per_run)))
+        elif over:
+            stalls.append((max(per_run) / b, q, b, n, over, len(per_run)))
         elif n > 0 and b / n >= ratio and b - n >= min_sec:
             improvements.append((b / n, q, b, n))
-    for r, q, b, n in sorted(regressions, reverse=True):
-        print(f"REGRESSION {q}: {b:.2f}s -> {n:.2f}s ({r:.1f}x)")
+    for r, q, b, n, k, t in sorted(reproduced, reverse=True):
+        print(f"REGRESSION {q}: {b:.2f}s -> {n:.2f}s ({r:.1f}x, reproduces {k}/{t})")
+    for r, q, b, n, k, t in sorted(stalls, reverse=True):
+        print(f"HOST-STALL {q}: median {n:.2f}s vs base {b:.2f}s "
+              f"(spikes {k}/{t}, median clean) -- re-run quiet, not a code verdict")
     for r, q, b, n in sorted(improvements, reverse=True):
         print(f"improved   {q}: {b:.2f}s -> {n:.2f}s ({r:.1f}x faster)")
 
     tb = sum(bq[q] for q in shared)
     tn = sum(nq[q] for q in shared)
-    print(f"shared {len(shared)} queries: base {tb:.1f}s -> new {tn:.1f}s "
+    print(f"shared {len(shared)} queries ({len(base_runs)} base / "
+          f"{len(new_runs)} new runs, medians): base {tb:.1f}s -> new {tn:.1f}s "
           f"({tn / tb:.2f}x)" if tb else "no shared queries")
-    sys.exit(1 if regressions else 0)
+    sys.exit(1 if reproduced else 0)
 
 
 if __name__ == "__main__":

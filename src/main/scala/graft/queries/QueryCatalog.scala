@@ -2439,36 +2439,36 @@ object QueryCatalog {
     */
   def containmentDups(s: SparkSession, dir: String): DataFrame = {
     val maxLen = 64
-    // tokenize+join runs once (two consumers: candidate build, host
-    // attach); the checkpoint holds (id, n, joined) — corpus-text-sized,
-    // released with the frame by ContextCleaner after the query runs
-    val (toks, _) = graft.dedup.Checkpoints.tracked(t(s, dir, "documents")
+    val docs = t(s, dir, "documents")
+    // candidates: ONE corpus tokenize pass, length-filtered BEFORE any
+    // text joins/materializes; min-gram is a per-row projection
+    // (array_min over gram instances = min over the distinct set —
+    // formerly a groupBy-min shuffle over the full exploded gram table).
+    // The checkpoint holds only the length-bounded rows (two consumers:
+    // the gram join, the final left join) — the former full-corpus
+    // (id, n, joined) checkpoint materialized every document's text when
+    // only candidates and hit hosts are ever read.
+    val (cands, _) = graft.dedup.Checkpoints.tracked(docs
       .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
-      .select(col("doc_id"), size(col("t")).as("n"), concat_ws(" ", col("t")).as("joined")))
-    val grams = splitGrams(s, dir).select("doc_id", "gh")
-    // candidate min-grams are a PROJECTION on the (already length-bounded)
-    // candidate rows — re-deriving grams from `joined` (space-joined
-    // lowercased tokens, so split-on-' ' reproduces the token array
-    // exactly) and taking array_min, instead of the former
-    // groupBy(doc_id).min over the full exploded gram table, which
-    // shuffled |grams| rows to recover a value computable per row (min
-    // over gram instances = min over the distinct set)
-    val cands = toks
+      .withColumn("n", size(col("t")))
       .filter(col("n") >= 8 && col("n") <= maxLen)
-      .select(col("doc_id"), col("n"), col("joined"),
-        array_min(graft.functions.GramHashes.gram_hashes(
-          split(col("joined"), " "), 8)).as("gh"))
-    // candidate⋈gram FIRST on the slim (host_id, gh) table, host text
-    // attached only to HIT rows afterwards: materializing the text onto
-    // every gram row up front would replicate each document's full
-    // joined string once per gram (~|grams| wide rows), where hits are
-    // bounded by the docs sharing the candidate's one min-gram
-    val verified = cands
+      .select(col("doc_id"), col("n"), concat_ws(" ", col("t")).as("joined"),
+        array_min(graft.functions.GramHashes.gram_hashes(col("t"), 8)).as("gh")))
+    val grams = splitGrams(s, dir).select("doc_id", "gh")
+    // candidate⋈gram FIRST on the slim (host_id, gh) table; host TEXT
+    // tokenizes only after the hit join — hits are bounded by the docs
+    // sharing the candidate's one min-gram, so the corpus scan streams
+    // against a broadcast of hit rows and the per-host tokenize runs on
+    // matches only, never corpus-wide
+    val hits = cands
       .join(grams.withColumnRenamed("doc_id", "host_id"), Seq("gh"))
-      .join(toks.select(col("doc_id").as("host_id"), col("n").as("host_n"),
-        col("joined").as("host_joined")), Seq("host_id"))
-      .filter(col("host_n") > col("n"))
-      .filter(instr(concat(lit(" "), col("host_joined"), lit(" ")),
+    val verified = hits
+      .join(docs.select(col("doc_id").as("host_id"), col("text").as("host_text")),
+        Seq("host_id"))
+      // tokenize ABOVE the join so it evaluates on matched rows only
+      .withColumn("host_t", TextOps.tokens(lower(col("host_text"))))
+      .filter(size(col("host_t")) > col("n"))
+      .filter(instr(concat(lit(" "), concat_ws(" ", col("host_t")), lit(" ")),
         concat(lit(" "), col("joined"), lit(" "))) > 0)
       .groupBy("doc_id").agg(count(lit(1)).as("n_hosts"))
     cands.join(verified, Seq("doc_id"), "left")

@@ -768,11 +768,21 @@ object QueryCatalog {
 
   private def splitGrams(s: SparkSession, dir: String): DataFrame = {
     CacheAccess.record("splitGrams")
-    gramsCache.getOrElseUpdate(s, dir)(
+    // The cache holds ONE ROW PER DOC with the gram-hash ARRAY
+    // (primitive-encoded columnar — ~60k array rows), not the exploded
+    // |grams| rows: the columnar write of ~6M skinny rows was the
+    // dominant cost of the cache fill (the q100 bench line), while the
+    // explode over cached arrays is a cheap codegen'd pass each consumer
+    // repeats. Same at 100 TB: materialize the gram table doc-granular
+    // and let consumers explode — the storage and scan are per-gram-byte
+    // either way, but the row overhead is per-doc.
+    val arr = gramsCache.getOrElseUpdate(s, dir)(
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), splitCol(col("doc_id")).as("split"),
-          explode(Dedup.shingleHashSet(col("text"), 8)).as("gh"))
+          Dedup.shingleHashSet(col("text"), 8).as("ghs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    arr.select(col("doc_id"), col("source"), col("split"),
+      explode(col("ghs")).as("gh"))
   }
 
   /** Drop the cached gram table for (session, dir) and unpersist it. */

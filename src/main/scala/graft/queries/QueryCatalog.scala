@@ -766,24 +766,30 @@ object QueryCatalog {
   private val gramsCache =
     graft.util.SessionScoped.cache[DataFrame]("splitGrams", _.unpersist(blocking = true))
 
-  private def splitGrams(s: SparkSession, dir: String): DataFrame = {
+  /** The gram cache frame: ONE ROW PER DOC with the distinct gram-hash
+    * ARRAY plus the token count (primitive-encoded columnar — ~|docs|
+    * array rows), not the exploded |grams| rows: the columnar write of
+    * ~6M skinny rows was the dominant cost of the cache fill (the q100
+    * bench line), while the explode over cached arrays is a cheap
+    * codegen'd pass each consumer repeats. Same at 100 TB: materialize
+    * the gram table doc-granular and let consumers explode — storage
+    * and scan are per-gram-byte either way, but row overhead is
+    * per-doc. `n_toks` rides along so q100's length-bounded candidate
+    * index (doc_id, n, min gram) is a pure projection of the cache.
+    */
+  private def splitGramArrays(s: SparkSession, dir: String): DataFrame = {
     CacheAccess.record("splitGrams")
-    // The cache holds ONE ROW PER DOC with the gram-hash ARRAY
-    // (primitive-encoded columnar — ~60k array rows), not the exploded
-    // |grams| rows: the columnar write of ~6M skinny rows was the
-    // dominant cost of the cache fill (the q100 bench line), while the
-    // explode over cached arrays is a cheap codegen'd pass each consumer
-    // repeats. Same at 100 TB: materialize the gram table doc-granular
-    // and let consumers explode — the storage and scan are per-gram-byte
-    // either way, but the row overhead is per-doc.
-    val arr = gramsCache.getOrElseUpdate(s, dir)(
+    gramsCache.getOrElseUpdate(s, dir)(
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), splitCol(col("doc_id")).as("split"),
-          Dedup.shingleHashSet(col("text"), 8).as("ghs"))
+          Dedup.shingleHashSet(col("text"), 8).as("ghs"),
+          TextOps.tokenCount(col("text")).as("n_toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    arr.select(col("doc_id"), col("source"), col("split"),
-      explode(col("ghs")).as("gh"))
   }
+
+  private def splitGrams(s: SparkSession, dir: String): DataFrame =
+    splitGramArrays(s, dir).select(col("doc_id"), col("source"), col("split"),
+      explode(col("ghs")).as("gh"))
 
   /** Drop the cached gram table for (session, dir) and unpersist it. */
   def invalidateSplitGrams(s: SparkSession, dir: String): Unit =
@@ -2450,20 +2456,21 @@ object QueryCatalog {
   def containmentDups(s: SparkSession, dir: String): DataFrame = {
     val maxLen = 64
     val docs = t(s, dir, "documents")
-    // candidates: ONE corpus tokenize pass, length-filtered BEFORE any
-    // text joins/materializes; min-gram is a per-row projection
-    // (array_min over gram instances = min over the distinct set —
-    // formerly a groupBy-min shuffle over the full exploded gram table).
-    // The checkpoint holds only the length-bounded rows (two consumers:
-    // the gram join, the final left join) — the former full-corpus
-    // (id, n, joined) checkpoint materialized every document's text when
-    // only candidates and hit hosts are ever read.
-    val (cands, _) = graft.dedup.Checkpoints.tracked(docs
-      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
-      .withColumn("n", size(col("t")))
-      .filter(col("n") >= 8 && col("n") <= maxLen)
-      .select(col("doc_id"), col("n"), concat_ws(" ", col("t")).as("joined"),
-        array_min(graft.functions.GramHashes.gram_hashes(col("t"), 8)).as("gh")))
+    // candidates ride the SHARED gram cache: the length filter and the
+    // min-gram are projections of the cached (ghs, n_toks) arrays
+    // (array_min over the distinct set = min over gram instances — the
+    // former full-gram-table groupBy-min shuffle, then a separate
+    // corpus tokenize pass, both gone); only the few length-bounded
+    // rows join back to documents, so their `joined` text tokenizes on
+    // matched rows only. The checkpoint holds just those rows (two
+    // consumers: the gram join, the final left join).
+    val candIdx = splitGramArrays(s, dir)
+      .filter(col("n_toks") >= 8 && col("n_toks") <= maxLen)
+      .select(col("doc_id"), col("n_toks").as("n"), array_min(col("ghs")).as("gh"))
+    val (cands, _) = graft.dedup.Checkpoints.tracked(candIdx
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n"),
+        concat_ws(" ", TextOps.tokens(lower(col("text")))).as("joined"), col("gh")))
     val grams = splitGrams(s, dir).select("doc_id", "gh")
     // candidate⋈gram FIRST on the slim (host_id, gh) table; host TEXT
     // tokenizes only after the hit join — hits are bounded by the docs

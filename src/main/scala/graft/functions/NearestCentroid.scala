@@ -78,6 +78,66 @@ case class NearestCentroid(vec: Expression, nrm: Expression,
     copy(vec = newLeft, nrm = newRight)
 }
 
+/** The PQ-subspace analog of [[NearestCentroid]]: nearest sub-centroid by
+  * L2² within subspace `j`, with the per-j codebooks INLINED — encode and
+  * Lloyd assignment become projections instead of the broadcast-join →
+  * min-struct aggregation over the m·ksub·n scored frame. Selection
+  * replicates `min(struct(d, cid))` exactly (nan-safe double ordering —
+  * NaN greatest, so min avoids it — ties to the smallest cid) and d is
+  * the [[VecL2Sq]] arithmetic (left-to-right (a−b)² fold over the
+  * min-length prefix). Null for an out-of-range j or an empty j-codebook
+  * (the join path's no-row result; callers filter). SimilaritySpec pins
+  * code equality against the join path.
+  */
+case class PqNearestCode(jc: Expression, sv: Expression,
+                         cids: Array[Array[Long]],
+                         cents: Array[Array[Array[Double]]])
+    extends BinaryExpression with CodegenFallback {
+
+  require(cids.length == cents.length, "pq_nearest_code: codebooks must align")
+
+  override def left: Expression = jc
+  override def right: Expression = sv
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(j: Any, v: Any): Any = {
+    val ji = j.asInstanceOf[Int]
+    if (ji < 0 || ji >= cids.length) return null
+    val ids = cids(ji)
+    val k = ids.length
+    if (k == 0) return null
+    val cvs = cents(ji)
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val vd = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { vd(i) = arr.getDouble(i); i += 1 }
+    var bestD = Double.NaN
+    var bestCid = 0L
+    var first = true
+    var c = 0
+    while (c < k) {
+      val cv = cvs(c)
+      val m = math.min(dim, cv.length)
+      var d = 0.0
+      i = 0
+      while (i < m) { val t = vd(i) - cv(i); d += t * t; i += 1 }
+      val cmp = if (first) -1 else NearestCentroid.nanSafeCompare(d, bestD)
+      if (cmp < 0 || (cmp == 0 && ids(c) < bestCid)) {
+        bestD = d; bestCid = ids(c)
+      }
+      first = false
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PqNearestCode =
+    copy(jc = newLeft, sv = newRight)
+}
+
 object NearestCentroid {
   /** Spark's double comparison semantics: NaN equals NaN and is greater
     * than everything else; otherwise primitive ordering. */
@@ -93,4 +153,9 @@ object NearestCentroid {
                        cents: Array[Array[Double]], cnrms: Array[Double]): Column =
     GraftShim.column(NearestCentroid(GraftShim.expression(vec),
       GraftShim.expression(nrm), cids, cents, cnrms))
+
+  def pq_nearest_code(j: Column, sv: Column, cids: Array[Array[Long]],
+                      cents: Array[Array[Array[Double]]]): Column =
+    GraftShim.column(PqNearestCode(GraftShim.expression(j),
+      GraftShim.expression(sv), cids, cents))
 }

@@ -581,17 +581,28 @@ object Similarity {
     // (the former session-cache pattern) re-ran codebook training inside
     // the codes materialization, whose plan embeds pre-checkpoint lineage
     val (cb, _) = graft.dedup.Checkpoints.tracked(
-      pqCodebooks(sub, stride, trainCodebooks))
-    val dists = sub.join(broadcast(cb), Seq("j")).select(
-      col("vec_id"), col("j"), col("cid"), pqSubL2.as("d"))
-    // encode: nearest sub-centroid per (vector, subspace), ties to min cid
-    // — min(struct(d, cid)) partial-aggregates the m·ksub·n scored frame
-    // to one code per (vector, subspace) map-side instead of window-
-    // sorting it (see [[assignCells]] for the ordering equivalence)
-    val (codes, _) = graft.dedup.Checkpoints.tracked(dists
-      .groupBy("vec_id", "j")
-      .agg(min(struct(col("d"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("j"), col("m.cid").as("cid")))
+      pqCodebooks(sub, stride, trainCodebooks, m))
+    // encode: nearest sub-centroid per (vector, subspace), ties to min
+    // cid. The checkpointed codebooks are driver-sized whenever
+    // codebookSize caps ksub, so the default path inlines them into a
+    // PqNearestCode projection (one map-side pass, no scored frame); the
+    // broadcast-join + min(struct(d, cid)) partial aggregation (see
+    // [[assignCellsJoined]] for the ordering equivalence) remains the
+    // over-cap fallback.
+    val (codes, _) = graft.dedup.Checkpoints.tracked(
+      collectCodebooks(cb, m) match {
+        case Some((ids, cvs)) =>
+          sub.select(col("vec_id"), col("j"),
+              graft.functions.NearestCentroid.pq_nearest_code(
+                col("j"), col("sv"), ids, cvs).as("cid"))
+            .filter(col("cid").isNotNull)
+        case None =>
+          sub.join(broadcast(cb), Seq("j"))
+            .select(col("vec_id"), col("j"), col("cid"), pqSubL2.as("d"))
+            .groupBy("vec_id", "j")
+            .agg(min(struct(col("d"), col("cid"))).as("m"))
+            .select(col("vec_id"), col("j"), col("m.cid").as("cid"))
+      })
     graft.dedup.Checkpoints.release(subBlocks)
     PqIndex(cb, codes, m, dim)
   }
@@ -706,19 +717,51 @@ object Similarity {
     * objective Σ min_c d(sv, c)² (SimilaritySpec measures it on this
     * output).
     */
+  /** Collect a (cid, j, scv) codebook frame into per-j arrays for the
+    * inlined [[graft.functions.PqNearestCode]] argmin — None above the
+    * [[MaxInlinedCentroids]] cap (total entries across subspaces), in
+    * which case the broadcast-join path takes over. The count gates the
+    * collect so an over-cap codebook never materializes on the driver.
+    */
+  private def collectCodebooks(cb: DataFrame, m: Int)
+      : Option[(Array[Array[Long]], Array[Array[Array[Double]]])] = {
+    if (cb.count() > MaxInlinedCentroids) return None
+    val rows = cb.select(col("cid").cast("long"), col("j").cast("int"),
+      asDouble(col("scv"))).collect()
+    val byJ = rows.groupBy(_.getInt(1))
+    val empty = Array.empty[org.apache.spark.sql.Row]
+    Some((
+      Array.tabulate(m)(j => byJ.getOrElse(j, empty).map(_.getLong(0))),
+      Array.tabulate(m)(j => byJ.getOrElse(j, empty).map(_.getSeq[Double](2).toArray))))
+  }
+
   private[graft] def pqCodebooks(sub: DataFrame, centroidStride: Long,
-                                 trainCodebooks: Boolean): DataFrame = {
+                                 trainCodebooks: Boolean, m: Int): DataFrame = {
     val cb0 = sub.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cid"), col("j"), col("sv").as("scv"))
     if (!trainCodebooks) cb0
     else {
-      // arg-min as min(struct(d, cid, sv)): map-side partial reduce of the
-      // m·ksub·n assignment frame (the [[assignCells]] shape, not a window)
-      val assigned = sub.join(broadcast(cb0), Seq("j"))
-        .select(col("vec_id"), col("j"), col("sv"), col("cid"), pqSubL2.as("d"))
-        .groupBy("vec_id", "j")
-        .agg(min(struct(col("d"), col("cid"), col("sv"))).as("m"))
-        .select(col("j"), col("m.cid").as("cid"), col("m.sv").as("sv"))
+      // Lloyd assignment: the init codebooks are driver-sized whenever
+      // codebookSize is set (ksub·m entries), so the default path inlines
+      // them into a PqNearestCode projection — no m·ksub·n scored frame.
+      // The join + min(struct(d, cid, sv)) (the [[assignCellsJoined]]
+      // shape) remains the over-cap fallback; (d, cid) is unique per
+      // (vec, j), so the struct's sv member never participates in the
+      // comparison and both paths select identical codes (spec-pinned).
+      val assigned = collectCodebooks(cb0, m) match {
+        case Some((ids, cvs)) =>
+          sub.select(col("j"),
+              graft.functions.NearestCentroid.pq_nearest_code(
+                col("j"), col("sv"), ids, cvs).as("cid"),
+              col("sv"))
+            .filter(col("cid").isNotNull)
+        case None =>
+          sub.join(broadcast(cb0), Seq("j"))
+            .select(col("vec_id"), col("j"), col("sv"), col("cid"), pqSubL2.as("d"))
+            .groupBy("vec_id", "j")
+            .agg(min(struct(col("d"), col("cid"), col("sv"))).as("m"))
+            .select(col("j"), col("m.cid").as("cid"), col("m.sv").as("sv"))
+      }
       assigned
         .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("j", "cid", "pos")

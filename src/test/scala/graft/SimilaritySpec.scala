@@ -158,6 +158,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
   }
 
+  test("inlined PQ encode equals the broadcast-join argmin path (stride and trained)") {
+    val e = Tables.table(spark, sf, "embeddings")
+    for (trained <- Seq(false, true)) {
+      val idx = Similarity.pqBuildIndex(e, m = 8, dim = 64, centroidStride = 10,
+        trainCodebooks = trained, codebookSize = if (trained) Some(16) else None)
+      // reference: the join + min(struct(d, cid)) form over the SAME
+      // checkpointed codebooks the index carries
+      val sub = Similarity.pqSubVectors(
+        e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v")), 8, 8)
+      val ref = sub.join(broadcast(idx.cb), Seq("j"))
+        .select(col("vec_id"), col("j"), col("cid"), Similarity.pqSubL2.as("d"))
+        .groupBy("vec_id", "j")
+        .agg(min(struct(col("d"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("j"), col("m.cid").as("cid"))
+        .as[(Long, Int, Long)].collect().toSet
+      val got = idx.codes.as[(Long, Int, Long)].collect().toSet
+      assert(got == ref, s"trained=$trained: inlined encode diverges from join path")
+    }
+  }
+
   test("lshSignature is deterministic across evaluations") {
     val e = Tables.table(spark, sf, "embeddings").limit(20)
     val s1 = e.select(col("vec_id"), Similarity.lshSignature(col("embedding"), 64, 8).as("sig"))
@@ -255,7 +275,8 @@ class SimilaritySpec extends SparkSpec {
       graft.sim.Similarity.asDouble(col("embedding")).as("v"))
     val sub = Similarity.pqSubVectors(eV, m = 8, dsub = 8)
     def objective(trainedCb: Boolean): Double = {
-      val cb = Similarity.pqCodebooks(sub, centroidStride = 10, trainCodebooks = trainedCb)
+      val cb = Similarity.pqCodebooks(sub, centroidStride = 10,
+        trainCodebooks = trainedCb, m = 8)
       sub.join(broadcast(cb), Seq("j"))
         .select(col("vec_id"), col("j"), Similarity.pqSubL2.as("d"))
         .groupBy("vec_id", "j").agg(min(col("d")).as("d"))

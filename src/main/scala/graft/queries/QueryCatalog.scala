@@ -3078,7 +3078,14 @@ object QueryCatalog {
     */
   def kmvDistinctEstimate(s: SparkSession, dir: String): DataFrame = {
     val k = 256
+    // the q59 one-pass shape: dedup on (group, key) first — KMV is a pure
+    // function of the input SET (k smallest DISTINCT hashes, TreeSet
+    // dedup), so the sketch over distinct keys is identical — and the
+    // fused count_distinct no longer plans an Expand that doubles every
+    // input row for the sketch branch. md5 also now runs once per
+    // DISTINCT key, not per lineitem row.
     t(s, dir, "lineitem")
+      .select("l_returnflag", "l_orderkey").distinct()
       .select(col("l_returnflag"), col("l_orderkey"),
         // 13 hex chars = 52 bits: h/2^52 is FP-exact (see KmvState.Norm);
         // the codegen'd native skips the hex-string round trip
@@ -3086,7 +3093,7 @@ object QueryCatalog {
           .as("h52"))
       .groupBy("l_returnflag")
       .agg(
-        count_distinct(col("l_orderkey")).as("nd_exact"),
+        count(lit(1)).as("nd_exact"),
         graft.functions.KmvDistinct.kmv_distinct(col("h52"), k).as("kmv"))
       .select(col("l_returnflag"), col("nd_exact"),
         col("kmv.n_kept").as("n_kept"),

@@ -173,12 +173,22 @@ class QueryPlanSpec extends SparkSpec {
       s"kmv_distinct must run as an object hash aggregate:\n${plan.take(1500)}")
     assert(plan.contains("partial_kmv_distinct"),
       s"KMV state must partial-aggregate map-side (O(k) per partition crosses the shuffle):\n${plan.take(1500)}")
-    // the 52-bit md5 hash is computed in the scan-side projection, so the
-    // aggregate's child is a bare attribute (no per-row interpreted eval);
-    // since the Md5Prefix52 swap, the projection carries the codegen'd
-    // native instead of the conv(substring(md5)) composition
-    assert(plan.contains("md5prefix52("),
-      s"hash should be the native codegen'd projection below the aggregate:\n${plan.take(2000)}")
+    // the 52-bit md5 hash is computed over the DISTINCT (flag, orderkey)
+    // frame (the r10 one-pass shape: KMV is set-pure, so dedup-first is
+    // sketch-identical, kills the count_distinct Expand, and runs md5
+    // once per distinct key). Physically the projection fuses into the
+    // dedup aggregate's result expressions, so the native shows in the
+    // OPTIMIZED plan; the physical plan must show the two-level shape:
+    // a (flag, orderkey) HashAggregate feeding the KMV aggregate, and
+    // no Expand anywhere.
+    val opt = QueryCatalog.kmvDistinctEstimate(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("md5prefix52("),
+      s"hash should be the codegen'd native over the distinct frame:\n${opt.take(2000)}")
+    assert(plan.contains("HashAggregate(keys=[l_returnflag"),
+      s"dedup-first must plan a (flag, orderkey) hash aggregate:\n${plan.take(2000)}")
+    assert(!plan.contains("Expand"),
+      s"the one-pass shape must not plan a count_distinct Expand:\n${plan.take(2000)}")
   }
 
   test("q118 outlier days: median frames broadcast, never cartesian; events scanned zero times in the final plan") {

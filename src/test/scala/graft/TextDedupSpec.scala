@@ -132,6 +132,19 @@ class TextDedupSpec extends SparkSpec {
     assert(bad == 0L, s"$bad docs diverge between fused and composed signatures")
   }
 
+  test("minhash signature expressions return null on an empty shingle/token array") {
+    // the oracle's convention (list_min of an empty list is NULL) — both
+    // the shingle-array surface and the fused token surface must match
+    graft.functions.GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT minhash_sig(CAST(array() AS ARRAY<STRING>), 4) AS a").head()
+    assert(row.isNullAt(0), "minhash_sig(empty) must be null")
+    val fused = Seq(Tuple1(Array.empty[String])).toDF("t")
+      .select(graft.functions.MinHashSig.minhash_sig_tokens(col("t"), 3, 4))
+      .head()
+    assert(fused.isNullAt(0), "minhash_sig_tokens(empty) must be null")
+  }
+
   test("minhashCandidatePairs surfaces exact and near duplicates") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")

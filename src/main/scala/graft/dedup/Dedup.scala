@@ -394,7 +394,12 @@ object Dedup {
     * Zipf near-dup fixture (Round9Spec), but a 2× slowdown on the
     * synthetic q142 corpus whose candidate set is already just 3% of
     * the pair space. Enable on power-law / boilerplate-heavy corpora
-    * where verification dominates.
+    * where verification dominates. `suffixDepth = 2` is the dial's next
+    * notch: a second recursive window split (two more pivots + binary
+    * searches per pair) that subsumes depth 1, stays lossless, and
+    * prunes candidates whose token distributions align at half- but not
+    * quarter-window granularity — the class depth 1 cannot see
+    * (Round10Spec's saturation fixture; 8.9% further pruned on Zipf).
     */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
                         thrNum: Int, thrDen: Int, shingleN: Int = 1,

@@ -146,6 +146,26 @@ class SimilaritySpec extends SparkSpec {
       s"inlined assignment must plan no shuffle:\n$plan")
   }
 
+  test("assignCells degenerate geometry: zero vectors and zero centroids tie to the min cid, paths agree") {
+    // a zero-norm vector scores 0.0 against EVERY centroid (the
+    // cosineFromNorms guard), so assignment must fall through to the
+    // min-cid tie on both paths; a zero CENTROID likewise scores 0.0
+    // against every vector and must never win over a positive match
+    val c = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val cents = Seq((7L, Seq(0.0, 0.0)), (5L, Seq(1.0, 0.0))).toDF("cid", "cv")
+    val inlined = Similarity.assignCells(c, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val joined = Similarity.assignCellsJoined(c, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(inlined == joined, s"degenerate paths diverge: $inlined vs $joined")
+    // zero vector: all sims 0.0 -> min cid (5); positive match: cid 5
+    // wins with sim 1.0; anti-parallel: sim -1.0 vs 0.0 -> the zero
+    // centroid's 0.0 is larger -> cid 7
+    assert(inlined == Map(1L -> 5L, 2L -> 5L, 3L -> 7L))
+  }
+
   test("assignCells small-codebook sanity: nearest centroid by cosine, ties to min cid") {
     val c = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 1.0)))
       .toDF("vec_id", "v")

@@ -41,7 +41,7 @@ class GramHashesSpec extends SparkSpec {
     val rows = (1 to 400).map { _ =>
       val len = rng.nextInt(20) // 0..19 crosses every short-doc boundary
       Tuple1(Array.fill(len)(s"w${rng.nextInt(30)}"))
-    }
+    } :+ Tuple1(Array("héllo", "wörld", "日本語", "∑", "x")) // multibyte UTF-8
     val df = rows.toDF("t")
     Seq(1, 2, 3, 5, 8).foreach(n => check(df, n))
   }

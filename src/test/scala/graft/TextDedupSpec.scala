@@ -119,7 +119,10 @@ class TextDedupSpec extends SparkSpec {
     // size, duplicate windows (the multiset-vs-set min equivalence),
     // multi-space runs collapsed by tokenization
     val edge = Seq((9001L, "a"), (9002L, "a b c"), (9003L, "a b c d"),
-      (9004L, "x y x y x y x y"), (9005L, "  padded   spaces  here   "))
+      (9004L, "x y x y x y x y"), (9005L, "  padded   spaces  here   "),
+      // multibyte tokens: the streamed-bytes md5 must equal md5 of the
+      // joined string's UTF-8 encoding
+      (9006L, "héllo wörld ∑ tokens überall ça va bien 日本語 テスト"))
       .toDF("doc_id", "text")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").union(edge)

@@ -46,16 +46,25 @@ object Md5Prefix52 {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
-  /** Static entry the generated code calls. */
-  def hash52(s: UTF8String): Long = {
-    val md = digests.get()
-    md.reset()
-    val d = md.digest(s.getBytes)
-    // first 13 hex digits = bytes 0..5 whole + the high nibble of byte 6
+  /** Thread-local digest for callers that STREAM bytes into the hash
+    * (the fused signature path feeds token bytes + separators without
+    * materializing the joined string). */
+  private[functions] def digest(): java.security.MessageDigest = digests.get()
+
+  /** First 52 bits of a 16-byte md5 digest — bytes 0..5 whole + the high
+    * nibble of byte 6 (= the first 13 hex digits, big-endian). */
+  private[functions] def fold52(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(6) >> 4) & 0xfL)
+  }
+
+  /** Static entry the generated code calls. */
+  def hash52(s: UTF8String): Long = {
+    val md = digest()
+    md.reset()
+    fold52(md.digest(s.getBytes))
   }
 
   def md5Prefix52(c: Column): Column =

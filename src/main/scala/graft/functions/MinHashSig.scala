@@ -127,7 +127,7 @@ case class MinHashSigTokens(child: Expression, n: Int, k: Int)
     val as = MinHashSig.As
     val bs = MinHashSig.Bs
     val mins = Array.fill(k)(Long.MaxValue)
-    val md = Md5Prefix52Digest.get()
+    val md = Md5Prefix52.digest()
     i = 0
     while (i < m) {
       md.reset()
@@ -137,7 +137,7 @@ case class MinHashSigTokens(child: Expression, n: Int, k: Int)
         md.update(bytes(i + j))
         j += 1
       }
-      val u = Md5Prefix52Digest.fold52(md.digest())
+      val u = Md5Prefix52.fold52(md.digest())
       var c = 0
       while (c < k) {
         val h = MinHashSig.mix(as(c), bs(c), u)
@@ -151,23 +151,6 @@ case class MinHashSigTokens(child: Expression, n: Int, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigTokens =
     copy(child = newChild)
-}
-
-/** Thread-local md5 + the 52-bit prefix fold, shared by the fused
-  * signature path (the [[Md5Prefix52]] digest is private to its own
-  * static entry, which takes a UTF8String — here the input is streamed).
-  */
-private[functions] object Md5Prefix52Digest {
-  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
-    () => java.security.MessageDigest.getInstance("MD5"))
-  def get(): java.security.MessageDigest = digests.get()
-  /** First 52 bits of a 16-byte digest — [[Md5Prefix52.hash52]]'s fold. */
-  def fold52(d: Array[Byte]): Long = {
-    var v = 0L
-    var i = 0
-    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v << 4) | ((d(6) >> 4) & 0xfL)
-  }
 }
 
 object MinHashSig {

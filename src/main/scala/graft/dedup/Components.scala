@@ -59,8 +59,11 @@ object Components {
                                    dstCol: String, vertices: DataFrame,
                                    idCol: String): DataFrame = {
     import edges.sparkSession.implicits._
+    // null endpoints: the iterative path drops them naturally (joins skip
+    // null keys); the typed decode here would NPE — filter to match
     val labels = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>

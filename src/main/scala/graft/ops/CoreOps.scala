@@ -133,7 +133,14 @@ object CoreOps {
     * round, the input is already integral), which is exact to 1e38;
     * above that Spark's cast nulls where DuckDB errors — the one
     * remaining bound, documented here in place of the old silent 9.22e18
-    * saturation. Null for null input; callers filter x ≥ 1.
+    * saturation. One further boundary past 2^53: Spark's double→decimal
+    * goes through the SHORTEST decimal representation
+    * (Decimal.fromDouble/BigDecimal.valueOf), so for a double adjacent
+    * to a power of 10 (e.g. the double nearest 1e23, whose exact binary
+    * value is 9.999999999999999e22) the rendered leading digit can
+    * differ from an engine that renders the exact binary value —
+    * unreachable for TPC-H magnitudes, noted for completeness. Null for
+    * null input; callers filter x ≥ 1.
     */
   def leadingDigit(x: Column): Column =
     substring((x - x % lit(1.0)).cast("decimal(38,0)").cast("string"), 1, 1)

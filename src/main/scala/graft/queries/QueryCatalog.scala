@@ -1320,8 +1320,11 @@ object QueryCatalog {
     // scan lineitem twice (measured 3.6s -> ~2s bench median at sf0.1)
     val li = t(s, dir, "lineitem")
     val dk = li.select("l_returnflag", "l_orderkey").distinct()
+    // count(col), not count(lit(1)): a (flag, NULL) row in the distinct
+    // frame must stay excluded exactly as count_distinct excluded it
+    // (TPC-H keys are non-null, but the shape shouldn't depend on that)
     dk.groupBy("l_returnflag")
-      .agg(count(lit(1)).as("nd_exact"),
+      .agg(count(col("l_orderkey")).as("nd_exact"),
         approx_count_distinct(col("l_orderkey"), rsd).as("nd_approx"))
       .select(
         col("l_returnflag"), col("nd_exact"),
@@ -3093,7 +3096,9 @@ object QueryCatalog {
           .as("h52"))
       .groupBy("l_returnflag")
       .agg(
-        count(lit(1)).as("nd_exact"),
+        // count(col) keeps a hypothetical (flag, NULL) row excluded,
+        // matching the COUNT(DISTINCT) the decomposition must equal
+        count(col("l_orderkey")).as("nd_exact"),
         graft.functions.KmvDistinct.kmv_distinct(col("h52"), k).as("kmv"))
       .select(col("l_returnflag"), col("nd_exact"),
         col("kmv.n_kept").as("n_kept"),

@@ -398,9 +398,13 @@ object Similarity {
     * which remains below as the >[[MaxInlinedCentroids]] fallback.
     */
   def assignCells(c: DataFrame, centroids: DataFrame): DataFrame = {
-    val collected = centroids.select(col("cid").cast("long").as("cid"),
-      asDouble(col("cv")).as("cv")).collect()
-    if (collected.length <= MaxInlinedCentroids) {
+    // Count-gate BEFORE collecting (the collectCodebooks convention): an
+    // over-cap codebook — the fallback's target case — must never fully
+    // materialize on the driver just to be rejected.
+    val cents = centroids.select(col("cid").cast("long").as("cid"),
+      asDouble(col("cv")).as("cv"))
+    if (cents.count() <= MaxInlinedCentroids) {
+      val collected = cents.collect()
       val cids = collected.map(_.getLong(0))
       val cvs = collected.map(_.getSeq[Double](1).toArray)
       // centroid norms: the same left-to-right self-dot fold + sqrt that

@@ -74,6 +74,17 @@ object GraftFunctions {
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_structs",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "topk_structs(value, k)")
+        // k stays an Expression: inside a SQL-UDF body it is an OUTER
+        // parameter reference at CREATE-time analysis, only becoming a
+        // literal when the call site inlines the argument — TopKStructs
+        // defers the constant check to first use (see its scaladoc)
+        TopKStructs(exprs.head, exprs(1))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_prefix52",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "md5_prefix52(str)")

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** Bounded buffer of the k SMALLEST values of any orderable Catalyst type
+  * under the type's natural ordering — the aggregate-function form of
+  * [[graft.sim.TopK.TopKAgg]], generalized from (id, score) pairs to
+  * arbitrary values so it can carry a struct whose FIELD ORDER encodes the
+  * sort (structs compare field-by-field): `struct(-count, name, payload…)`
+  * is "count DESC, name ASC, payload along for the ride".
+  *
+  * Kept sorted (k is small; insertion into a k-vector beats heap constant
+  * factors and makes merge a fold of inserts). Values are defensive copies
+  * — update hands buffer-backed rows that mutate underneath.
+  */
+final class TopKBuffer(val k: Int, ord: Ordering[Any]) {
+  private[functions] val entries = new scala.collection.mutable.ArrayBuffer[Any](k)
+
+  def insert(v: Any): Unit = {
+    if (entries.length >= k && ord.lteq(entries.last, v)) return
+    var i = entries.length
+    // walk back to the insertion point (values near the tail dominate once
+    // the buffer saturates, so the scan is short in the steady state)
+    while (i > 0 && ord.gt(entries(i - 1), v)) i -= 1
+    entries.insert(i, v)
+    if (entries.length > k) entries.remove(entries.length - 1)
+  }
+
+  def mergeWith(o: TopKBuffer): Unit = o.entries.foreach(insert)
+}
+
+/** `topk_structs(value, k)` → ARRAY of the k smallest `value`s, ascending
+  * under the type's natural ordering. Aggregation state is AT MOST k
+  * entries at every node of the partial/merge tree, so a global top-k over
+  * any number of rows shuffles `partitions × k` entries — the scale-safe
+  * replacement for the `row_number() OVER (ORDER BY …)` global window,
+  * whose sort funnels EVERY row through one partition. SQL-registered so
+  * the pure-SQL surface (GraftSql TVFs) rides the same path as the Column
+  * API's TakeOrderedAndProject queries.
+  *
+  * `k` is an Expression, not a constructor Int, because a SQL-UDF body is
+  * analyzed at CREATE FUNCTION time with its parameters still bound as
+  * OUTER references (`outer(doc_ngrams.k)`) — non-foldable until the call
+  * site inlines the argument. Type-checking therefore only pins k's TYPE;
+  * constant-ness is enforced when the value is first needed (after
+  * inlining, k is a literal in every legal use).
+  */
+case class TopKStructs(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ordCheck = TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+    if (ordCheck.isFailure) ordCheck
+    else kExpr.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"topk_structs: k must be an integer type, got ${dt.sql}")
+    }
+  }
+
+  @transient private[functions] lazy val k: Int = {
+    if (!kExpr.foldable)
+      throw new IllegalArgumentException(
+        s"topk_structs: k must be a constant integer, got non-foldable ${kExpr.sql}")
+    kExpr.eval(null) match {
+      case null => throw new IllegalArgumentException("topk_structs: k must not be NULL")
+      case v: java.lang.Number if v.longValue >= 1 && v.longValue.isValidInt => v.intValue
+      case v => throw new IllegalArgumentException(s"topk_structs: bad k: $v")
+    }
+  }
+
+  @transient private lazy val ordering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(child.dataType)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, ordering)
+
+  override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val v = child.eval(input)
+    // nulls sort nowhere under a SQL top-k: skip, like an ORDER BY's input
+    // filtered on IS NOT NULL (the doc_ngrams aggregate never produces one)
+    if (v != null) buffer.insert(InternalRow.copyValue(v))
+    buffer
+  }
+
+  override def merge(buffer: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buffer.mergeWith(other)
+    buffer
+  }
+
+  override def eval(buffer: TopKBuffer): Any =
+    new GenericArrayData(buffer.entries.toArray)
+
+  // (de)serialize through a single-column UnsafeRow of the output array
+  // type — one generic path for every orderable element type
+  @transient private lazy val ser = UnsafeProjection.create(Array[DataType](dataType))
+  override def serialize(buffer: TopKBuffer): Array[Byte] =
+    ser(InternalRow(new GenericArrayData(buffer.entries.toArray))).getBytes
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val row = new UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    val buf = new TopKBuffer(k, ordering)
+    val arr = row.getArray(0)
+    val et = child.dataType
+    var i = 0
+    while (i < arr.numElements()) {
+      buf.entries += InternalRow.copyValue(arr.get(i, et))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStructs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStructs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKStructs =
+    copy(child = newLeft, kExpr = newRight)
+  override def prettyName: String = "topk_structs"
+}
+
+object TopKStructs {
+  /** Column wrapper: k smallest `value`s as an ascending array. */
+  def topk_structs(value: Column, k: Int): Column =
+    GraftShim.column(
+      TopKStructs(GraftShim.expression(value), Literal(k)).toAggregateExpression())
+}

@@ -98,22 +98,35 @@ object GraftSql {
       |      FROM (SELECT user_id, event_id, date_trunc('second', ts) AS ts_sec, value FROM events)
       |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)))
       |  GROUP BY user_id, sid""".stripMargin,
-    // QueryCatalog.ngramCounts (q62) with n and k as args. LIMIT cannot
-    // take a function parameter (must be foldable), so top-k rides a
-    // row_number filter — a single-partition window, fine for a macro
-    // surface; the Column-API q62 stays the TakeOrderedAndProject scale
-    // path.
+    // QueryCatalog.ngramCounts (q62) with n and k as args. Top-k rides
+    // the native bounded-heap aggregate (topk_structs): state is a
+    // constant-bounded sorted buffer at every node of the partial/merge
+    // tree, so the global top-k shuffles partitions×cap entries —
+    // scale-parity with the Column API's TakeOrderedAndProject, where
+    // the former `row_number() OVER (ORDER BY …)` form sorted EVERY
+    // distinct gram through one partition (the r10 verdict's
+    // SQL-surface trap). The UDF-body analyzer allows the parameter k
+    // in neither LIMIT (must be foldable) nor inside an aggregate call
+    // (no outer refs in aggregate functions), so the aggregate keeps a
+    // fixed 4096-entry cap and `pos < k` trims outside it — the macro
+    // surface therefore serves k ≤ 4096 (beyond that is a frequency
+    // REPORT, not a top-k; the Column-API q62 path has no cap). Sort
+    // key = struct field order: (-count, gram) = count DESC, gram ASC.
     """CREATE OR REPLACE TEMPORARY FUNCTION doc_ngrams(n INT, k INT)
       |RETURNS TABLE (gram STRING, n_occurrences BIGINT, n_docs BIGINT)
       |RETURN
-      |  SELECT gram, n_occurrences, n_docs FROM (
-      |    SELECT gram, n_occurrences, n_docs,
-      |      row_number() OVER (ORDER BY n_occurrences DESC, gram ASC) AS rk
-      |    FROM (SELECT gram, count(1) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
-      |          FROM (SELECT doc_id, explode(sh) AS gram
-      |                FROM (SELECT doc_id, graft_shingles(text, n) AS sh FROM documents))
-      |          GROUP BY gram))
-      |  WHERE rk <= k
+      |  SELECT s.gram AS gram, s.n_occurrences AS n_occurrences, s.n_docs AS n_docs
+      |  FROM (
+      |    SELECT posexplode(arr) AS (pos, s)
+      |    FROM (
+      |      SELECT topk_structs(
+      |               struct(-n_occurrences AS neg_occ, gram, n_occurrences, n_docs),
+      |               4096) AS arr
+      |      FROM (SELECT gram, count(1) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+      |            FROM (SELECT doc_id, explode(sh) AS gram
+      |                  FROM (SELECT doc_id, graft_shingles(text, n) AS sh FROM documents))
+      |            GROUP BY gram)))
+      |  WHERE pos < k
       |  ORDER BY n_occurrences DESC, gram ASC""".stripMargin,
     // QueryCatalog.quotaSample (q71) with the per-stratum quota as an arg
     """CREATE OR REPLACE TEMPORARY FUNCTION quota_sample(quota INT)

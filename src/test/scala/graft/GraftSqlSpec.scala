@@ -88,6 +88,27 @@ class GraftSqlSpec extends SparkSpec {
       Q.ngramCounts(spark, sf))
   }
 
+  test("doc_ngrams TVF plans NO window — bounded-heap aggregate, not a " +
+       "single-partition row_number sort") {
+    // the r10 verdict's SQL-surface trap: the former TVF body ranked via
+    // `row_number() OVER (ORDER BY …)`, a global window that sorts every
+    // distinct gram through ONE partition. The rewrite aggregates with
+    // topk_structs (≤ 4096-entry buffer at every partial/merge node), so
+    // no Window node — of any partitioning — may appear in the plan.
+    val qe = spark.sql("SELECT * FROM doc_ngrams(3, 100)").queryExecution
+    val windows = qe.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"doc_ngrams plans a Window:\n${qe.executedPlan}")
+    assert(qe.executedPlan.toString.contains("topk_structs"),
+      s"doc_ngrams does not ride the bounded-heap aggregate:\n${qe.executedPlan}")
+    // top-k semantics survive the cap plumbing: k > |grams| returns all
+    // grams; k = 1 returns exactly the most frequent one
+    val all = spark.sql("SELECT * FROM doc_ngrams(3, 4096)").collect()
+    val one = spark.sql("SELECT * FROM doc_ngrams(3, 1)").collect()
+    assert(one.length == 1 && all.nonEmpty && one.head == all.head)
+  }
+
   test("quota_sample TVF == quotaSample query (q71 twin)") {
     sameRows(
       spark.sql("SELECT * FROM quota_sample(20) ORDER BY source, rk"),

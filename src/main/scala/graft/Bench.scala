@@ -66,6 +66,9 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       graft.queries.QueryCatalog.cacheReleaseAfter.get(name)
         .foreach(_.foreach(release => release(spark, sfDir)))
+      // the query's result is fully consumed: drop its output-checkpoint
+      // blocks now instead of leaving them to ContextCleaner GC
+      graft.dedup.Checkpoints.releaseOutputs()
       name -> sec
     }
     def jstr(s: String): String = "\"" + s.flatMap {

@@ -36,6 +36,8 @@ object Verify {
         }
         graft.queries.QueryCatalog.cacheReleaseAfter.get(name)
           .foreach(_.foreach(release => release(spark, sfDir)))
+        // result fully written: drop its output-checkpoint blocks
+        graft.dedup.Checkpoints.releaseOutputs()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -31,4 +31,33 @@ object Checkpoints {
     * be evaluated again — the blocks are non-recomputable.
     */
   def release(rdds: Seq[RDD[_]]): Unit = rdds.foreach(_.unpersist(false))
+
+  // ---- output ledger -------------------------------------------------------
+
+  private val outputLedger = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+
+  /** [[tracked]] for FINAL query outputs: the checkpoint blocks are
+    * recorded in a process-wide ledger and dropped at the next
+    * [[releaseOutputs]] — the deterministic replacement for waiting on
+    * driver GC + ContextCleaner, which under a long-lived session lets
+    * one orphaned checkpoint per query call accumulate in the storage
+    * pool (the r10 verdict's cache-pressure-roulette note). ONLY for
+    * frames nothing caches across queries: session-scoped builders keep
+    * plain [[tracked]] and own their blocks via their invalidate hooks.
+    */
+  def output(df: DataFrame): DataFrame = {
+    val (out, blocks) = tracked(df)
+    blocks.foreach(outputLedger.add)
+    out
+  }
+
+  /** Drop every [[output]] checkpoint recorded since the last call.
+    * Callers (Bench, Verify, the lifecycle spec) invoke this AFTER fully
+    * consuming a query's result; a library consumer who holds results
+    * across queries simply never calls it and keeps the GC lifecycle.
+    */
+  def releaseOutputs(): Unit = {
+    var r = outputLedger.poll()
+    while (r != null) { r.unpersist(false); r = outputLedger.poll() }
+  }
 }

@@ -283,7 +283,7 @@ object Dedup {
       shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val (be, sigE) = lshBandsWithSig(existing, idCol, textCol, shingleN, k, rowsPerBand)
     val (bi, sigI) = lshBandsWithSig(incoming, idCol, textCol, shingleN, k, rowsPerBand)
-    val (out, _) = Checkpoints.tracked(
+    val out = Checkpoints.output(
       be.select(col("band"), col("band_key"), col("doc_id").as("existing_id"))
         .join(bi.select(col("band"), col("band_key"), col("doc_id").as("incoming_id")),
           Seq("band", "band_key"))
@@ -419,7 +419,7 @@ object Dedup {
       .withColumn("inter",
         graft.functions.SortedIntersect.sorted_intersect_count(col("tk_a"), col("tk_b")))
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
-    val (out, _) = Checkpoints.tracked(withSets
+    val out = Checkpoints.output(withSets
       .filter(col("inter") * thrDen >= col("union_sz") * thrNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
         graft.ops.CoreOps.roundPortable(
@@ -619,7 +619,7 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("c.id").as("doc_b"),
         col("a.sz").as("sz_a"), col("c.sz").as("sz_b"),
         col("a.ths").as("tk_a"), col("c.ths").as("tk_b"))
-    val (out, _) = Checkpoints.tracked(cands
+    val out = Checkpoints.output(cands
       // length filter first: J ≥ t needs min·den ≥ max·num — prunes
       // mismatched-size neighbors before any array intersection
       .filter(least(col("sz_a"), col("sz_b")) * thrDen >=

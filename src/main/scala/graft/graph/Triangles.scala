@@ -63,7 +63,7 @@ object Triangles {
       .agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val nTris  = closed.agg(count(lit(1)).as("n_triangles"))
-    val (out, _) = graft.dedup.Checkpoints.tracked(
+    val out = graft.dedup.Checkpoints.output(
       nNodes.crossJoin(nEdges).crossJoin(nTris))
     graft.dedup.Checkpoints.release(eBlocks)
     graft.dedup.Checkpoints.release(orientedBlocks)

@@ -652,7 +652,7 @@ object CoreOps {
         when(col("__ns") > 1, expr("1 + ((__rk - 1) * (__gn - 1)) DIV (__ns - 1)"))
           .otherwise(expr("1 + (__gn - 1) DIV 2")))
     val lookup = ranked.select(col("__gi").as("__ti"), col(valueCol).as(as))
-    val (out, _) = graft.dedup.Checkpoints.tracked(
+    val out = graft.dedup.Checkpoints.output(
       indexed.join(lookup, Seq("__ti"))
         .drop("__ti", "__gi", "__gn", "__rk", "__ns"))
     graft.dedup.Checkpoints.release(rankedBlocks)

@@ -238,8 +238,19 @@ object QueryCatalog {
     * already truncated per round); [[invalidateComponents]] owns the
     * block release, sequenced after the last sorted-order consumer (q54).
     */
+  /** The cached component map PLUS the verified-pair frame it was built
+    * from: the pairs are a nearDupPairsFrom checkpoint whose blocks the
+    * iterative-components plan does NOT reference (its result is a flat
+    * final-label checkpoint), so invalidate must drop them explicitly —
+    * collecting LogicalRDDs from the components plan alone would leak
+    * them to ContextCleaner GC. (The small-graph path's plan DOES embed
+    * the pairs RDD; holding the frame covers both paths.)
+    */
+  private final case class CachedComponents(components: DataFrame, pairs: DataFrame)
   private val compCache =
-    graft.util.SessionScoped.cache[DataFrame]("components", dropCheckpointBlocks)
+    graft.util.SessionScoped.cache[CachedComponents]("components", c => {
+      dropCheckpointBlocks(c.components); dropCheckpointBlocks(c.pairs)
+    })
 
   private def docComponents(s: SparkSession, dir: String): DataFrame = {
     CacheAccess.record("components")
@@ -247,9 +258,11 @@ object QueryCatalog {
       val docs  = t(s, dir, "documents")
       val pairs = Dedup.nearDupPairsFrom(docCandidatePairs(s, dir), docs,
         "doc_id", "text", shingleN = 3, threshold = 0.8)
-      graft.dedup.Components.connectedComponents(
-        pairs, "doc_a", "doc_b", docs.select("doc_id"), "doc_id")
-    }
+      CachedComponents(
+        graft.dedup.Components.connectedComponents(
+          pairs, "doc_a", "doc_b", docs.select("doc_id"), "doc_id"),
+        pairs)
+    }.components
   }
 
   /** Drop the cached component map for (session, dir) and free its
@@ -286,10 +299,18 @@ object QueryCatalog {
     * reads, so it is computed and persisted once, not per query.
     * Columns: doc_id, text, n_tokens, quality.
     */
-  private final case class CachedCorpus(deduped: DataFrame, clean: DataFrame)
+  /** `nearDups` is the verified near-dup pair checkpoint feeding the
+    * anti-join: its blocks stay referenced by `clean`'s plan (a cache
+    * eviction would recompute through them), so they release only here —
+    * held explicitly because waiting on driver GC is the leak the r10
+    * verdict flagged on the LSH family.
+    */
+  private final case class CachedCorpus(deduped: DataFrame, clean: DataFrame,
+                                        nearDups: DataFrame)
   private val corpusCache =
     graft.util.SessionScoped.cache[CachedCorpus]("corpus", c => {
       c.clean.unpersist(blocking = true); c.deduped.unpersist(blocking = true)
+      dropCheckpointBlocks(c.nearDups)
     })
 
   /** Drop the cached clean corpus for (session, dir) and unpersist both
@@ -373,7 +394,7 @@ object QueryCatalog {
         .select(col("doc_b"))
       val clean = e.join(nearDups, e("doc_id") === nearDups("doc_b"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      CachedCorpus(e, clean)
+      CachedCorpus(e, clean, nearDups)
     }.clean
   }
 
@@ -404,7 +425,7 @@ object QueryCatalog {
       clean.select(col("doc_id"), col("split"),
         explode(Dedup.shingleHashSet(col("text"), 8)).as("gh")))
     val trainGrams = grams.filter(col("split") === "train").select("gh").distinct()
-    val (contaminated, _) = graft.dedup.Checkpoints.tracked(
+    val contaminated = graft.dedup.Checkpoints.output(
       grams.filter(col("split") === "heldout")
         .join(trainGrams, Seq("gh"), "left_semi")
         .select(col("doc_id").as("cont_id")).distinct())
@@ -1345,7 +1366,7 @@ object QueryCatalog {
     // release its blocks; invalidateCandidatePairs owns that lifecycle
     val cands = docCandidatePairs(s, dir)
     val texts = docs.select(col("doc_id"), col("text"))
-    val (out, _) = graft.dedup.Checkpoints.tracked(cands
+    val out = graft.dedup.Checkpoints.output(cands
       .join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), Seq("doc_a"))
       .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -2470,7 +2491,7 @@ object QueryCatalog {
     val candIdx = splitGramArrays(s, dir)
       .filter(col("n_toks") >= 8 && col("n_toks") <= maxLen)
       .select(col("doc_id"), col("n_toks").as("n"), array_min(col("ghs")).as("gh"))
-    val (cands, _) = graft.dedup.Checkpoints.tracked(candIdx
+    val cands = graft.dedup.Checkpoints.output(candIdx
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), col("n"),
         concat_ws(" ", TextOps.tokens(lower(col("text")))).as("joined"), col("gh")))

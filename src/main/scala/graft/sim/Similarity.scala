@@ -490,7 +490,7 @@ object Similarity {
       .filter(roundScore(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
         >= threshold)
       .groupBy(col("id_b").as("vec_id")).agg(min(col("id_a")).as("dup_of"))
-    val (out, _) = graft.dedup.Checkpoints.tracked(cells.select("vec_id", "cell")
+    val out = graft.dedup.Checkpoints.output(cells.select("vec_id", "cell")
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup_of"),
         col("dup_of").isNotNull.as("is_semantic_dup")))

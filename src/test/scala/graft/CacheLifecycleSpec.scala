@@ -67,4 +67,33 @@ class CacheLifecycleSpec extends SparkSpec {
         s"cache '${c.name}': no release scheduled at last consumer ${c.lastConsumer}")
     }
   }
+
+  test("LSH-family driver queries leak ZERO storage blocks once released " +
+       "(q19/q25/q54/q89 executed end-to-end)") {
+    // The r10 verdict's cache-pressure-roulette note: per-call checkpoint
+    // blocks that waited on driver GC + ContextCleaner. Now every block is
+    // owned — by a session cache (released at its invalidate) or by the
+    // output ledger (released after the consuming action) — so a full
+    // execute → release → invalidate cycle must leave the storage pool
+    // exactly as it found it.
+    val sc = spark.sparkContext
+    QueryCatalog.sessionCaches.foreach(_.invalidate(spark, sf))
+    graft.dedup.Checkpoints.releaseOutputs()
+    val pre = sc.getPersistentRDDs.keySet
+    for (name <- Seq("q19_minhash_pairs", "q25_lsh_ann_topk",
+                     "q54_dedup_clusters", "q89_incremental_ingest")) {
+      SparkEntry.queries(name)(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+      QueryCatalog.cacheReleaseAfter.get(name)
+        .foreach(_.foreach(release => release(spark, sf)))
+      graft.dedup.Checkpoints.releaseOutputs()
+      // caches the query primed whose release points are OTHER queries
+      // (candidatePairs' last sorted consumer is q87, components' q54, …)
+      QueryCatalog.sessionCaches.foreach(_.invalidate(spark, sf))
+      val leaked = sc.getPersistentRDDs.keySet -- pre
+      assert(leaked.isEmpty,
+        s"$name leaked persisted RDDs ${leaked.toSeq.sorted}: " +
+          leaked.toSeq.sorted.map(id => sc.getPersistentRDDs(id).name).mkString("; "))
+    }
+  }
 }

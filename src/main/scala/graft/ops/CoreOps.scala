@@ -743,10 +743,25 @@ object CoreOps {
     * mapPartitions is the honest tool: the relational alternative is the
     * quadratic NOT-EXISTS theta self-join, which is exactly what the
     * q154 oracle states and this must equal.
+    *
+    * Guard-rail (the r10 verdict's skyline note): the local-frontier
+    * union is CHECKPOINTED and COUNTED before the single-task merge —
+    * a pathological high-dimension frontier (anti-correlated dims keep
+    * nearly every point) could otherwise hand one task an input far
+    * beyond its memory. Above `maxMergeRows`, an intermediate
+    * RANGE-partitioned SFS re-prune runs first: blocks of the
+    * (dim 1, id) order scan independently (sound — each scan only
+    * SKIPS eviction chances, never loses a frontier point, exactly the
+    * local-prune argument), shrinking the final merge's input to the
+    * per-range frontiers. The final merge task still holds the running
+    * GLOBAL frontier — irreducible for an exact skyline merge; if the
+    * ANSWER doesn't fit one task, no merge shape saves you and the
+    * operator should be re-dialed (fewer dims, pre-filter).
     */
   def skylineND(df: DataFrame, idCol: String,
                 minCols: Seq[String], maxCols: Seq[String],
-                peakMergeBuffer: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+                peakMergeBuffer: Option[org.apache.spark.util.LongAccumulator] = None,
+                maxMergeRows: Long = 1L << 20): DataFrame = {
     require((minCols ++ maxCols).size >= 2, "need at least two dimensions")
     val spark = df.sparkSession
     import spark.implicits._
@@ -779,10 +794,29 @@ object CoreOps {
       .filter((minCols ++ maxCols).map(col(_).isNotNull).reduce(_ && _))
       .select(col(idCol).cast("long").as("_1"), array(dims: _*).as("_2"))
       .as[(Long, Array[Double])]
+    // Local frontiers materialize behind an output-ledger checkpoint so
+    // the guard can COUNT them block-locally (and the merge then reads
+    // materialized rows instead of re-scanning the input)
+    val locals = graft.dedup.Checkpoints.output(
+      proj.mapPartitions(scan(track = false)).toDF("_1", "_2"))
+    val mergeInput =
+      if (locals.count() <= maxMergeRows) locals
+      else {
+        // range-blocked SFS re-prune: same (dim 1, id) order the merge
+        // uses, split into parallel blocks that each reduce to their own
+        // running frontier before the single-task pass
+        locals
+          .repartitionByRange(spark.sparkContext.defaultParallelism,
+            element_at(col("_2"), 1), col("_1"))
+          .sortWithinPartitions(element_at(col("_2"), 1), col("_1"))
+          .as[(Long, Array[Double])]
+          .mapPartitions(scan(track = false))
+          .toDF("_1", "_2")
+      }
     // SFS merge ordering: ascending (dim 1, id) keeps the final buffer at
     // the running GLOBAL frontier (see Scaladoc); id breaks dim-1 ties so
     // the merge is deterministic under any partitioning of the union
-    val frontierIds = proj.mapPartitions(scan(track = false))
+    val frontierIds = mergeInput
       .repartition(1)
       .sortWithinPartitions(element_at(col("_2"), 1), col("_1"))
       .as[(Long, Array[Double])]

@@ -31,6 +31,38 @@ class Round11Spec extends SparkSpec {
     assert(got == Seq(("c", 9L), ("e", 9L), ("a", 5L)))
   }
 
+  test("skylineND two-level merge guard (adversarial all-frontier fixture) " +
+       "equals the single-merge path") {
+    import graft.ops.CoreOps
+    // anti-correlated dims: x + y constant ⇒ EVERY point is on the
+    // frontier — the worst case for the single-task merge. A tiny
+    // maxMergeRows forces the range-blocked re-prune; the frontier set
+    // must be identical to the default path's (which Round8Spec pins
+    // against brute force).
+    val df = spark.range(0, 2000, 1, 8)
+      .selectExpr("id", "cast(id as double) as x",
+        "cast(1999 - id as double) as y",
+        "cast(pmod(id * 37, 101) as double) as z")
+    val guarded = CoreOps.skylineND(df, "id", Seq("x", "y"), Seq("z"),
+        maxMergeRows = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val default = CoreOps.skylineND(df, "id", Seq("x", "y"), Seq("z"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(guarded == default)
+    assert(guarded.size == 2000, "anti-correlated fixture must keep every point")
+    // mixed fixture: some dominated points, guard still exact
+    val mixed = spark.range(0, 3000, 1, 8)
+      .selectExpr("id", "cast(pmod(id * 7919, 997) as double) as x",
+        "cast(pmod(id * 104729, 991) as double) as y",
+        "cast(pmod(id * 31, 983) as double) as z")
+    val g2 = CoreOps.skylineND(mixed, "id", Seq("x", "y"), Seq("z"),
+        maxMergeRows = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val d2 = CoreOps.skylineND(mixed, "id", Seq("x", "y"), Seq("z"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(g2 == d2 && g2.size < 3000)
+  }
+
   test("topk_structs keeps at most k entries per buffer and skips nulls") {
     import spark.implicits._
     val df = Seq[java.lang.Long](3L, null, 1L, 2L, null, 0L).toDF("v").repartition(3)

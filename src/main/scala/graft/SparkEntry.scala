@@ -318,7 +318,9 @@ object SparkEntry {
     // REAL WAV audio decode round trip (javax.sound; q126's audio analog)
     "q163_audio_decode"         -> (Q.audioDecode(_, _)),
     // REAL video container demux + frame-sampled PNG decode
-    "q164_video_demux"          -> (Q.videoDemux(_, _))
+    "q164_video_demux"          -> (Q.videoDemux(_, _)),
+    // dynamic partition pruning over the month-partitioned fact layout
+    "q165_dpp_star_scan"        -> (Q.dppStarScan(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

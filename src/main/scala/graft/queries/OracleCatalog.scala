@@ -1333,6 +1333,18 @@ object OracleCatalog {
         |  CAST(sum(g) AS BIGINT) AS sum_luma
         |FROM px GROUP BY media_id, f ORDER BY media_id, frame_idx""".stripMargin,
 
+    // q165: dynamic partition pruning — the engine reads a month-
+    // partitioned fact layout with a dim-fed dynamic partition filter;
+    // the oracle replays the same monthly revenue from the unpartitioned
+    // base tables (layout is an engine concern, values are not)
+    "q165_dpp_star_scan" ->
+      s"""SELECT CAST(year * 100 + month AS INTEGER) AS ym,
+         | count(1) AS n_lines, ${sumMoney("total_price")} AS revenue
+         |FROM ($fct) f
+         |JOIN (SELECT date_key, year, month FROM ($dimd)) d USING (date_key)
+         |WHERE year = 1998
+         |GROUP BY ym ORDER BY ym""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

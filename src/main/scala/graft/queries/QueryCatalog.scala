@@ -866,7 +866,8 @@ object QueryCatalog {
     SessionCache("star",
       consumers = Set("q02_dim_customer", "q03_dim_datetime", "q04_dim_product",
         "q05_dim_invoice", "q06_fct_line_value", "q07_report_customer",
-        "q08_report_product", "q09_report_year", "q23_checks_report"),
+        "q08_report_product", "q09_report_year", "q165_dpp_star_scan",
+        "q23_checks_report"),
       invalidate = (s, d) => Star.invalidate(s, d)),
     // q100 sorts FIRST among the gram consumers (string order puts it
     // before q10): without an early release there, the gram cache it
@@ -899,6 +900,11 @@ object QueryCatalog {
       consumers = Set("q104_semantic_dedup", "q127_ivfpq_trained",
         "q68_ivf_trained"),
       invalidate = (s, d) => invalidateTrainedCentroids(s, d)),
+    // the partitioned-fact PATH (files, not blocks): invalidate deletes
+    // the layout so a fresh sweep rebuilds (and re-records) it
+    SessionCache("dppFactPath",
+      consumers = Set("q165_dpp_star_scan"),
+      invalidate = (s, d) => invalidateDppFact(s, d)),
     // one registry entry covers both keyed variants (trained + stride)
     SessionCache("pqIndex",
       consumers = Set("q120_pq_ann", "q122_ivfpq_ann", "q125_pq_trained",
@@ -3892,6 +3898,72 @@ object QueryCatalog {
         (min(when(col("agree"), 1L).otherwise(0L)) === 1L).as("paths_agree"),
         count(col("miss")).as("n_missing_hits"))
       .orderBy("event_type")
+  }
+
+  // ---- dynamic partition pruning over the partitioned star ---------------
+
+  /** Month-partitioned fact layout, written once per (session, dir) —
+    * the warehouse layout a 100 TB star lives in (Tables.
+    * overwritePartitioned): fact files land under ym=YYYYMM directories,
+    * so a month-bounded query reads ONLY its months' files. Path is
+    * session-cached (the Star.build convention); files live under the
+    * staging root the shutdown hook removes.
+    */
+  private val dppFactCache =
+    graft.util.SessionScoped.cache[String]("dppFactPath",
+      path => deleteRecursively(new java.io.File(path)))
+
+  private def dppFactPath(s: SparkSession, dir: String): String = {
+    CacheAccess.record("dppFactPath")
+    dppFactCache.getOrElseUpdate(s, dir) {
+      val star = Star.build(s, dir)
+      val path = s"${stagingDir(s, dir, "dpp_fact")}/fct"
+      Tables.overwritePartitioned(
+        star.fct.join(star.dimDatetime.select("date_key", "year", "month"), Seq("date_key"))
+          .withColumn("ym", (col("year") * 100 + col("month")).cast("int"))
+          .drop("year", "month"),
+        path, Seq("ym"))
+      path
+    }
+  }
+
+  def invalidateDppFact(s: SparkSession, dir: String): Unit =
+    dppFactCache.invalidate(s, dir)
+
+  /** Dynamic partition pruning demo (q165): monthly revenue over the
+    * partitioned fact, with the months selected by a FILTERED dim — the
+    * one Catalyst scale feature the catalog exercised nowhere (r10
+    * verdict item 5). The fact scan must NOT enumerate all ~84 ym
+    * partitions: Catalyst plants a `dynamicpruningexpression(ym IN
+    * subquery)` partition filter fed by the dim side's broadcast
+    * (reused, not recomputed), so only the filtered year's 12 month
+    * directories are read — at 100 TB, the difference between scanning
+    * a year and scanning the decade. Plan-pinned in QueryPlanSpec; the
+    * oracle replays the same months from the unpartitioned base tables.
+    */
+  def dppStarScan(s: SparkSession, dir: String): DataFrame = {
+    val fct = s.read.parquet(dppFactPath(s, dir))
+    // month set straight off the orders scan, NOT the cached dim: the
+    // values are identical (dim_datetime is the distinct order
+    // timestamps), and AQE's dynamic-pruning filter planner must find a
+    // broadcast exchange whose subplan it can reuse — an InMemoryRelation
+    // with its own adaptive subplan defeats that sameResult match and
+    // silently degrades the filter to `true` (measured: 80/80 partitions
+    // read)
+    val o = t(s, dir, "orders")
+    val months = o
+      .filter(col("o_orderdate").isNotNull && year(col("o_orderdate")) === 1998)
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("int").as("ym"))
+      .distinct()
+    // explicit broadcast: DPP (reuseBroadcastOnly) prunes by REUSING the
+    // dim side's broadcast exchange — it must exist in the STATIC plan,
+    // and a ≤ |years·12|-row month set broadcasts at any corpus scale
+    fct.join(broadcast(months), Seq("ym"))
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n_lines"),
+           graft.ops.CoreOps.sumMoney(col("total_price")).as("revenue"))
+      .orderBy("ym")
   }
 
   // ---- checks engine as a query ------------------------------------------

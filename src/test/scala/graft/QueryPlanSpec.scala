@@ -13,6 +13,37 @@ class QueryPlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("q165 fact scan carries a DYNAMIC partition-pruning filter fed by " +
+       "the filtered dim (reads months, not the decade)") {
+    val df = QueryCatalog.dppStarScan(spark, sf)
+    // execute the frame's OWN QueryExecution (a write plans a fresh one,
+    // leaving these metrics unfilled)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the partitioned parquet scan must carry a dynamicpruning partition
+    // filter on ym — a scan enumerating all partitions statically is the
+    // unpruned-layout trap a 100 TB reader dies on
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan has no dynamic partition filter:\n${plan.take(2500)}")
+    assert(plan.contains("PartitionFilters"),
+      s"fact scan has no partition filters at all:\n${plan.take(2500)}")
+    // and it must actually prune: selected partitions < total ym months.
+    // AQE hides query-stage subtrees from collect — descend explicitly.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec        => scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val pruned = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("ym"))
+      .map(_.metrics("numPartitions").value)
+    assert(pruned.nonEmpty && pruned.forall(n => n > 0 && n <= 12),
+      s"expected <= 12 selected ym partitions, got $pruned")
+  }
+
   test("q40 cube plans ONE Expand (grouping-sets lattice in a single pass)") {
     val plan = executedPlan(QueryCatalog.cubeReport(spark, sf))
     assert("(?m)^.*Expand".r.findAllIn(plan).size == 1, s"expected one Expand:\n${plan.take(1500)}")

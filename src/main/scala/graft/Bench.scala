@@ -55,13 +55,20 @@ object Bench {
     val gc0 = gcMillis
     val wall0 = System.nanoTime()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // SPARK_GRAFT_BENCH_ONLY=q54,q100,... runs a comma-named subset (name
-    // prefixes accepted) — the sf1 scale-validation harness; shared-cache
-    // cost then lands on the subset's first sorted consumer.
+    // SPARK_GRAFT_BENCH_ONLY=q54_dedup_clusters,q100_containment_dups,...
+    // runs a comma-named subset — the sf1 scale-validation harness;
+    // shared-cache cost then lands on the subset's first sorted consumer.
+    // Tokens are EXACT names (Verify's filter semantics — a bare "q16"
+    // prefix would also select q160-q169); a trailing `*` opts into
+    // prefix matching explicitly (`q142*`). Empty tokens from stray
+    // commas are dropped, so "q31," never silently runs the full suite.
     val only: Option[Seq[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq.map(_.trim))
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    def selected(name: String): Boolean = only.forall(_.exists(tok =>
+      if (tok.endsWith("*")) name.startsWith(tok.dropRight(1)) else name == tok))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) => selected(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A failing query must NOT pass silently as a fast time: record the

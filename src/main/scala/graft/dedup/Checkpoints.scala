@@ -34,7 +34,8 @@ object Checkpoints {
 
   // ---- output ledger -------------------------------------------------------
 
-  private val outputLedger = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+  private val outputLedger =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.ref.WeakReference[RDD[_]]]()
 
   /** [[tracked]] for FINAL query outputs: the checkpoint blocks are
     * recorded in a process-wide ledger and dropped at the next
@@ -44,20 +45,32 @@ object Checkpoints {
     * pool (the r10 verdict's cache-pressure-roulette note). ONLY for
     * frames nothing caches across queries: session-scoped builders keep
     * plain [[tracked]] and own their blocks via their invalidate hooks.
+    *
+    * Ledger entries are WEAK references: the result frame itself holds
+    * the only strong RDD reference, so a library consumer who never
+    * calls [[releaseOutputs]] keeps the normal GC + ContextCleaner
+    * lifecycle (frame unreachable → RDD unreachable → blocks reclaimed)
+    * instead of the ledger pinning every query's checkpoint forever and
+    * growing without bound.
     */
   def output(df: DataFrame): DataFrame = {
     val (out, blocks) = tracked(df)
-    blocks.foreach(outputLedger.add)
+    blocks.foreach(r => outputLedger.add(new java.lang.ref.WeakReference[RDD[_]](r)))
     out
   }
 
   /** Drop every [[output]] checkpoint recorded since the last call.
     * Callers (Bench, Verify, the lifecycle spec) invoke this AFTER fully
     * consuming a query's result; a library consumer who holds results
-    * across queries simply never calls it and keeps the GC lifecycle.
+    * across queries simply never calls it and keeps the GC lifecycle
+    * (entries whose RDD was already GC-reclaimed are skipped).
     */
   def releaseOutputs(): Unit = {
     var r = outputLedger.poll()
-    while (r != null) { r.unpersist(false); r = outputLedger.poll() }
+    while (r != null) {
+      val rdd = r.get()
+      if (rdd != null) rdd.unpersist(false)
+      r = outputLedger.poll()
+    }
   }
 }

@@ -110,8 +110,11 @@ object GraftSql {
     // (no outer refs in aggregate functions), so the aggregate keeps a
     // fixed 4096-entry cap and `pos < k` trims outside it — the macro
     // surface therefore serves k ≤ 4096 (beyond that is a frequency
-    // REPORT, not a top-k; the Column-API q62 path has no cap). Sort
-    // key = struct field order: (-count, gram) = count DESC, gram ASC.
+    // REPORT, not a top-k; the Column-API q62 path has no cap). The cap
+    // is ENFORCED in the body: k > 4096 raise_errors instead of silently
+    // returning 4096 rows presented as the top-k (the CASE keeps the
+    // raise lazy, so in-cap calls never evaluate it). Sort key = struct
+    // field order: (-count, gram) = count DESC, gram ASC.
     """CREATE OR REPLACE TEMPORARY FUNCTION doc_ngrams(n INT, k INT)
       |RETURNS TABLE (gram STRING, n_occurrences BIGINT, n_docs BIGINT)
       |RETURN
@@ -126,7 +129,9 @@ object GraftSql {
       |            FROM (SELECT doc_id, explode(sh) AS gram
       |                  FROM (SELECT doc_id, graft_shingles(text, n) AS sh FROM documents))
       |            GROUP BY gram)))
-      |  WHERE pos < k
+      |  WHERE CASE WHEN k > 4096
+      |             THEN raise_error('doc_ngrams: k must be <= 4096 (bounded-heap cap)')
+      |             ELSE pos < k END
       |  ORDER BY n_occurrences DESC, gram ASC""".stripMargin,
     // QueryCatalog.quotaSample (q71) with the per-stratum quota as an arg
     """CREATE OR REPLACE TEMPORARY FUNCTION quota_sample(quota INT)

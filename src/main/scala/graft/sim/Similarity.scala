@@ -398,13 +398,16 @@ object Similarity {
     * which remains below as the >[[MaxInlinedCentroids]] fallback.
     */
   def assignCells(c: DataFrame, centroids: DataFrame): DataFrame = {
-    // Count-gate BEFORE collecting (the collectCodebooks convention): an
-    // over-cap codebook — the fallback's target case — must never fully
-    // materialize on the driver just to be rejected.
+    // Gate and collect in ONE job: limit(cap+1).collect() bounds driver
+    // memory to the cap regardless of codebook size (an over-cap
+    // codebook — the fallback's target case — never fully materializes
+    // on the driver just to be rejected) and, unlike the former
+    // count()-then-collect() pair, evaluates an UNCACHED centroid plan
+    // once, not twice.
     val cents = centroids.select(col("cid").cast("long").as("cid"),
       asDouble(col("cv")).as("cv"))
-    if (cents.count() <= MaxInlinedCentroids) {
-      val collected = cents.collect()
+    val collected = cents.limit(MaxInlinedCentroids + 1).collect()
+    if (collected.length <= MaxInlinedCentroids) {
       val cids = collected.map(_.getLong(0))
       val cvs = collected.map(_.getSeq[Double](1).toArray)
       // centroid norms: the same left-to-right self-dot fold + sqrt that

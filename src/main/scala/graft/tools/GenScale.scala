@@ -94,6 +94,22 @@ object GenScale {
       heapsBaseText(j, vocabSize) + " dup"
     }
 
+  /** The Heaps-law corpus as an in-memory (doc_id, text) frame — the
+    * exact text function the `documents_heaps` fixture is written from,
+    * exposed so HeapsGrowthSpec can pin the sublinear-candidate claim
+    * (prefix-join candidates grow ~n^0.5 on this corpus) against the
+    * SAME generator without depending on the gitignored sf fixtures.
+    * V(5000) = 31 anchors the vocabulary to the driver corpus' sf0.1
+    * vocab size, so the two corpora differ ONLY in vocabulary growth.
+    */
+  def heapsCorpus(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    val v = math.ceil(0.44 * math.sqrt(nDocs.toDouble)).toInt
+    spark.range(0, nDocs, 1, 32)
+      .map(i => (i, heapsDocText(i, nDocs, v)))
+      .toDF("doc_id", "text")
+  }
+
   private def docText(i: Long, n: Long): String =
     if (!isDup(i, n)) baseText(i)
     else {

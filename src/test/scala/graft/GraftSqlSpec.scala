@@ -109,6 +109,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(one.length == 1 && all.nonEmpty && one.head == all.head)
   }
 
+  test("doc_ngrams TVF rejects k beyond the bounded-heap cap loudly") {
+    // an over-cap k must raise, never silently return 4096 rows dressed
+    // as the top-k (the r11 advisory); the guard is lazy, so the green
+    // in-cap calls above never evaluate the raise branch
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM doc_ngrams(3, 4097)").collect()
+    }
+    assert(e.getMessage.contains("4096"),
+      s"over-cap doc_ngrams must name the cap: ${e.getMessage}")
+  }
+
   test("quota_sample TVF == quotaSample query (q71 twin)") {
     sameRows(
       spark.sql("SELECT * FROM quota_sample(20) ORDER BY source, rk"),

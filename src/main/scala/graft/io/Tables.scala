@@ -18,10 +18,24 @@ object Tables {
     * predicate pushdown + column pruning from Catalyst for free — every
     * downstream filter/select should show up in the scan's PushedFilters /
     * ReadSchema (verified in PlanSpec).
+    *
+    * SPARK_GRAFT_DOCS_TABLE substitutes another table (same schema) for
+    * `documents` — the scale-validation control knob: sf-N runs of the
+    * text/dedup queries execute once on the driver-shaped fixed-vocab
+    * corpus and once on its Heaps-law twin (`documents_heaps`, see
+    * GenScale), so every growth number ships with the corpus-saturation
+    * control next to it. Unset (the correctness gate, the driver, all
+    * default runs) this resolves to `documents` verbatim.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
+    else {
+      val resolved =
+        if (name == "documents")
+          sys.env.getOrElse("SPARK_GRAFT_DOCS_TABLE", "documents")
+        else name
+      normalizeTimestamps(spark.read.parquet(s"$sfDir/$resolved.parquet"))
+    }
 
   /** Driver testdata has carried two timestamp flavors across rounds:
     * TIMESTAMP(NANOS) (rounds 1-6; unreadable without nanosAsLong) and,

@@ -44,6 +44,53 @@ class QueryPlanSpec extends SparkSpec {
       s"expected <= 12 selected ym partitions, got $pruned")
   }
 
+  test("q165 steady state: the partitioned fact layout is written once per " +
+       "session — a second scan reuses it byte-for-byte") {
+    // the fill/steady split (VERDICT r11 item 4): ~90% of q165's bench
+    // cost is the ONE-TIME partitioned rewrite of the fact into ym=
+    // directories; every later invocation must hit the session-cached
+    // path with NO write job. Pinned by snapshotting the layout's files
+    // (path, size, mtime) around a second run — dynamic partition
+    // overwrite would rewrite the selected partitions' files.
+    val first = QueryCatalog.dppStarScan(spark, sf)
+    first.collect() // fill (or reuse, if the suite order ran the test above first)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec        => scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val roots = scans(first.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("ym"))
+      .flatMap(_.relation.location.rootPaths.map(_.toUri.getPath))
+    assert(roots.nonEmpty, "q165 plan exposes no partitioned fact scan")
+    import scala.jdk.CollectionConverters._
+    def snapshot(): Map[String, (Long, Long)] = roots.flatMap { root =>
+      val base = java.nio.file.Paths.get(root)
+      val it = java.nio.file.Files.walk(base)
+      try it.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString ->
+          (java.nio.file.Files.size(p),
+           java.nio.file.Files.getLastModifiedTime(p).toMillis)).toList
+      finally it.close()
+    }.toMap
+    val before = snapshot()
+    val second = QueryCatalog.dppStarScan(spark, sf)
+    second.collect()
+    assert(snapshot() == before,
+      "second q165 invocation rewrote the partitioned layout — the " +
+      "session cache must serve the steady state")
+    // and the steady-state scan still prunes
+    val pruned = scans(second.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("ym"))
+      .map(_.metrics("numPartitions").value)
+    assert(pruned.nonEmpty && pruned.forall(n => n > 0 && n <= 12),
+      s"steady-state scan lost partition pruning: $pruned")
+  }
+
   test("q40 cube plans ONE Expand (grouping-sets lattice in a single pass)") {
     val plan = executedPlan(QueryCatalog.cubeReport(spark, sf))
     assert("(?m)^.*Expand".r.findAllIn(plan).size == 1, s"expected one Expand:\n${plan.take(1500)}")

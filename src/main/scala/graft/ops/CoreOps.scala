@@ -459,6 +459,65 @@ object CoreOps {
       .drop("__pid", "__local", "__offset")
   }
 
+  /** SCALE-CORRECT per-group row numbering — [[globalRowNumber]]
+    * generalized to rank WITHIN each group. The per-group window form
+    * (`row_number() OVER (PARTITION BY group ORDER BY …)`) moves every
+    * row of a group through ONE task, which is exactly the global-sort
+    * trap again whenever groups are few and huge (a 100 TB fact grouped
+    * by a 3-value flag = three 33 TB sorts). Here:
+    *
+    *   1. `repartitionByRange` on (group…, order…) + local sort — groups
+    *      span CONTIGUOUS partition ranges, each partition sampler-sized;
+    *   2. per-(partition, group) counts — at most |partitions| + |groups|
+    *      rows, because each partition holds a contiguous slice of group
+    *      ranges;
+    *   3. per-group running offsets over that bookkeeping frame (window
+    *      over counts, never over data), broadcast back;
+    *   4. rank = offset + local row_number within (partition, group).
+    *
+    * Ranks are a pure function of the total order within each group
+    * (orderCols must carry a tie-break), so they are identical whatever
+    * boundaries the sampler draws. Joins back are NULL-SAFE on the group
+    * columns, matching window semantics where a null group is a normal
+    * partition. Use the plain window form when groups are many and small
+    * (one shuffle, no checkpoint); use this when groups are few and huge.
+    */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
+                       orderCols: Seq[String], numPartitions: Int = 0,
+                       rankCol: String = "rank"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty (use globalRowNumber)")
+    require(orderCols.nonEmpty, "orderCols must include a within-group total order")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    // materialize the range partitioning before TWO jobs read it — the
+    // globalRowNumber lesson (sampler boundaries differ across jobs);
+    // output-ledgered so Bench/Verify release the blocks after the query
+    val parted = graft.dedup.Checkpoints.output(
+      df.repartitionByRange(n, (groupCols ++ orderCols).map(c => asc(c)): _*)
+        .withColumn("__pid", spark_partition_id()))
+    val counts = parted
+      .groupBy(("__pid" +: groupCols).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wOff = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(asc("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__offset", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select((col("__pid") +: groupCols.map(c => col(c).as(s"__g_$c"))) :+ col("__offset"): _*)
+    val wLocal = Window.partitionBy(("__pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols.map(c => asc(c)): _*)
+    val joinCond = groupCols
+      .map(c => parted(c) <=> offsets(s"__g_$c"))
+      .foldLeft(parted("__pid") === offsets("__pid"))(_ && _)
+    parted
+      .withColumn("__local", row_number().over(wLocal))
+      .join(broadcast(offsets), joinCond)
+      .withColumn(rankCol, (col("__offset") + col("__local")).cast("long"))
+      .drop(offsets("__pid"))
+      .drop((groupCols.map(c => s"__g_$c") ++ Seq("__pid", "__local", "__offset")): _*)
+  }
+
   /** Per-group EQUI-DEPTH histogram: within each group, rank rows by
     * (value, tie…) and assign bucket = ⌊(rank−1)·B / n⌋ — exact order
     * statistics, so every bucket holds ⌊n/B⌋ or ⌈n/B⌉ rows (the
@@ -468,26 +527,50 @@ object CoreOps {
     * bucket arithmetic is integer (rank·B DIV n), identical in any
     * engine — no float boundary can land differently.
     *
-    * Scale: the window partitions by the GROUP columns, so each sort is
-    * group-sized and groups spread across tasks — never a global
-    * single-partition sort. For one global histogram at 100 TB, use
-    * repartitionByRange + per-partition offsets (or q39's GK sketch when
-    * approximate boundaries suffice).
+    * Scale: two shapes, bit-identical outputs (spec-pinned):
+    *  - `rangedRanks = false`: per-group window — each sort is
+    *    group-sized. Right when groups are MANY and small (one shuffle,
+    *    no checkpoint); wrong when groups are few and huge, because a
+    *    group-sized sort is a single task.
+    *  - `rangedRanks = true`: [[groupedRowNumber]] ranks (range
+    *    partition + per-(partition, group) offsets) and group totals
+    *    from a hash aggregation (map-side combined, never a window) —
+    *    the few-huge-groups shape: no task ever sorts more than one
+    *    sampler-sized partition. This is q129's path (3 groups).
+    * For one GLOBAL histogram use [[globalRowNumber]] directly (or
+    * q39's GK sketch when approximate boundaries suffice).
     *
     * Output: (group…, bucket, n_rows, lo, hi), bucket ∈ [0, B).
     */
   def equiDepthHistogram(df: DataFrame, groupCols: Seq[String],
                          valueCol: String, tieCols: Seq[String],
-                         buckets: Int): DataFrame = {
+                         buckets: Int, rangedRanks: Boolean = false): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(groupCols.nonEmpty,
       "groupCols must be non-empty (a global histogram would single-partition sort; " +
         "see the Scaladoc for the global-scale shape)")
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy((valueCol +: tieCols).map(c => asc(c)): _*)
-    val wg = Window.partitionBy(groupCols.map(col): _*)
-    df.withColumn("__rk", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wg))
+    val ranked =
+      if (rangedRanks) {
+        val slim = df.select((groupCols ++ (valueCol +: tieCols)).map(col): _*)
+        val rk = groupedRowNumber(slim, groupCols, valueCol +: tieCols,
+          rankCol = "__rk")
+        // group totals via hash aggregation (partial combine — unlike a
+        // count-over-group window, this never funnels a group's rows
+        // through one task) — null-safe joined back like the ranks
+        val totals = rk.groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .select(groupCols.map(c => col(c).as(s"__t_$c")) :+ col("__n"): _*)
+        val cond = groupCols.map(c => rk(c) <=> totals(s"__t_$c")).reduce(_ && _)
+        rk.join(broadcast(totals), cond)
+          .drop(groupCols.map(c => s"__t_$c"): _*)
+      } else {
+        val w = Window.partitionBy(groupCols.map(col): _*)
+          .orderBy((valueCol +: tieCols).map(c => asc(c)): _*)
+        val wg = Window.partitionBy(groupCols.map(col): _*)
+        df.withColumn("__rk", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(wg))
+      }
+    ranked
       .withColumn("bucket",
         expr(s"((__rk - 1) * $buckets) DIV __n").cast("int"))
       .groupBy((groupCols :+ "bucket").map(col): _*)

@@ -3205,9 +3205,13 @@ object QueryCatalog {
     * skew-proof dual of q63's equal-width buckets.
     */
   def equiDepthHist(s: SparkSession, dir: String): DataFrame =
+    // rangedRanks: l_returnflag has THREE values, so the window form
+    // would sort a third of the fact per task — the ranged construction
+    // keeps every sort one sampler-sized partition (bit-identical
+    // output, spec-pinned; sf1 measured 12.0s -> see SCALE.md r12 note)
     graft.ops.CoreOps.equiDepthHistogram(
         t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
-        Seq("l_orderkey", "l_linenumber"), buckets = 8)
+        Seq("l_orderkey", "l_linenumber"), buckets = 8, rangedRanks = true)
       .orderBy("l_returnflag", "bucket")
 
   /** Scale-correct global ranking (q130):

@@ -518,6 +518,75 @@ object CoreOps {
       .drop((groupCols.map(c => s"__g_$c") ++ Seq("__pid", "__local", "__offset")): _*)
   }
 
+  /** SCALE-CORRECT exact interpolated percentiles per group — the
+    * rank-based form of `percentile(col, p)`, which buffers EVERY value
+    * of a group in one aggregation buffer (the documented q36 wart: fine
+    * at parity scale, memory-fatal when one group is a 33 TB slice).
+    * Here the order statistics come from [[groupedRowNumber]] (range
+    * partition + offsets — no task ever holds more than one
+    * sampler-sized partition), and the interpolation replicates Spark's
+    * `Percentile.getPercentile` arithmetic EXACTLY, in evaluation order:
+    * position = (n−1)·p; lower = ⌊position⌋; higher = ⌈position⌉;
+    * result = lower == higher ? v[lower]
+    *        : (higher − position)·v[lower] + (position − lower)·v[higher]
+    * — so on double inputs the result is bit-identical to the buffering
+    * aggregate (spec-pinned), at any group size.
+    *
+    * Nulls are excluded (the aggregate's semantics); a group with zero
+    * non-null values yields no row (the aggregate yields null — callers
+    * who need that row outer-join the group universe). One call scans
+    * the input twice (group counts + ranks); `ps` share both passes.
+    * Output: groupCols ++ outCols (double), one row per group.
+    */
+  def rankedPercentiles(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, ps: Seq[Double],
+                        outCols: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.length == outCols.length,
+      "one output column name per percentile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"percentiles in [0,1]: $ps")
+    val slim = df
+      .select((groupCols.map(col) :+ col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+    val ranked = groupedRowNumber(slim, groupCols, Seq("__v"), rankCol = "__rk")
+    val totals = slim.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    // one row per (group, percentile): target 0-based position and the
+    // bracketing ranks, all arithmetic mirroring Percentile.getPercentile
+    val targets = totals
+      .select(groupCols.map(col) :+ col("__n") :+ explode(array(
+        ps.zip(outCols).map { case (p, o) =>
+          struct(lit(p).as("__p"), lit(o).as("__out")) }: _*)).as("__e"): _*)
+      .select(groupCols.map(col) :+ col("__n") :+
+        col("__e.__p").as("__p") :+ col("__e.__out").as("__out"): _*)
+      .withColumn("__pos", (col("__n") - lit(1L)) * col("__p"))
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+    def attach(t: DataFrame, rank0: String, as: String): DataFrame = {
+      val r = ranked.select(
+        groupCols.map(c => col(c).as(s"__r_$c")) :+
+          col("__rk").as("__r_rk") :+ col("__v").as(as): _*)
+      val cond = groupCols.map(c => t(c) <=> r(s"__r_$c"))
+        .foldLeft(t(rank0) + lit(1L) === r("__r_rk"))(_ && _)
+      // targets are |groups|·|ps| rows — the broadcast side by
+      // construction; the rank lookup is a broadcast hash filter-join
+      // over the ranked stream, never a shuffle of it
+      r.join(broadcast(t), cond)
+        .drop("__r_rk")
+        .drop(groupCols.map(c => s"__r_$c"): _*)
+    }
+    val withLo = attach(targets, "__lo", "__loVal")
+    val both = attach(withLo, "__hi", "__hiVal")
+    val interp = when(col("__lo") === col("__hi"), col("__loVal"))
+      .otherwise((col("__hi") - col("__pos")) * col("__loVal") +
+                 (col("__pos") - col("__lo")) * col("__hiVal"))
+    val vals = both.withColumn("__val", interp)
+    // |groups|·|ps| rows left — widen to one row per group
+    vals.groupBy(groupCols.map(col): _*)
+      .agg(
+        max(when(col("__out") === outCols.head, col("__val"))).as(outCols.head),
+        outCols.tail.map(o =>
+          max(when(col("__out") === o, col("__val"))).as(o)): _*)
+  }
+
   /** Per-group EQUI-DEPTH histogram: within each group, rank rows by
     * (value, tie…) and assign bucket = ⌊(rank−1)·B / n⌋ — exact order
     * statistics, so every bucket holds ⌊n/B⌋ or ⌈n/B⌉ rows (the

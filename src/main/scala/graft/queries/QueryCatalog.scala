@@ -669,6 +669,17 @@ object QueryCatalog {
   /** Exact interpolated percentiles per group (median + p90). Spark's
     * `percentile` and DuckDB's `quantile_cont` share the linear-interpolation
     * definition; rounded to 4 to absorb last-ulp interpolation order.
+    *
+    * The `percentile(...)` aggregate buffers every value of a group, so
+    * it is a PARITY-SCALE form (documented since r9). The exact
+    * at-scale path is [[graft.ops.CoreOps.rankedPercentiles]] —
+    * groupedRowNumber order statistics + the identical
+    * Percentile.getPercentile interpolation, bit-equal to this
+    * aggregate (Round12Spec pins it on this exact query shape). The
+    * dial is group size: at sf ≤ 1 the buffer is ~2× cheaper (one pass,
+    * no checkpoint — measured sf0.1 steady 1.75s vs 3.5s), while a
+    * group that doesn't fit one aggregation buffer MUST take the ranked
+    * form. q39 (GK) / q69 (t-digest) remain the approximate scale paths.
     */
   def percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

@@ -69,6 +69,37 @@ class Round12Spec extends SparkSpec {
     assert(c == d)
   }
 
+  test("rankedPercentiles is BIT-identical to the buffering percentile aggregate") {
+    // the interpolation replicates Percentile.getPercentile in evaluation
+    // order, so equality is exact doubles, not approximate — on the
+    // adversarial fixture (ties, null group, null values) and on the
+    // exact (column, p) pairs q36 runs
+    val ps = Seq(0.0, 0.5, 0.9, 0.99, 1.0)
+    val outs = ps.map(p => s"p${(p * 100).toInt}")
+    val ranked = CoreOps.rankedPercentiles(fixture, Seq("grp"), "value", ps, outs)
+    val agged = fixture.groupBy("grp").agg(
+      expr("percentile(value, 0.0)").as("p0"),
+      expr("percentile(value, 0.5)").as("p50"),
+      expr("percentile(value, 0.9)").as("p90"),
+      expr("percentile(value, 0.99)").as("p99"),
+      expr("percentile(value, 1.0)").as("p100"))
+    val r = ranked.collect().map(x => x.getString(0) -> x.toSeq.tail).toMap
+    val a = agged.collect().map(x => x.getString(0) -> x.toSeq.tail).toMap
+    // the aggregate keeps all-null groups (null result); ranked drops them
+    val aNonNull = a.filter(_._2.exists(_ != null))
+    assert(r == aNonNull, s"percentiles diverge:\nranked=$r\nagg=$aNonNull")
+
+    val li = graft.io.Tables.table(spark, sf, "lineitem")
+    val rq = CoreOps.rankedPercentiles(li, Seq("l_returnflag"), "l_quantity",
+        Seq(0.5, 0.9), Seq("p50", "p90"))
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    val aq = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(rq == aq, s"lineitem percentiles diverge:\n$rq\n$aq")
+  }
+
   test("q129 plan: every window is (__pid, group)-partitioned — no group-only sort task") {
     val df = QueryCatalog.equiDepthHist(spark, sf)
     df.collect()

@@ -69,6 +69,27 @@ class Round12Spec extends SparkSpec {
     assert(c == d)
   }
 
+  test("groupedRowNumber edges: empty input, one partition, one group") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double, Long)].toDF("grp", "value", "id")
+    val e = CoreOps.groupedRowNumber(empty, Seq("grp"), Seq("value", "id"))
+    assert(e.columns.contains("rank") && e.count() == 0)
+    // a single range partition degenerates to the plain window — ranks agree
+    val one = CoreOps.groupedRowNumber(fixture, Seq("grp"), Seq("value", "id"),
+      numPartitions = 1)
+    val w = Window.partitionBy("grp").orderBy(asc("value"), asc("id"))
+    val ww = fixture.withColumn("rank", row_number().over(w).cast("long"))
+    assert(one.select("grp", "value", "id", "rank")
+      .exceptAll(ww.select("grp", "value", "id", "rank")).isEmpty)
+    // one group spanning every partition exercises the offset chain
+    val mono = fixture.withColumn("grp", lit("only"))
+    val g = CoreOps.groupedRowNumber(mono, Seq("grp"), Seq("value", "id"))
+    val ranks = g.select("rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.head == 1L && ranks.last == ranks.length.toLong &&
+      ranks.distinct.length == ranks.length,
+      "single group must get a gapless 1..n ranking across partitions")
+  }
+
   test("rankedPercentiles is BIT-identical to the buffering percentile aggregate") {
     // the interpolation replicates Percentile.getPercentile in evaluation
     // order, so equality is exact doubles, not approximate — on the

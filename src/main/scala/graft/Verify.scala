@@ -6,6 +6,16 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [comma-separated name filter (local iteration)]
+    // the docs-table override is a bench-only control knob; a Verify run
+    // with it set would compare Heaps-corpus results against a
+    // documents-table oracle and fail (or worse, half-pass) with no
+    // visible cause — refuse outright (the r12 advisory)
+    if (sys.env.contains("SPARK_GRAFT_DOCS_TABLE")) {
+      System.err.println(
+        "[verify] SPARK_GRAFT_DOCS_TABLE is set — the correctness gate " +
+          "must run on the real documents table. Unset it and re-run.")
+      sys.exit(2)
+    }
     val sfDir  = args(0)
     val outDir = args(1)
     val only: Option[Set[String]] =

@@ -34,8 +34,25 @@ object Tables {
         if (name == "documents")
           sys.env.getOrElse("SPARK_GRAFT_DOCS_TABLE", "documents")
         else name
+      if (resolved != name) warnDocsOverrideOnce()
       normalizeTimestamps(spark.read.parquet(s"$sfDir/$resolved.parquet"))
     }
+
+  /** The override is a bench-only knob; results under it do NOT match the
+    * DuckDB oracle (which always reads `documents`). Warn loudly ONCE per
+    * JVM so a run whose numbers diverge carries a visible cause in its
+    * log — and Verify refuses to start at all with the variable set (the
+    * r12 advisory: a leaked env var must never silently flip the
+    * correctness gate's inputs).
+    */
+  private lazy val warnDocsOverrideOnce: () => Unit = {
+    System.err.println(
+      "[graft] WARNING: SPARK_GRAFT_DOCS_TABLE=" +
+        s"${sys.env.getOrElse("SPARK_GRAFT_DOCS_TABLE", "?")} substitutes " +
+        "the documents table for EVERY consumer — results will not match " +
+        "the DuckDB oracle. Bench-control runs only.")
+    () => ()
+  }
 
   /** Driver testdata has carried two timestamp flavors across rounds:
     * TIMESTAMP(NANOS) (rounds 1-6; unreadable without nanosAsLong) and,

@@ -425,10 +425,23 @@ object CoreOps {
     * primitive to reach for wherever a global rank/ntile/equi-depth over
     * one giant ordered stream is needed.
     */
+  /** The ranged-rank family injects `__`-prefixed working columns; an
+    * input frame already carrying one would be silently corrupted (the
+    * r12 advisory) — reject it up front.
+    */
+  private def requireNoReserved(df: DataFrame, reserved: Seq[String],
+                                fn: String): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$fn: input columns collide with reserved working names: " +
+        clash.toSeq.sorted.mkString(", "))
+  }
+
   def globalRowNumber(df: DataFrame, orderCols: Seq[String],
                       numPartitions: Int = 0,
                       rankCol: String = "rank"): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must include a total order")
+    requireNoReserved(df, Seq("__pid", "__local", "__offset"), "globalRowNumber")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -487,6 +500,9 @@ object CoreOps {
                        rankCol: String = "rank"): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty (use globalRowNumber)")
     require(orderCols.nonEmpty, "orderCols must include a within-group total order")
+    requireNoReserved(df,
+      Seq("__pid", "__local", "__offset", "__cnt") ++ groupCols.map(c => s"__g_$c"),
+      "groupedRowNumber")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions

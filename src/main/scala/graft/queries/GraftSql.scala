@@ -113,14 +113,20 @@ object GraftSql {
     // REPORT, not a top-k; the Column-API q62 path has no cap). The cap
     // is ENFORCED in the body: k > 4096 raise_errors instead of silently
     // returning 4096 rows presented as the top-k (the CASE keeps the
-    // raise lazy, so in-cap calls never evaluate it). Sort key = struct
-    // field order: (-count, gram) = count DESC, gram ASC.
+    // raise lazy, so in-cap calls never evaluate it). The guard wraps the
+    // AGGREGATE's array — a global aggregate yields exactly one row even
+    // over zero input rows, so an over-cap k raises unconditionally (a
+    // per-row WHERE guard would silently return empty on an empty corpus
+    // — the r12 advisory). Sort key = struct field order:
+    // (-count, gram) = count DESC, gram ASC.
     """CREATE OR REPLACE TEMPORARY FUNCTION doc_ngrams(n INT, k INT)
       |RETURNS TABLE (gram STRING, n_occurrences BIGINT, n_docs BIGINT)
       |RETURN
       |  SELECT s.gram AS gram, s.n_occurrences AS n_occurrences, s.n_docs AS n_docs
       |  FROM (
-      |    SELECT posexplode(arr) AS (pos, s)
+      |    SELECT posexplode(CASE WHEN k > 4096
+      |             THEN raise_error('doc_ngrams: k must be <= 4096 (bounded-heap cap)')
+      |             ELSE arr END) AS (pos, s)
       |    FROM (
       |      SELECT topk_structs(
       |               struct(-n_occurrences AS neg_occ, gram, n_occurrences, n_docs),
@@ -129,9 +135,7 @@ object GraftSql {
       |            FROM (SELECT doc_id, explode(sh) AS gram
       |                  FROM (SELECT doc_id, graft_shingles(text, n) AS sh FROM documents))
       |            GROUP BY gram)))
-      |  WHERE CASE WHEN k > 4096
-      |             THEN raise_error('doc_ngrams: k must be <= 4096 (bounded-heap cap)')
-      |             ELSE pos < k END
+      |  WHERE pos < k
       |  ORDER BY n_occurrences DESC, gram ASC""".stripMargin,
     // QueryCatalog.quotaSample (q71) with the per-stratum quota as an arg
     """CREATE OR REPLACE TEMPORARY FUNCTION quota_sample(quota INT)

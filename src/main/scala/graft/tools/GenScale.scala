@@ -99,8 +99,12 @@ object GenScale {
     * exposed so HeapsGrowthSpec can pin the sublinear-candidate claim
     * (prefix-join candidates grow ~n^0.5 on this corpus) against the
     * SAME generator without depending on the gitignored sf fixtures.
-    * V(5000) = 31 anchors the vocabulary to the driver corpus' sf0.1
-    * vocab size, so the two corpora differ ONLY in vocabulary growth.
+    * V(5000) = ceil(0.44·sqrt(5000)) = 32 anchors the vocabulary to
+    * (approximately) the driver corpus' 31-word sf0.1 vocab, so the two
+    * corpora differ ONLY in vocabulary growth (the r12 advisory: the
+    * anchor is ±1 of the fixed vocab by the constant's rounding; both
+    * the fixture and HeapsGrowthSpec derive from THIS formula, so the
+    * byte-identity of the corpus is unaffected).
     */
   def heapsCorpus(spark: SparkSession, nDocs: Long): DataFrame = {
     import spark.implicits._

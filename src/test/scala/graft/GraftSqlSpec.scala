@@ -120,6 +120,24 @@ class GraftSqlSpec extends SparkSpec {
       s"over-cap doc_ngrams must name the cap: ${e.getMessage}")
   }
 
+  test("doc_ngrams cap raises even over an EMPTY corpus (guard is not per-row)") {
+    // the r12 advisory: with the guard in the per-row WHERE, zero input
+    // rows meant zero guard evaluations — an over-cap k silently returned
+    // empty. The guard now wraps the global aggregate's array (exactly
+    // one row regardless of input), so it raises unconditionally.
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW documents AS " +
+      "SELECT * FROM parquet.`" + sf + "/documents.parquet` WHERE false")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM doc_ngrams(3, 4097)").collect()
+      }
+      assert(e.getMessage.contains("4096"),
+        s"empty-corpus over-cap call must still raise: ${e.getMessage}")
+      // and an in-cap call over the empty corpus is a clean empty result
+      assert(spark.sql("SELECT * FROM doc_ngrams(3, 10)").collect().isEmpty)
+    } finally graft.queries.GraftSql.register(spark, sf) // restore the view
+  }
+
   test("quota_sample TVF == quotaSample query (q71 twin)") {
     sameRows(
       spark.sql("SELECT * FROM quota_sample(20) ORDER BY source, rk"),

@@ -534,6 +534,167 @@ object CoreOps {
       .drop((groupCols.map(c => s"__g_$c") ++ Seq("__pid", "__local", "__offset")): _*)
   }
 
+  /** SCALE-CORRECT ranking-function FAMILY — rank / dense_rank (and via
+    * the `…FromRanks` column helpers percent_rank / cume_dist / ntile)
+    * rebuilt from [[groupedRowNumber]] order statistics, so no window
+    * ever partitions the raw frame by a low-cardinality group (the q53
+    * trap this file's own groupedRowNumber Scaladoc names: a 100 TB fact
+    * grouped by a 3-value flag = three 33 TB single-task sorts).
+    *
+    * Semantics (exactly the SQL window functions over
+    * `PARTITION BY groupCols ORDER BY peerCols`):
+    *  - `peerCols` are the ORDER BY expressions — rows equal on all of
+    *    them (null-safely) are PEERS: they share rank/dense_rank, and
+    *    cume_dist counts the whole peer class.
+    *  - `tieCols` complete a total order BEYOND the peers, determining
+    *    only row_number (and therefore ntile) among tied rows — pass the
+    *    table key; without a total order those two are as nondeterministic
+    *    as the window form's.
+    *  - rank = min row_number over the peer class; dense_rank = the peer
+    *    class' 1-based position within the group (a second ranged ranking
+    *    over the PEER-CLASS frame, which is distinct-sized, never
+    *    row-sized); both join back null-safely on (group, peer) keys —
+    *    a key-equi shuffle join, no broadcast of data-sized frames.
+    *  - `peersUnique = true` declares that peerCols alone are unique
+    *    within every group (e.g. the ORDER BY ends in the table key):
+    *    then rank == dense_rank == row_number and the peer aggregation +
+    *    joins are skipped entirely — the cheap path q53 rides.
+    *
+    * Output: input columns + `row_number`, `rank`, `dense_rank` (long),
+    * `n_group` (group size, long — broadcast from a hash aggregate; this
+    * primitive's regime is FEW huge groups, so the totals frame is tiny),
+    * `n_peers` (peer-class size, long). Use the plain window form when
+    * groups are many and small (the established dual-shape rule).
+    */
+  def groupedRankFunctions(df: DataFrame, groupCols: Seq[String],
+                           peerCols: Seq[String], tieCols: Seq[String],
+                           peersUnique: Boolean = false,
+                           numPartitions: Int = 0): DataFrame = {
+    require(peerCols.nonEmpty, "peerCols must carry the ORDER BY expressions")
+    val outNames = Seq("row_number", "rank", "dense_rank", "n_group", "n_peers")
+    requireNoReserved(df, outNames, "groupedRankFunctions")
+    val rn = groupedRowNumber(df, groupCols, peerCols ++ tieCols,
+      numPartitions = numPartitions, rankCol = "row_number")
+    val totals = rn.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_group"))
+      .select(groupCols.map(c => col(c).as(s"__t_$c")) :+ col("n_group"): _*)
+    val tCond = groupCols.map(c => rn(c) <=> totals(s"__t_$c")).reduce(_ && _)
+    val withN = rn.join(broadcast(totals), tCond)
+      .drop(groupCols.map(c => s"__t_$c"): _*)
+    if (peersUnique)
+      withN.withColumn("rank", col("row_number"))
+        .withColumn("dense_rank", col("row_number"))
+        .withColumn("n_peers", lit(1L))
+    else {
+      val keys = groupCols ++ peerCols
+      // one row per peer class: its rank (min row_number) and size; the
+      // dense rank is a SECOND ranged ranking of the classes by that min
+      // rank (which orders exactly like peerCols within each group)
+      val pa = rn.groupBy(keys.map(col): _*)
+        .agg(min(col("row_number")).as("rank"), count(lit(1)).as("n_peers"))
+      val dr = groupedRowNumber(pa, groupCols, Seq("rank"),
+          numPartitions = numPartitions, rankCol = "dense_rank")
+        .select(keys.map(c => col(c).as(s"__p_$c")) :+
+          col("rank") :+ col("dense_rank") :+ col("n_peers"): _*)
+      val pCond = keys.map(c => withN(c) <=> dr(s"__p_$c")).reduce(_ && _)
+      withN.join(dr, pCond).drop(keys.map(c => s"__p_$c"): _*)
+    }
+  }
+
+  /** percent_rank from exact ranks: (rank−1)/(n−1) as a double division
+    * of exact integers — bit-identical to the window function (which
+    * defines the n=1 case as 0.0). */
+  def percentRankFromRanks(rank: Column, nGroup: Column): Column =
+    when(nGroup > 1,
+      (rank - 1).cast("double") / (nGroup - 1).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** cume_dist from exact ranks: (#rows ≤ the peer class) / n =
+    * (rank + n_peers − 1) / n — exact-integer double division,
+    * bit-identical to the window function. */
+  def cumeDistFromRanks(rank: Column, nPeers: Column, nGroup: Column): Column =
+    (rank + nPeers - 1).cast("double") / nGroup.cast("double")
+
+  /** ntile(B) from (row_number, group size) — the SQL-standard
+    * front-loaded remainder (the first n mod B buckets take ⌈n/B⌉ rows;
+    * Spark and DuckDB agree), in pure integer DIV/MOD arithmetic so no
+    * engine can land a boundary differently. Takes column NAMES (the
+    * q129 expr convention) because integer DIV has no Column operator.
+    * n < B degenerates to bucket = row_number (size-0 divisor never
+    * evaluated — CASE is lazy). */
+  def ntileFromRanks(rnCol: String, nCol: String, buckets: Int): Column = {
+    require(buckets > 0, "ntile buckets must be positive")
+    val bs  = s"($nCol DIV $buckets)"
+    val rem = s"($nCol % $buckets)"
+    val thr = s"($rem * ($bs + 1))"
+    expr(
+      s"""CASE WHEN $rnCol <= $thr THEN ($rnCol - 1) DIV ($bs + 1) + 1
+         |     ELSE $rem + 1 + ($rnCol - $thr - 1) DIV $bs END""".stripMargin)
+  }
+
+  /** SCALE-CORRECT per-group RUNNING SUM — the distributed form of
+    * `sum(value) OVER (PARTITION BY group ORDER BY … ROWS UNBOUNDED
+    * PRECEDING)`, which single-tasks each group exactly like the ranking
+    * trap [[groupedRowNumber]] kills (q56's per-source packing prefix
+    * sum was the last raw-frame site). Same skeleton: range partition on
+    * (group…, order…) + checkpoint; per-(partition, group) VALUE sums as
+    * the bookkeeping frame (≤ |partitions| + |groups| rows); per-group
+    * running offsets over that frame; result = offset + local running
+    * sum within (partition, group).
+    *
+    * Bit-identity contract: exact for integral and decimal values
+    * (addition is associative, and Spark's sum widens identically in
+    * both shapes); for DOUBLE values the split changes FP summation
+    * order — use the window form or scale to longs first. Null values
+    * contribute nothing, and a row whose prefix holds only nulls gets a
+    * null running sum — exactly the window semantics (pinned in
+    * Round13Spec). orderCols must complete a within-group total order,
+    * or the prefix (like the window form's) is nondeterministic.
+    */
+  def groupedRunningSum(df: DataFrame, groupCols: Seq[String],
+                        orderCols: Seq[String], valueCol: String,
+                        cumCol: String = "cum",
+                        numPartitions: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(orderCols.nonEmpty, "orderCols must include a within-group total order")
+    requireNoReserved(df,
+      Seq("__pid", "__local", "__psum", "__offset") ++ groupCols.map(c => s"__g_$c"),
+      "groupedRunningSum")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val parted = graft.dedup.Checkpoints.output(
+      df.repartitionByRange(n, (groupCols ++ orderCols).map(c => asc(c)): _*)
+        .withColumn("__pid", spark_partition_id()))
+    val sums = parted
+      .groupBy(("__pid" +: groupCols).map(col): _*)
+      .agg(sum(col(valueCol)).as("__psum"))
+    val wOff = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(asc("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("__offset", sum(col("__psum")).over(wOff))
+      .select((col("__pid") +: groupCols.map(c => col(c).as(s"__g_$c"))) :+ col("__offset"): _*)
+    val wLocal = Window.partitionBy(("__pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols.map(c => asc(c)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joinCond = groupCols
+      .map(c => parted(c) <=> offsets(s"__g_$c"))
+      .foldLeft(parted("__pid") === offsets("__pid"))(_ && _)
+    parted
+      .withColumn("__local", sum(col(valueCol)).over(wLocal))
+      .join(broadcast(offsets), joinCond)
+      // sum ignores nulls: either side is null only when its whole range
+      // held no non-null value — combine so the all-null prefix stays
+      // null, exactly like the single-window form
+      .withColumn(cumCol,
+        when(col("__offset").isNull, col("__local"))
+          .when(col("__local").isNull, col("__offset"))
+          .otherwise(col("__offset") + col("__local")))
+      .drop(offsets("__pid"))
+      .drop((groupCols.map(c => s"__g_$c") ++ Seq("__pid", "__local", "__offset")): _*)
+  }
+
   /** SCALE-CORRECT exact interpolated percentiles per group — the
     * rank-based form of `percentile(col, p)`, which buffers EVERY value
     * of a group in one aggregation buffer (the documented q36 wart: fine

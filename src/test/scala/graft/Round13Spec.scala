@@ -1,0 +1,166 @@
+package graft
+
+import graft.ops.CoreOps
+import graft.queries.QueryCatalog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions: the ranking-function family and the per-group
+  * running sum on ranged ranks (the plan-shape sweep the r12 verdict
+  * briefed — no raw-frame window may partition by a low-cardinality
+  * group). Everything here is an EQUALITY pin against the plain window
+  * forms: the ranged construction must be invisible in the output.
+  */
+class Round13Spec extends SparkSpec {
+
+  // the Round12Spec adversarial fixture: 3 fat groups + a null group,
+  // heavy value ties, null values sprinkled
+  private lazy val fixture: DataFrame = {
+    import spark.implicits._
+    val rows = (0 until 5000).map { i =>
+      val g = i % 4 match {
+        case 0 => "a"; case 1 => "b"; case 2 => "c"; case 3 => null
+      }
+      val v: java.lang.Double =
+        if (i % 97 == 0) null else (i * 2654435761L % 50).toDouble
+      (g, v, i.toLong)
+    }
+    rows.toDF("grp", "value", "id")
+  }
+
+  private def windowFamily(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy(asc("value"), asc("id"))
+    val wv = Window.partitionBy("grp").orderBy(asc("value")) // peers = value only
+    df.select(col("grp"), col("value"), col("id"),
+      row_number().over(w).cast("long").as("row_number"),
+      rank().over(wv).cast("long").as("rank"),
+      dense_rank().over(wv).cast("long").as("dense_rank"),
+      percent_rank().over(wv).as("prnk"),
+      cume_dist().over(wv).as("cdist"),
+      ntile(4).over(w).as("quartile"))
+  }
+
+  test("groupedRankFunctions (general path) == window rank family on ties/null fixture") {
+    val ranged = CoreOps.groupedRankFunctions(fixture, Seq("grp"),
+        peerCols = Seq("value"), tieCols = Seq("id"))
+      .select(col("grp"), col("value"), col("id"),
+        col("row_number"), col("rank"), col("dense_rank"),
+        CoreOps.percentRankFromRanks(col("rank"), col("n_group")).as("prnk"),
+        CoreOps.cumeDistFromRanks(col("rank"), col("n_peers"), col("n_group")).as("cdist"),
+        CoreOps.ntileFromRanks("row_number", "n_group", 4).cast("int").as("quartile"))
+    val windowed = windowFamily(fixture)
+    val diff = ranged.exceptAll(windowed)
+    assert(diff.isEmpty,
+      s"ranged rank family diverges:\n${diff.limit(5).collect().mkString("\n")}")
+    assert(ranged.count() == fixture.count(),
+      "every row must survive the null-safe join-backs")
+  }
+
+  test("groupedRankFunctions: many small groups also agree (the other regime)") {
+    val many = fixture.withColumn("grp",
+      concat_ws("_", col("grp"), (col("id") % 211).cast("string")))
+    val ranged = CoreOps.groupedRankFunctions(many, Seq("grp"),
+        peerCols = Seq("value"), tieCols = Seq("id"))
+      .select(col("grp"), col("value"), col("id"),
+        col("row_number"), col("rank"), col("dense_rank"),
+        CoreOps.percentRankFromRanks(col("rank"), col("n_group")).as("prnk"),
+        CoreOps.cumeDistFromRanks(col("rank"), col("n_peers"), col("n_group")).as("cdist"),
+        CoreOps.ntileFromRanks("row_number", "n_group", 4).cast("int").as("quartile"))
+    assert(ranged.exceptAll(windowFamily(many)).isEmpty)
+  }
+
+  test("peersUnique fast path == general path when the peers ARE unique") {
+    // peers = (value, id) is a total order: the fast path must be an
+    // exact shortcut, and both must equal the window family where peers
+    // are the full ORDER BY (rank == dense_rank == row_number there)
+    val outCols = Seq("grp", "value", "id",
+      "row_number", "rank", "dense_rank", "n_group", "n_peers")
+    val fast = CoreOps.groupedRankFunctions(fixture, Seq("grp"),
+        peerCols = Seq("value", "id"), tieCols = Nil, peersUnique = true)
+      .select(outCols.map(col): _*)
+    val general = CoreOps.groupedRankFunctions(fixture, Seq("grp"),
+        peerCols = Seq("value", "id"), tieCols = Nil)
+      .select(outCols.map(col): _*)
+    assert(fast.exceptAll(general).isEmpty && general.exceptAll(fast).isEmpty,
+      "peersUnique must be a pure shortcut")
+    val w = Window.partitionBy("grp").orderBy(asc("value"), asc("id"))
+    val windowed = fixture.select(col("grp"), col("value"), col("id"),
+      row_number().over(w).cast("long").as("row_number"),
+      rank().over(w).cast("long").as("rank"),
+      dense_rank().over(w).cast("long").as("dense_rank"))
+    assert(fast.select("grp", "value", "id", "row_number", "rank", "dense_rank")
+      .exceptAll(windowed).isEmpty)
+  }
+
+  test("ntileFromRanks == window ntile for B in {1, 3, 4, 7, 5000}") {
+    // covers n % B = 0, front-loaded remainders, and B > group size
+    val w = Window.partitionBy("grp").orderBy(asc("value"), asc("id"))
+    val rn = CoreOps.groupedRankFunctions(fixture, Seq("grp"),
+      peerCols = Seq("value", "id"), tieCols = Nil, peersUnique = true)
+    for (b <- Seq(1, 3, 4, 7, 5000)) {
+      val ranged = rn.select(col("grp"), col("value"), col("id"),
+        CoreOps.ntileFromRanks("row_number", "n_group", b).cast("int").as("nt"))
+      val windowed = fixture.select(col("grp"), col("value"), col("id"),
+        ntile(b).over(w).as("nt"))
+      assert(ranged.exceptAll(windowed).isEmpty, s"ntile($b) diverges")
+    }
+  }
+
+  test("groupedRunningSum == window running sum (longs, null group, null values)") {
+    // long values, nulls included: a row whose prefix holds only nulls
+    // must get a NULL running sum in both shapes
+    val lf = fixture.select(col("grp"),
+      when(col("value").isNotNull, (col("value") * 7).cast("long")).as("v"),
+      col("id"))
+    val ranged = CoreOps.groupedRunningSum(lf, Seq("grp"), Seq("id"), "v",
+      cumCol = "cum")
+    val w = Window.partitionBy("grp").orderBy(asc("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = lf.withColumn("cum", sum(col("v")).over(w))
+    val diff = ranged.select("grp", "v", "id", "cum")
+      .exceptAll(windowed.select("grp", "v", "id", "cum"))
+    assert(diff.isEmpty,
+      s"running sums diverge:\n${diff.limit(5).collect().mkString("\n")}")
+    assert(ranged.count() == lf.count())
+    // leading nulls really occur in the fixture (i % 97 == 0 hits id 0)
+    assert(windowed.filter(col("cum").isNull).count() > 0,
+      "fixture must exercise the all-null prefix")
+  }
+
+  test("groupedRunningSum edges: empty input, one partition, one group") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Long)].toDF("grp", "v", "id")
+    val e = CoreOps.groupedRunningSum(empty, Seq("grp"), Seq("id"), "v")
+    assert(e.columns.contains("cum") && e.count() == 0)
+    val lf = fixture.select(col("grp"), col("id"), lit(3L).as("v"))
+    val one = CoreOps.groupedRunningSum(lf, Seq("grp"), Seq("id"), "v",
+      numPartitions = 1)
+    val w = Window.partitionBy("grp").orderBy(asc("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ww = lf.withColumn("cum", sum(col("v")).over(w))
+    assert(one.select("grp", "id", "v", "cum")
+      .exceptAll(ww.select("grp", "id", "v", "cum")).isEmpty)
+    val mono = lf.withColumn("grp", lit("only"))
+    val g = CoreOps.groupedRunningSum(mono, Seq("grp"), Seq("id"), "v")
+    val mx = g.agg(max("cum")).head.getLong(0)
+    assert(mx == 3L * mono.count(), "single group must chain offsets across partitions")
+  }
+
+  test("reserved working-column collisions are rejected loudly (r12 advisory)") {
+    val bad = fixture.withColumn("__pid", lit(1))
+    intercept[IllegalArgumentException] {
+      CoreOps.groupedRowNumber(bad, Seq("grp"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      CoreOps.globalRowNumber(bad, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      CoreOps.groupedRunningSum(bad, Seq("grp"), Seq("id"), "value")
+    }
+    val badG = fixture.withColumn("__g_grp", lit(1))
+    intercept[IllegalArgumentException] {
+      CoreOps.groupedRowNumber(badG, Seq("grp"), Seq("id"))
+    }
+  }
+}

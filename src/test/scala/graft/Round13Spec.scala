@@ -147,6 +147,41 @@ class Round13Spec extends SparkSpec {
     assert(mx == 3L * mono.count(), "single group must chain offsets across partitions")
   }
 
+  test("q53 == the retired window form on real lineitem (duplicate keys included)") {
+    // the synthetic lineitem repeats (orderkey, linenumber) — the exact
+    // shape that broke a peers-unique shortcut — so this pin runs on the
+    // real table, comparing MULTISETS (full-duplicate rows may swap
+    // row_number-derived ntile values; the multiset is invariant)
+    val li = graft.io.Tables.table(spark, sf, "lineitem")
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(asc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
+    val windowed = li.select(
+      col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      percent_rank().over(w).as("prnk"),
+      cume_dist().over(w).as("cdist"),
+      ntile(4).over(w).as("quartile"))
+    val ranged = QueryCatalog.rankFunctions(spark, sf)
+    assert(ranged.exceptAll(windowed).isEmpty && windowed.exceptAll(ranged).isEmpty,
+      "ranged q53 must be multiset-identical to the window form")
+  }
+
+  test("q53 plan: no window partitions by the raw 3-value flag (every data window __pid-scoped)") {
+    val df = QueryCatalog.rankFunctions(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the ranged local rank windows partition by (__pid, group); the only
+    // group-partitioned windows run over the BOOKKEEPING counts frame
+    // (ordered by __pid) — a raw-frame window would print
+    // windowspecdefinition(l_returnflag#…, l_quantity#… ASC
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"expected __pid-partitioned local rank windows:\n${plan.take(2000)}")
+    assert(!"windowspecdefinition\\(l_returnflag#\\d+, l_quantity".r
+        .findFirstIn(plan).isDefined,
+      s"a window still partitions the raw frame by l_returnflag:\n${plan.take(2500)}")
+  }
+
   test("reserved working-column collisions are rejected loudly (r12 advisory)") {
     val bad = fixture.withColumn("__pid", lit(1))
     intercept[IllegalArgumentException] {

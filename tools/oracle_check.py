@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local pre-check of the driver's DuckDB-oracle comparison.
 
-Usage: oracle_check.py <sfDir> <verifyOutDir>
+Usage: oracle_check.py <sfDir> <verifyOutDir> [comma-separated name filter]
 
 Registers the testdata parquet as views, runs each oracle SQL from
 oracle_sql.json, loads the corresponding Spark result parquet, sorts
@@ -38,11 +38,13 @@ def cmp_frames(a: pd.DataFrame, b: pd.DataFrame):
                 return f"VALUE col={c} row={i}: {x!r} != {y!r}"
     return None
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -74,4 +76,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))

@@ -182,6 +182,65 @@ class Round13Spec extends SparkSpec {
       s"a window still partitions the raw frame by l_returnflag:\n${plan.take(2500)}")
   }
 
+  test("quantileNormalize == the retired window form (ties, null group, null values)") {
+    // the r12-retired shape, replicated inline: global rank via
+    // globalRowNumber (unchanged), per-group rank/size via the raw-frame
+    // window quantileNormalize no longer plans
+    val df = fixture.filter(col("value").isNotNull) // tieCol=id keeps order total
+    val ranged = CoreOps.quantileNormalize(df, "grp", "value", "id", as = "nv")
+    val ranked = CoreOps.globalRowNumber(df, Seq("value", "id"), rankCol = "__gi")
+    val gn = ranked.agg(count(lit(1)).as("__gn"))
+    val wS  = Window.partitionBy("grp").orderBy(asc("value"), asc("id"))
+    val wSg = Window.partitionBy("grp")
+    val indexed = ranked.crossJoin(broadcast(gn))
+      .withColumn("__rk", row_number().over(wS).cast("long"))
+      .withColumn("__ns", count(lit(1)).over(wSg))
+      .withColumn("__ti",
+        when(col("__ns") > 1, expr("1 + ((__rk - 1) * (__gn - 1)) DIV (__ns - 1)"))
+          .otherwise(expr("1 + (__gn - 1) DIV 2")))
+    val lookup = ranked.select(col("__gi").as("__ti"), col("value").as("nv"))
+    val windowed = indexed.join(lookup, Seq("__ti"))
+      .select("grp", "value", "id", "nv")
+    val diff = ranged.select("grp", "value", "id", "nv").exceptAll(windowed)
+    assert(diff.isEmpty,
+      s"quantileNormalize diverges from the window form:\n${diff.limit(5).collect().mkString("\n")}")
+    assert(ranged.count() == df.count())
+  }
+
+  test("q150 plan: no raw-frame window partitions by the source group") {
+    // quantileNormalize's result is an EAGER output checkpoint, so the
+    // result frame's own plan is a flat LogicalRDD scan — the windows
+    // execute inside the checkpoint's execution. Capture EVERY execution
+    // of the run through a QueryExecutionListener and assert over all of
+    // them: the ranged (__pid, source) local-rank windows must appear,
+    // the retired raw-frame source-partitioned window must not.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      QueryCatalog.quantileNormalizeQuery(spark, sf).collect()
+      // the listener bus is async — wait for the ranged-window plan
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      def all = plans.asScala.mkString("\n===\n")
+      while (!all.contains("windowspecdefinition(__pid") &&
+             System.nanoTime < deadline) Thread.sleep(100)
+      val captured = all
+      assert(captured.contains("windowspecdefinition(__pid"),
+        s"expected __pid-partitioned ranged windows somewhere in the run:\n${captured.take(3000)}")
+      // the retired shape printed windowspecdefinition(source#…, quality#… ASC
+      assert(!"windowspecdefinition\\(source#\\d+, quality".r.findFirstIn(captured).isDefined,
+        "a window still partitions the raw frame by source")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("reserved working-column collisions are rejected loudly (r12 advisory)") {
     val bad = fixture.withColumn("__pid", lit(1))
     intercept[IllegalArgumentException] {

@@ -137,15 +137,29 @@ object GraftSql {
       |            GROUP BY gram)))
       |  WHERE pos < k
       |  ORDER BY n_occurrences DESC, gram ASC""".stripMargin,
-    // QueryCatalog.quotaSample (q71) with the per-stratum quota as an arg
+    // QueryCatalog.quotaSample (q71) with the per-stratum quota as an
+    // arg. Same bounded-heap surface as doc_ngrams: the former per-source
+    // row_number window sorted a whole stratum through one task; the
+    // topk_structs aggregate carries ≤ 4096 entries of state at every
+    // partial/merge node. The aggregate keeps the fixed cap (the UDF-body
+    // analyzer bans outer refs in aggregate calls) and `pos < quota`
+    // trims; an over-cap quota raises via the aggregate-level guard (one
+    // row per source even over an empty stratum — and on a fully empty
+    // corpus there is nothing to sample, so no raise is the right
+    // semantics for a per-GROUP aggregate).
     """CREATE OR REPLACE TEMPORARY FUNCTION quota_sample(quota INT)
       |RETURNS TABLE (doc_id BIGINT, source STRING, rk INT)
       |RETURN
-      |  SELECT doc_id, source, rk FROM (
-      |    SELECT doc_id, source,
-      |      CAST(row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS INT) AS rk
-      |    FROM (SELECT doc_id, source,
-      |            CAST(conv(substring(md5(concat_ws('|', 'qs', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) AS h
-      |          FROM documents))
-      |  WHERE rk <= quota""".stripMargin)
+      |  SELECT s.doc_id AS doc_id, source, CAST(pos + 1 AS INT) AS rk
+      |  FROM (
+      |    SELECT source, posexplode(CASE WHEN quota > 4096
+      |             THEN raise_error('quota_sample: quota must be <= 4096 (bounded-heap cap)')
+      |             ELSE arr END) AS (pos, s)
+      |    FROM (
+      |      SELECT source, topk_structs(struct(h, doc_id), 4096) AS arr
+      |      FROM (SELECT doc_id, source,
+      |              CAST(conv(substring(md5(concat_ws('|', 'qs', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) AS h
+      |            FROM documents)
+      |      GROUP BY source))
+      |  WHERE pos < quota""".stripMargin)
 }

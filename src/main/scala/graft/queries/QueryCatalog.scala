@@ -1699,8 +1699,16 @@ object QueryCatalog {
     * (all, when the stratum is smaller) — the balanced-eval-set primitive
     * beside q57's rate-based sample. Selection order is a content-addressed
     * hash (salted md5), so the quota picks the same documents under
-    * re-partitioning, re-runs, and engine swaps; one shuffle on the
-    * stratum key, rank, filter.
+    * re-partitioning, re-runs, and engine swaps.
+    *
+    * Scale: a top-k per group computed as a per-source `row_number`
+    * window was the textbook bounded-heap case (the r12 verdict's
+    * advisory: a stratum is corpus/|sources| rows through ONE task's
+    * sort) — it now rides the native `topk_structs` aggregate: ≤ quota
+    * entries of state at every node of the partial/merge tree, struct
+    * field order (h, doc_id) = the selection order, posexplode position
+    * = the rank. No WindowExec in the plan (pinned); row-for-row equal
+    * to the window form (unique order ⇒ same k rows, same ranks).
     */
   def quotaSample(s: SparkSession, dir: String): DataFrame = {
     val quota = 20
@@ -1708,10 +1716,12 @@ object QueryCatalog {
       .cast("long")
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"), h.as("h"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("source").orderBy(asc("h"), asc("doc_id"))))
-      .filter(col("rk") <= quota)
-      .select(col("doc_id"), col("source"), col("rk"))
+      .groupBy("source")
+      .agg(graft.functions.TopKStructs.topk_structs(
+        struct(col("h"), col("doc_id")), quota).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("col.doc_id").as("doc_id"), col("source"),
+        (col("pos") + 1).cast("int").as("rk"))
       .orderBy("source", "rk")
   }
 

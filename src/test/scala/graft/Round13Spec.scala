@@ -241,6 +241,29 @@ class Round13Spec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("q71 == the retired window form, and plans NO WindowExec (bounded heap only)") {
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val h = conv(substring(md5(concat_ws("|", lit("qs"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val windowed = docs
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(asc("h"), asc("doc_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+    val heap = QueryCatalog.quotaSample(spark, sf)
+    // row-for-row (both ordered by source, rk; the order is unique)
+    val (hw, ww) = (heap.collect().toSeq, windowed.collect().toSeq)
+    assert(hw == ww, s"quota sample diverges: ${hw.take(3)} vs ${ww.take(3)}")
+    heap.write.format("noop").mode("overwrite").save()
+    val plan = heap.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q71 must plan no window at all:\n${plan.take(2000)}")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q71 must ride the bounded-heap typed aggregate:\n${plan.take(2000)}")
+  }
+
   test("reserved working-column collisions are rejected loudly (r12 advisory)") {
     val bad = fixture.withColumn("__pid", lit(1))
     intercept[IllegalArgumentException] {

@@ -272,22 +272,32 @@ object QueryCatalog {
 
   /** n-gram Jaccard between consecutive docs (by id) within each source —
     * a linear, oracle-checkable slice of the pairwise similarity operator.
+    *
+    * Scale: "next doc within source" is rank arithmetic, not a window —
+    * a per-source `lead()` funneled every shard's rows through one task
+    * (the r12 verdict's q20 advisory), and it carried the gram ARRAYS
+    * through that task's sort. Now: ranged per-source ranks over the
+    * 2-column (source, doc_id) slim frame
+    * ([[graft.ops.CoreOps.groupedRowNumber]]), consecutive pairs via a
+    * rank+1 equi-self-join (ids only), and the hashed gram sets (the
+    * q142 convention — 8-byte longs, sorted at build so scoring rides
+    * the native merge-intersection) join on at the very end, once per
+    * side. Identical pairs by construction: rank+1 within source IS
+    * lead(doc_id) over (source, doc_id).
     */
   def jaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
-    // hashed gram sets (the q142 convention): Jaccard is a pure function
-    // of set identity, and the window exchange + join shuffle carry
-    // 8-byte longs per gram instead of gram strings; sorted at build so
-    // scoring rides the native merge-intersection
+    val slim = t(s, dir, "documents").select(col("source"), col("doc_id"))
+    val rk = graft.ops.CoreOps.groupedRowNumber(slim, Seq("source"),
+      Seq("doc_id"), rankCol = "__rk")
+    val pairs = rk.select(col("source"), col("doc_id").as("doc_a"), col("__rk").as("__ra"))
+      .join(rk.select(col("source").as("__sb"), col("doc_id").as("doc_b"), col("__rk").as("__rb")),
+        col("source") <=> col("__sb") && col("__ra") + 1 === col("__rb"))
+      .select(col("doc_a"), col("doc_b"))
     val sets = t(s, dir, "documents")
-      .select(col("source"), col("doc_id"),
-        sort_array(Dedup.shingleHashSet(col("text"), 3)).as("sh"))
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    val withNext = sets
-      .withColumn("doc_b", lead("doc_id", 1).over(w))
-      .filter(col("doc_b").isNotNull)
-      .select(col("doc_id").as("doc_a"), col("doc_b"), col("sh").as("sh_a"))
-    val right = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    withNext.join(right, Seq("doc_b"))
+      .select(col("doc_id"), sort_array(Dedup.shingleHashSet(col("text"), 3)).as("sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
               roundPortable(Dedup.sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
   }
@@ -1293,18 +1303,27 @@ object QueryCatalog {
   /** Sequence packing (q56): assign documents to fixed token-budget packs —
     * the batch-construction step of a training pipeline (greedy contiguous
     * packing in doc_id order; a doc crossing the boundary opens the pack
-    * its first token falls in). One shuffle on source (the shard key — a
-    * GLOBAL running sum would serialize the corpus through one partition
-    * at 100 TB; per-shard packing is what a real pipeline does), one
-    * running-sum window, integer math after.
+    * its first token falls in). Per-shard packing (source = the shard
+    * key) is what a real pipeline does — a GLOBAL running sum would
+    * serialize the corpus at 100 TB.
+    *
+    * Scale: the prefix sum rides
+    * [[graft.ops.CoreOps.groupedRunningSum]] (range partition +
+    * per-(partition, source) sum offsets) instead of a per-source
+    * running-sum window — a shard is corpus/|sources| rows, and the
+    * window form pushed each one through a single task (the r12
+    * verdict's q56 advisory; the greedy pack semantics are honestly
+    * sequential per shard, but the prefix sum underneath them
+    * distributes exactly like globalRowNumber's offsets). Long token
+    * counts ⇒ exact associative addition ⇒ bit-identical to the window
+    * form (Round13Spec); integer pack math after.
     */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     val budget = 2048L
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
+    val base = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    graft.ops.CoreOps.groupedRunningSum(base, Seq("source"), Seq("doc_id"),
+        "n_tokens", cumCol = "cum")
       .select(
         col("doc_id"), col("source"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $budget").as("pack_id"),
@@ -2206,10 +2225,17 @@ object QueryCatalog {
     val sketches = toks.groupBy("source").agg(
       graft.functions.HeavyHitters.heavy_hitters(col("tok"), k).as("hh"),
       count(lit(1)).as("n_total"))
+    // per-source exact top-3 on the bounded heap (struct field order
+    // (-n, tok) = count DESC, tok ASC): the frame is the AGGREGATED
+    // (source, token) vocabulary — Heaps-sublinear, so the window form
+    // was acceptable — but the heap shuffles 3 entries per source where
+    // the window shuffled each source's whole vocabulary (r13 sweep)
     val top3 = toks.groupBy("source", "tok").agg(count(lit(1)).as("exact_n"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("source").orderBy(desc("exact_n"), asc("tok"))))
-      .filter(col("rk") <= 3)
+      .groupBy("source").agg(graft.functions.TopKStructs.topk_structs(
+        struct((-col("exact_n")).as("neg_n"), col("tok"), col("exact_n")), 3).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), col("col.tok").as("tok"),
+        (col("pos") + 1).cast("int").as("rk"), col("col.exact_n").as("exact_n"))
     val est = coalesce(element_at(col("hh"), col("tok")), lit(0L))
     val slack = floor(col("n_total").cast("double") / lit((k + 1).toDouble)).cast("long")
     top3.join(sketches, Seq("source"))

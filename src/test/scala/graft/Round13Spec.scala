@@ -264,6 +264,64 @@ class Round13Spec extends SparkSpec {
       s"q71 must ride the bounded-heap typed aggregate:\n${plan.take(2000)}")
   }
 
+  test("q56 == the retired running-sum window form on real documents") {
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = docs
+      .select(col("doc_id"), col("source"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        expr("(cum - n_tokens) div 2048").as("pack_id"),
+        (col("cum") - col("n_tokens") - expr("(cum - n_tokens) div 2048") * 2048).as("pack_offset"))
+    val ranged = QueryCatalog.packSequences(spark, sf)
+    val diff = ranged.exceptAll(windowed)
+    assert(diff.isEmpty,
+      s"packing diverges:\n${diff.limit(5).collect().mkString("\n")}")
+    assert(ranged.count() == docs.count())
+  }
+
+  test("q20 == the retired lead() window form on real documents") {
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val sets = docs.select(col("source"), col("doc_id"),
+      sort_array(graft.dedup.Dedup.shingleHashSet(col("text"), 3)).as("sh"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val withNext = sets
+      .withColumn("doc_b", lead("doc_id", 1).over(w))
+      .filter(col("doc_b").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("sh").as("sh_a"))
+    val windowed = withNext
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.ops.CoreOps.roundPortable(
+          graft.dedup.Dedup.sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+    val ranged = QueryCatalog.jaccardNeighbors(spark, sf)
+    assert(ranged.exceptAll(windowed).isEmpty &&
+           windowed.exceptAll(ranged).isEmpty,
+      "rank+1 pairing must reproduce lead() exactly")
+  }
+
+  test("q93 top-3: bounded heap == the retired per-source ranking window") {
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val toks = docs.select(col("source"),
+      explode(graft.text.TextOps.tokens(lower(col("text")))).as("tok"))
+    val counts = toks.groupBy("source", "tok").agg(count(lit(1)).as("exact_n"))
+    val windowed = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("exact_n"), asc("tok"))))
+      .filter(col("rk") <= 3)
+      .select("source", "tok", "rk", "exact_n")
+    val heap = counts
+      .groupBy("source").agg(graft.functions.TopKStructs.topk_structs(
+        struct((-col("exact_n")).as("neg_n"), col("tok"), col("exact_n")), 3).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), col("col.tok").as("tok"),
+        (col("pos") + 1).cast("int").as("rk"), col("col.exact_n").as("exact_n"))
+    assert(heap.exceptAll(windowed).isEmpty && windowed.exceptAll(heap).isEmpty)
+  }
+
   test("reserved working-column collisions are rejected loudly (r12 advisory)") {
     val bad = fixture.withColumn("__pid", lit(1))
     intercept[IllegalArgumentException] {

@@ -320,7 +320,10 @@ object SparkEntry {
     // REAL video container demux + frame-sampled PNG decode
     "q164_video_demux"          -> (Q.videoDemux(_, _)),
     // dynamic partition pruning over the month-partitioned fact layout
-    "q165_dpp_star_scan"        -> (Q.dppStarScan(_, _))
+    "q165_dpp_star_scan"        -> (Q.dppStarScan(_, _)),
+    // q36's scale-side twin: exact percentiles from ranged rank statistics
+    // (no group-sized aggregation buffer), same oracle as q36
+    "q166_ranked_percentiles"   -> (Q.rankedPercentilesQuery(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

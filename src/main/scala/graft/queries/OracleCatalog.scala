@@ -1345,6 +1345,15 @@ object OracleCatalog {
          |WHERE year = 1998
          |GROUP BY ym ORDER BY ym""".stripMargin,
 
+    // q36's oracle verbatim: the ranked form must be value-identical to
+    // the buffering aggregate (the Round12Spec bit-identity, proven here
+    // at the driver gate as well)
+    "q166_ranked_percentiles" ->
+      s"""SELECT l_returnflag, ${round4("quantile_cont(l_quantity, 0.5)")} AS p50,
+         | ${round4("quantile_cont(l_quantity, 0.9)")} AS p90,
+         | ${round4("quantile_cont(l_extendedprice, 0.99)")} AS price_p99
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

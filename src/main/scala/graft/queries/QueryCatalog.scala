@@ -689,7 +689,16 @@ object QueryCatalog {
     * dial is group size: at sf ≤ 1 the buffer is ~2× cheaper (one pass,
     * no checkpoint — measured sf0.1 steady 1.75s vs 3.5s), while a
     * group that doesn't fit one aggregation buffer MUST take the ranked
-    * form. q39 (GK) / q69 (t-digest) remain the approximate scale paths.
+    * form. CUTOVER RULE (the r12 verdict's ask, on the record): the
+    * buffer holds one (distinct value → count) entry per group, ~50
+    * bytes each, in ONE task at merge time — take the buffer form while
+    * max-distinct-values-per-group ≲ 10⁷ (≈ 500 MB of single-task agg
+    * state, the practical executor ceiling); beyond that — any raw
+    * 100 TB-fact group keyed by a low-cardinality flag blows it by
+    * orders of magnitude — call [[graft.ops.CoreOps.rankedPercentiles]].
+    * Both forms are bit-equal (Round12Spec); q166 drives the ranked form
+    * under the SAME DuckDB oracle to prove it at the gate. q39 (GK) /
+    * q69 (t-digest) remain the approximate scale paths.
     */
   def percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -699,6 +708,29 @@ object QueryCatalog {
         roundPortable(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
         roundPortable(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99"))
       .orderBy("l_returnflag")
+
+  /** q36's OTHER side of the dial (q166): the same three percentiles
+    * through [[graft.ops.CoreOps.rankedPercentiles]] — groupedRowNumber
+    * order statistics + the identical `Percentile.getPercentile`
+    * interpolation, no group-sized aggregation buffer anywhere. Checked
+    * against the SAME `quantile_cont` oracle as q36: the two driver
+    * entries jointly prove the cutover rule swaps plan shape, never
+    * values. (Two passes per value column by construction; the buffer
+    * form q36 keeps is the sf ≤ 1 bench shape — see the q36 Scaladoc.)
+    */
+  def rankedPercentilesQuery(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val q = graft.ops.CoreOps.rankedPercentiles(li, Seq("l_returnflag"),
+      "l_quantity", Seq(0.5, 0.9), Seq("p50raw", "p90raw"))
+    val p = graft.ops.CoreOps.rankedPercentiles(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq(0.99), Seq("p99raw"))
+    q.join(p, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        roundPortable(col("p50raw"), 4).as("p50"),
+        roundPortable(col("p90raw"), 4).as("p90"),
+        roundPortable(col("p99raw"), 4).as("price_p99"))
+      .orderBy("l_returnflag")
+  }
 
   /** Static pivot: per event_type counts + value sums as columns, one row
     * per user cohort. groupBy().pivot(values) plans as conditional

@@ -550,21 +550,40 @@ object CoreOps {
     *    only row_number (and therefore ntile) among tied rows — pass the
     *    table key; without a total order those two are as nondeterministic
     *    as the window form's.
-    *  - rank = min row_number over the peer class; dense_rank = the peer
-    *    class' 1-based position within the group (a second ranged ranking
-    *    over the PEER-CLASS frame, which is distinct-sized, never
-    *    row-sized); both join back null-safely on (group, peer) keys —
-    *    a key-equi shuffle join, no broadcast of data-sized frames.
+    *  - rank = the global row number of the first row of the peer class;
+    *    dense_rank = the class' 1-based position within the group.
+    *
+    * ONE-PASS construction (no data-sized join, no second ranking): one
+    * range exchange on (group…, peer…, tie…), one hash exchange on
+    * (__pid, group…), one sort — every LOCAL statistic (row_number,
+    * class start = `rank() OVER (… ORDER BY peers)`, class index =
+    * `dense_rank()`, class size = a count window over (__pid, group,
+    * peers), local class total) rides that single sorted pass, each
+    * window's requirement satisfied by the same exchange+sort (subset
+    * clustering / prefix ordering), and the result is materialized ONCE
+    * (checkpoint AFTER the windows — boundaries sampled in that one
+    * job). Peer classes are CONTIGUOUS in the global order, so stitching
+    * local stats into global ones needs only per-(partition, group)
+    * bookkeeping (≤ |partitions| + |groups| rows): cumulative row
+    * offsets; whether a partition's first class CONTINUES the previous
+    * partition's last class (null-safe peer-tuple equality across the
+    * boundary); the running start of the last class (resolves classes
+    * chaining across MANY partitions — a 100 TB group with one dominant
+    * value spans thousands of tasks); the next genuine class start
+    * (closes each class' global extent); cumulative genuine-class
+    * counts (global dense ranks). All resolved by windows over the
+    * bookkeeping frame, broadcast back, combined per row with integer
+    * arithmetic.
+    *
     *  - `peersUnique = true` declares that peerCols alone are unique
     *    within every group (e.g. the ORDER BY ends in the table key):
-    *    then rank == dense_rank == row_number and the peer aggregation +
-    *    joins are skipped entirely — the cheap path q53 rides.
+    *    then rank == dense_rank == row_number, and the boundary
+    *    machinery collapses to [[groupedRowNumber]] + group totals.
     *
     * Output: input columns + `row_number`, `rank`, `dense_rank` (long),
-    * `n_group` (group size, long — broadcast from a hash aggregate; this
-    * primitive's regime is FEW huge groups, so the totals frame is tiny),
-    * `n_peers` (peer-class size, long). Use the plain window form when
-    * groups are many and small (the established dual-shape rule).
+    * `n_group` (group size, long), `n_peers` (peer-class size, long).
+    * Use the plain window form when groups are many and small (the
+    * established dual-shape rule).
     */
   def groupedRankFunctions(df: DataFrame, groupCols: Seq[String],
                            peerCols: Seq[String], tieCols: Seq[String],
@@ -573,31 +592,111 @@ object CoreOps {
     require(peerCols.nonEmpty, "peerCols must carry the ORDER BY expressions")
     val outNames = Seq("row_number", "rank", "dense_rank", "n_group", "n_peers")
     requireNoReserved(df, outNames, "groupedRankFunctions")
-    val rn = groupedRowNumber(df, groupCols, peerCols ++ tieCols,
-      numPartitions = numPartitions, rankCol = "row_number")
-    val totals = rn.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_group"))
-      .select(groupCols.map(c => col(c).as(s"__t_$c")) :+ col("n_group"): _*)
-    val tCond = groupCols.map(c => rn(c) <=> totals(s"__t_$c")).reduce(_ && _)
-    val withN = rn.join(broadcast(totals), tCond)
-      .drop(groupCols.map(c => s"__t_$c"): _*)
-    if (peersUnique)
-      withN.withColumn("rank", col("row_number"))
+    if (peersUnique) {
+      val rn = groupedRowNumber(df, groupCols, peerCols ++ tieCols,
+        numPartitions = numPartitions, rankCol = "row_number")
+      val totals = rn.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_group"))
+        .select(groupCols.map(c => col(c).as(s"__t_$c")) :+ col("n_group"): _*)
+      val tCond = groupCols.map(c => rn(c) <=> totals(s"__t_$c")).reduce(_ && _)
+      rn.join(broadcast(totals), tCond)
+        .drop(groupCols.map(c => s"__t_$c"): _*)
+        .withColumn("rank", col("row_number"))
         .withColumn("dense_rank", col("row_number"))
         .withColumn("n_peers", lit(1L))
-    else {
-      val keys = groupCols ++ peerCols
-      // one row per peer class: its rank (min row_number) and size; the
-      // dense rank is a SECOND ranged ranking of the classes by that min
-      // rank (which orders exactly like peerCols within each group)
-      val pa = rn.groupBy(keys.map(col): _*)
-        .agg(min(col("row_number")).as("rank"), count(lit(1)).as("n_peers"))
-      val dr = groupedRowNumber(pa, groupCols, Seq("rank"),
-          numPartitions = numPartitions, rankCol = "dense_rank")
-        .select(keys.map(c => col(c).as(s"__p_$c")) :+
-          col("rank") :+ col("dense_rank") :+ col("n_peers"): _*)
-      val pCond = keys.map(c => withN(c) <=> dr(s"__p_$c")).reduce(_ && _)
-      withN.join(dr, pCond).drop(keys.map(c => s"__p_$c"): _*)
+    } else {
+      requireNoReserved(df,
+        Seq("__pid", "__local", "__lrank", "__ldense", "__lcnt") ++
+          groupCols.map(c => s"__g_$c"),
+        "groupedRankFunctions")
+      val spark = df.sparkSession
+      val n = if (numPartitions > 0) numPartitions
+              else spark.sessionState.conf.numShufflePartitions
+      val orderCols = peerCols ++ tieCols
+      val peersStruct = struct(peerCols.map(col): _*)
+      val pidGroup = ("__pid" +: groupCols).map(col)
+      val wRows  = Window.partitionBy(pidGroup: _*)
+        .orderBy(orderCols.map(c => asc(c)): _*)
+      val wPeers = Window.partitionBy(pidGroup: _*)
+        .orderBy(peerCols.map(c => asc(c)): _*)
+      val wClass = Window.partitionBy((pidGroup ++ peerCols.map(col)): _*)
+      val parted = graft.dedup.Checkpoints.output(df
+        .repartitionByRange(n, (groupCols ++ orderCols).map(c => asc(c)): _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__local", row_number().over(wRows))
+        .withColumn("__lrank", rank().over(wPeers).cast("long"))
+        .withColumn("__ldense", dense_rank().over(wPeers).cast("long"))
+        .withColumn("__lcnt", count(lit(1)).over(wClass)))
+      // bookkeeping: one row per (partition, group) — first/last class
+      // peer tuples and sizes, all from the local stats above (min_by /
+      // max_by on the local class index: class 1 is the first class,
+      // max(__ldense) the last)
+      val bk = parted.groupBy(pidGroup: _*).agg(
+        count(lit(1)).as("__cnt"),
+        max(col("__ldense")).as("__nf"),
+        min_by(col("__lcnt"), col("__ldense")).as("__cfirst"),
+        max_by(col("__lcnt"), col("__ldense")).as("__clast"),
+        min_by(peersStruct, col("__ldense")).as("__firstP"),
+        max_by(peersStruct, col("__ldense")).as("__lastP"))
+      val wPrev = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(asc("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val wLag = Window.partitionBy(groupCols.map(col): _*).orderBy(asc("__pid"))
+      val wFwd = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(asc("__pid")).rowsBetween(1, Window.unboundedFollowing)
+      val wG = Window.partitionBy(groupCols.map(col): _*)
+      val b2 = bk
+        .withColumn("__offset", coalesce(sum(col("__cnt")).over(wPrev), lit(0L)))
+        // does this partition's FIRST class start here, or continue the
+        // previous partition's last class? (first partition: no lag → true)
+        .withColumn("__s", !(col("__firstP") <=> lag(col("__lastP"), 1).over(wLag)))
+        .withColumn("__genf",
+          col("__nf") - when(col("__s"), 0L).otherwise(1L))
+        .withColumn("__cumg", coalesce(sum(col("__genf")).over(wPrev), lit(0L)))
+        // running start of the last class: defined where the last class
+        // starts LOCALLY (genuine first class, or ≥ 2 local classes);
+        // partitions wholly inside a chaining class contribute null and
+        // inherit the running max — the class' true origin
+        .withColumn("__tsc",
+          when(col("__s") || col("__nf") > 1,
+            col("__offset") + col("__cnt") - col("__clast") + 1))
+        .withColumn("__pts", max(col("__tsc")).over(wPrev))
+        // first GENUINE class start within this partition (null when the
+        // whole partition continues an earlier class)
+        .withColumn("__ngc",
+          when(col("__s"), col("__offset") + 1)
+            .when(col("__nf") > 1, col("__offset") + col("__cfirst") + 1))
+        .withColumn("__ngs", min(col("__ngc")).over(wFwd))
+        .withColumn("__gn", sum(col("__cnt")).over(wG))
+      val bsel = b2.select(
+        (col("__pid").as("__b_pid") +: groupCols.map(c => col(c).as(s"__g_$c"))) ++
+          Seq(col("__cnt").as("__bcnt"), col("__offset"), col("__s"),
+            col("__cumg"), col("__pts"), col("__ngs"), col("__gn")): _*)
+      val joinCond = groupCols
+        .map(c => parted(c) <=> bsel(s"__g_$c"))
+        .foldLeft(parted("__pid") === bsel("__b_pid"))(_ && _)
+      parted.join(broadcast(bsel), joinCond)
+        .withColumn("row_number", (col("__offset") + col("__local")).cast("long"))
+        // a class starting locally ranks at offset + local class start;
+        // a continuing first class inherits the chain's running origin
+        .withColumn("rank",
+          when(col("__s") || col("__lrank") > 1, col("__offset") + col("__lrank"))
+            .otherwise(col("__pts")))
+        .withColumn("dense_rank",
+          col("__cumg") + col("__ldense") - when(col("__s"), 0L).otherwise(1L))
+        // class end: local when the class closes before the partition
+        // boundary; else the next genuine start (anywhere later in the
+        // group) minus one, or the group's last row
+        .withColumn("__cend",
+          when(col("__lrank") + col("__lcnt") - 1 < col("__bcnt"),
+            col("__offset") + col("__lrank") + col("__lcnt") - 1)
+            .otherwise(coalesce(col("__ngs") - 1, col("__gn"))))
+        .withColumn("n_peers", col("__cend") - col("rank") + 1)
+        .withColumn("n_group", col("__gn"))
+        .drop(bsel("__b_pid"))
+        .drop((groupCols.map(c => s"__g_$c") ++ Seq(
+          "__pid", "__local", "__lrank", "__ldense", "__lcnt",
+          "__bcnt", "__offset", "__s", "__cumg", "__pts", "__ngs", "__gn",
+          "__cend")): _*)
     }
   }
 

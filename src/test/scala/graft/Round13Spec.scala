@@ -168,18 +168,37 @@ class Round13Spec extends SparkSpec {
   }
 
   test("q53 plan: no window partitions by the raw 3-value flag (every data window __pid-scoped)") {
-    val df = QueryCatalog.rankFunctions(spark, sf)
-    df.write.format("noop").mode("overwrite").save()
-    val plan = df.queryExecution.executedPlan.toString
-    // the ranged local rank windows partition by (__pid, group); the only
-    // group-partitioned windows run over the BOOKKEEPING counts frame
-    // (ordered by __pid) — a raw-frame window would print
+    // the one-pass ranking materializes inside an eager checkpoint, so
+    // (as with q150) the assertions run over EVERY execution of the run,
+    // captured through a QueryExecutionListener: the ranged local rank
+    // windows partition by (__pid, group); the only group-partitioned
+    // windows run over the BOOKKEEPING frame (ordered by __pid) — a
+    // raw-frame window would print
     // windowspecdefinition(l_returnflag#…, l_quantity#… ASC
-    assert(plan.contains("windowspecdefinition(__pid"),
-      s"expected __pid-partitioned local rank windows:\n${plan.take(2000)}")
-    assert(!"windowspecdefinition\\(l_returnflag#\\d+, l_quantity".r
-        .findFirstIn(plan).isDefined,
-      s"a window still partitions the raw frame by l_returnflag:\n${plan.take(2500)}")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      QueryCatalog.rankFunctions(spark, sf).write.format("noop").mode("overwrite").save()
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      def all = plans.asScala.mkString("\n===\n")
+      while (!all.contains("windowspecdefinition(__pid") &&
+             System.nanoTime < deadline) Thread.sleep(100)
+      val captured = all
+      assert(captured.contains("windowspecdefinition(__pid"),
+        s"expected __pid-partitioned local rank windows somewhere in the run:\n${captured.take(3000)}")
+      assert(!"windowspecdefinition\\(l_returnflag#\\d+, l_quantity".r
+          .findFirstIn(captured).isDefined,
+        "a window still partitions the raw frame by l_returnflag")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("quantileNormalize == the retired window form (ties, null group, null values)") {
@@ -320,6 +339,41 @@ class Round13Spec extends SparkSpec {
       .select(col("source"), col("col.tok").as("tok"),
         (col("pos") + 1).cast("int").as("rk"), col("col.exact_n").as("exact_n"))
     assert(heap.exceptAll(windowed).isEmpty && windowed.exceptAll(heap).isEmpty)
+  }
+
+  test("groupedRankFunctions chain stress: one class spanning EVERY partition") {
+    import spark.implicits._
+    // a single group whose single peer value runs through all partitions
+    // (the 100 TB dominant-value shape): rank/dense_rank = 1 everywhere,
+    // n_peers = n — exercises the running-origin (__pts) and
+    // next-genuine-start chains end to end
+    val mono = (0 until 4000).map(i => ("g", 7.0, i.toLong)).toDF("grp", "value", "id")
+    val r = CoreOps.groupedRankFunctions(mono, Seq("grp"),
+      peerCols = Seq("value"), tieCols = Seq("id"))
+    val agg = r.agg(
+      min("rank"), max("rank"), min("dense_rank"), max("dense_rank"),
+      min("n_peers"), max("n_peers"), min("n_group"), max("n_group"),
+      countDistinct("row_number"), min("row_number"), max("row_number")).head
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == 1L, "rank must chain to 1")
+    assert(agg.getLong(2) == 1L && agg.getLong(3) == 1L, "dense_rank must chain to 1")
+    assert(agg.getLong(4) == 4000L && agg.getLong(5) == 4000L, "n_peers = whole class")
+    assert(agg.getLong(6) == 4000L && agg.getLong(7) == 4000L)
+    assert(agg.getLong(8) == 4000L && agg.getLong(9) == 1L && agg.getLong(10) == 4000L,
+      "row_number must stay a gapless 1..n across the chain")
+    // and a two-class split mid-stream: value flips once, both classes
+    // span partitions
+    val duo = (0 until 4000).map(i => ("g", if (i < 2500) 1.0 else 2.0, i.toLong))
+      .toDF("grp", "value", "id")
+    val r2 = CoreOps.groupedRankFunctions(duo, Seq("grp"),
+      peerCols = Seq("value"), tieCols = Seq("id"))
+    val w = Window.partitionBy("grp").orderBy(asc("value"), asc("id"))
+    val wv = Window.partitionBy("grp").orderBy(asc("value"))
+    val expected = duo.select(col("grp"), col("value"), col("id"),
+      row_number().over(w).cast("long").as("row_number"),
+      rank().over(wv).cast("long").as("rank"),
+      dense_rank().over(wv).cast("long").as("dense_rank"))
+    assert(r2.select("grp", "value", "id", "row_number", "rank", "dense_rank")
+      .exceptAll(expected).isEmpty)
   }
 
   test("reserved working-column collisions are rejected loudly (r12 advisory)") {

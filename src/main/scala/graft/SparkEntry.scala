@@ -323,7 +323,10 @@ object SparkEntry {
     "q165_dpp_star_scan"        -> (Q.dppStarScan(_, _)),
     // q36's scale-side twin: exact percentiles from ranged rank statistics
     // (no group-sized aggregation buffer), same oracle as q36
-    "q166_ranked_percentiles"   -> (Q.rankedPercentilesQuery(_, _))
+    "q166_ranked_percentiles"   -> (Q.rankedPercentilesQuery(_, _)),
+    // duplicated-substring-span removal (Lee et al. 2022 shape): cross-doc
+    // 8-token spans excised, islands merged, clean text reassembled
+    "q167_span_dedup"           -> (Q.spanDedupQuery(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -742,4 +742,109 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Exact duplicated-SUBSTRING-span removal — the span-granular dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): token runs that repeat ACROSS documents are excised from
+    * every document carrying them, while the rest of each document
+    * survives. Doc-granular dedup (exact q14, near-dup q54) misses this
+    * class entirely — boilerplate headers, license blocks, quoted
+    * passages — and q151's repetition gates only see WITHIN-doc repeats.
+    *
+    * Semantics (deterministic, RNG-free):
+    *  - token stream = whitespace-split lowered text (the corpus-wide
+    *    canonical form every gram operator here shares);
+    *  - every w-token window of every document with ≥ w tokens gets a
+    *    position; a window is DUPLICATED iff its gram occurs in at least
+    *    `minDocs` DISTINCT documents (within-doc repeats alone never
+    *    trigger — that is q151's axis);
+    *  - a document's removed region is the UNION of its duplicated
+    *    windows' [pos, pos+w−1] intervals; maximal contiguous runs are
+    *    the reported spans (gaps-and-islands over window starts: a new
+    *    island starts where pos > prev_pos + w);
+    *  - clean_text is the surviving tokens in order, space-joined — the
+    *    operator is defined on the token stream, so original whitespace
+    *    is deliberately normalized.
+    *
+    * Scale shape (100 TB): the gram pass is ONE posexplode of the fused
+    * native [[graft.functions.GramHashes]] stream (8-byte keys, no gram
+    * strings — window position is the array index, so positioned grams
+    * cost nothing extra); "duplicated" is a hash-aggregate whose state is
+    * TWO longs per gram (min/max doc_id — min ≠ max ⟺ ≥ 2 distinct
+    * docs; `minDocs` > 2 falls back to count_distinct), never a distinct
+    * expansion; the mark is one equi-join on the gram key; islands ride a
+    * doc_id-partitioned window (group = one document, bounded by max doc
+    * length — the dual-shape rule's good case); excision is a positional
+    * anti-join on (doc_id, pos) and a per-doc re-aggregation whose buffer
+    * is one document's tokens. Every shuffle is keyed by gram or doc_id;
+    * no driver state, no data-sized single-task stage. The decontamination
+    * bloom path (q80) composes: at extreme corpus sizes, build a bloom of
+    * duplicated grams and pre-filter the mark join's probe side.
+    *
+    * Output: doc_id, n_tokens, n_spans, n_tokens_removed, frac_removed,
+    * clean_text — one row per input document (untouched docs report 0
+    * spans and their full token stream; fully-duplicated docs report
+    * clean_text = "").
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                w: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(w >= 2, "span windows need at least 2 tokens")
+    require(minDocs >= 2, "a span must repeat across at least 2 documents")
+    val tk = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(lower(col(textCol))).as("t"))
+    // positioned w-windows: gram_hashes emits one hash per window IN
+    // ORDER, so posexplode's index IS the (0-based) window start. Docs
+    // shorter than w emit the whole-doc gram in shingleHashes' convention;
+    // span semantics exclude them (nothing to excise a window from).
+    val win = tk.filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        posexplode(graft.functions.GramHashes.gram_hashes(col("t"), w)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
+    val dup =
+      if (minDocs == 2)
+        win.groupBy("gh")
+          .agg(min(col("doc_id")).as("__d0"), max(col("doc_id")).as("__d1"))
+          .filter(col("__d0") =!= col("__d1")).select("gh")
+      else
+        win.groupBy("gh")
+          .agg(count_distinct(col("doc_id")).as("__nd"))
+          .filter(col("__nd") >= minDocs).select("gh")
+    val marked = win.join(dup, Seq("gh"), "left_semi").select("doc_id", "pos")
+    // gaps-and-islands over window STARTS: starts are sorted per doc and
+    // all windows have length w, so the union of intervals breaks exactly
+    // where pos > prev_pos + w
+    val wd = Window.partitionBy("doc_id").orderBy(asc("pos"))
+    // spans feed TWO consumers (the per-doc stats and the excision
+    // anti-join); checkpointing the tiny island frame (≤ |marked starts|
+    // rows) stops the whole gram pass from running twice — the same
+    // ledger-released pattern as the candidate-pair checkpoints above
+    val spans = Checkpoints.output(marked
+      .withColumn("__pp", lag(col("pos"), 1).over(wd))
+      .withColumn("__nf",
+        when(col("__pp").isNull || col("pos") > col("__pp") + w, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__nf")).over(wd))
+      .groupBy("doc_id", "__island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (w - 1)).as("e")))
+    val removed = spans.select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
+    val kept = tk
+      .select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+      .join(removed, Seq("doc_id", "pos"), "left_anti")
+    val clean = kept.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        p => p.getField("tok")), " ").as("clean_text"))
+    val stats = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("n_removed"))
+    tk.join(stats, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_tokens_removed"),
+        (coalesce(col("n_removed"), lit(0L)).cast("double")
+          / size(col("t")).cast("double")).as("frac_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -1354,6 +1354,42 @@ object OracleCatalog {
          | ${round4("quantile_cont(l_extendedprice, 0.99)")} AS price_p99
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // q167: duplicated-substring-span removal. Positioned 8-gram windows
+    // (list comprehension mirrors the engine's gram_hashes order: pos =
+    // array index), dup = gram in >= 2 distinct docs (md5 string identity
+    // here, xxhash64 longs in the engine — same equality partition),
+    // gaps-and-islands over window starts (break where pos > prev + 8),
+    // excision by positional anti-semantics (NOT EXISTS), ordered
+    // re-aggregation of the survivors
+    "q167_span_dedup" ->
+      raw"""WITH tk AS (SELECT doc_id, $toksLower AS t FROM documents),
+         |wl AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+         |  THEN [{'pos': i, 'gh': md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]))}
+         |        for i in generate_series(1, len(t) - 7)]
+         |  ELSE [] END) AS w FROM tk),
+         |win AS (SELECT doc_id, w.pos AS pos, w.gh AS gh FROM wl),
+         |dup AS (SELECT gh FROM win GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+         |marked AS (SELECT doc_id, pos FROM win JOIN dup USING (gh)),
+         |m AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS pp FROM marked),
+         |i AS (SELECT doc_id, pos, sum(CASE WHEN pp IS NULL OR pos > pp + 8 THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m),
+         |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e FROM i GROUP BY doc_id, island),
+         |rem AS (SELECT doc_id, unnest(generate_series(s, e)) AS rpos FROM spans),
+         |pl AS (SELECT doc_id, unnest([{'pos': i, 'tok': t[i]} for i in generate_series(1, len(t))]) AS u FROM tk),
+         |pt AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM pl),
+         |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pt p
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.doc_id = p.doc_id AND r.rpos = p.pos)),
+         |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id),
+         |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |            CAST(sum(e - s + 1) AS BIGINT) AS n_removed FROM spans GROUP BY doc_id)
+         |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+         |  coalesce(st.n_spans, 0) AS n_spans,
+         |  coalesce(st.n_removed, 0) AS n_tokens_removed,
+         |  CAST(coalesce(st.n_removed, 0) AS DOUBLE) / CAST(len(tk.t) AS DOUBLE) AS frac_removed,
+         |  coalesce(cl.clean_text, '') AS clean_text
+         |FROM tk LEFT JOIN stats st USING (doc_id) LEFT JOIN clean cl ON tk.doc_id = cl.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

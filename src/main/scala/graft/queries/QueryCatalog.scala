@@ -732,6 +732,19 @@ object QueryCatalog {
       .orderBy("l_returnflag")
   }
 
+  /** Duplicated-substring-span removal (q167): [[graft.dedup.Dedup.spanDedup]]
+    * over the documents corpus — 8-token windows repeating across ≥ 2
+    * distinct docs are excised, interval-unioned into maximal spans, and
+    * the surviving token stream re-joined. The span-granular dedup class
+    * (boilerplate/license/quoted passages) that doc-granular q14/q54 miss
+    * and within-doc q151 deliberately doesn't see. Scale notes on the
+    * operator's Scaladoc; w matches q44's 8-gram decontamination
+    * convention.
+    */
+  def spanDedupQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", w = 8)
+      .orderBy("doc_id")
+
   /** Static pivot: per event_type counts + value sums as columns, one row
     * per user cohort. groupBy().pivot(values) plans as conditional
     * aggregates — map-side partial, shuffle carries |cohorts| rows.

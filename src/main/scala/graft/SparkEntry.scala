@@ -326,7 +326,10 @@ object SparkEntry {
     "q166_ranked_percentiles"   -> (Q.rankedPercentilesQuery(_, _)),
     // duplicated-substring-span removal (Lee et al. 2022 shape): cross-doc
     // 8-token spans excised, islands merged, clean text reassembled
-    "q167_span_dedup"           -> (Q.spanDedupQuery(_, _))
+    "q167_span_dedup"           -> (Q.spanDedupQuery(_, _)),
+    // DSIR-shaped importance selection: hashed-bigram likelihood-ratio
+    // leaning test (exact integers), per-doc target-likeness score
+    "q168_importance_selection" -> (Q.importanceSelection(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1390,6 +1390,35 @@ object OracleCatalog {
          |FROM tk LEFT JOIN stats st USING (doc_id) LEFT JOIN clean cl ON tk.doc_id = cl.doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // q168: DSIR-shaped importance selection. Bigram shingles (engine's
+    // shingles(2) short-doc convention mirrored by the CASE), md5-prefix
+    // bucket ids (the q57 list_reduce idiom), add-one-smoothed
+    // likelihood-ratio leaning per bucket as an exact HUGEINT
+    // cross-multiplication, doc score = leaning-instance fraction
+    "q168_importance_selection" ->
+      raw"""WITH tk AS (SELECT doc_id, source, $toksLower AS t FROM documents),
+         |sh AS (SELECT doc_id, source, unnest(CASE WHEN len(t) < 2
+         |  THEN [array_to_string(t, ' ')]
+         |  ELSE [concat_ws(' ', t[i], t[i+1]) for i in generate_series(1, len(t) - 1)] END) AS g FROM tk),
+         |hb AS (SELECT doc_id, source,
+         |  list_reduce([CAST(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1 AS BIGINT)
+         |               for i in generate_series(1, 8)], (a, x) -> a * 16 + x) % 1024 AS b FROM sh),
+         |db AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS n FROM hb GROUP BY 1, 2, 3),
+         |bc AS (SELECT b,
+         |  CAST(sum(CASE WHEN source = 'src0' THEN n ELSE 0 END) AS BIGINT) AS tc,
+         |  CAST(sum(CASE WHEN source <> 'src0' THEN n ELSE 0 END) AS BIGINT) AS rc FROM db GROUP BY b),
+         |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS rt FROM bc),
+         |lean AS (SELECT b, CAST(tc + 1 AS HUGEINT) * CAST(rt + 1024 AS HUGEINT)
+         |                 > CAST(rc + 1 AS HUGEINT) * CAST(tt + 1024 AS HUGEINT) AS leans
+         |         FROM bc CROSS JOIN tot),
+         |doc AS (SELECT d.doc_id, d.source, CAST(sum(n) AS BIGINT) AS n_grams,
+         |          CAST(sum(CASE WHEN leans THEN n ELSE 0 END) AS BIGINT) AS n_leaning
+         |        FROM db d JOIN lean USING (b) WHERE d.source <> 'src0' GROUP BY 1, 2)
+         |SELECT doc_id, source, n_grams, n_leaning,
+         |  CAST(n_leaning AS DOUBLE) / CAST(n_grams AS DOUBLE) AS score,
+         |  CAST(n_leaning AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.5 AS selected
+         |FROM doc ORDER BY doc_id""".stripMargin,
+
     // q138: novelty curve — same fingerprint, min-over-fp, batch rollup
     "q138_novelty_curve" ->
       s"""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,

@@ -745,6 +745,62 @@ object QueryCatalog {
     Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", w = 8)
       .orderBy("doc_id")
 
+  /** DSIR-shaped importance selection (q168): score every raw-pool
+    * document by how target-like its hashed-bigram distribution is, and
+    * select the high scorers — the importance-resampling data-selection
+    * shape of Xie et al. 2023 (DSIR), re-expressed with EXACT integer
+    * arithmetic so the oracle replays it bit-for-bit:
+    *
+    *  - features = word bigrams hashed into B = 1024 buckets via the
+    *    md5-prefix integer (the q57 content-address idiom — md5 here
+    *    because bucket IDS must replay in the oracle; an engine-only
+    *    deployment would ride xxhash64 per the Dedup identity ladder);
+    *  - target corpus = the src0 documents, raw pool = everything else;
+    *  - instead of DSIR's log-likelihood-ratio sum (ln is not
+    *    correctly-rounded across engines — the q160 lesson), each bucket
+    *    gets a LIKELIHOOD-RATIO LEANING TEST with add-one smoothing as an
+    *    exact cross-multiplication: (tc+1)·(R+B) > (rc+1)·(T+B), carried
+    *    in decimal(38,0) so a 100 TB token count cannot overflow;
+    *  - a document's score = the fraction of its bigram INSTANCES whose
+    *    bucket leans target — exact integers, one final IEEE division —
+    *    selected ⟺ score > 0.5.
+    *
+    * Scale shape: ONE corpus pass explodes bigrams and reduces to the
+    * (doc, bucket, n) grain (checkpointed — both the global bucket
+    * counts and the per-doc scores derive from it, so the explode never
+    * runs twice); the bucket table is B = 1024 rows — its totals and the
+    * leaning flags are driver-side-free broadcast joins. No shuffle
+    * carries more than the doc-bucket grain.
+    */
+  def importanceSelection(s: SparkSession, dir: String): DataFrame = {
+    val B = 1024
+    val target = "src0"
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), 2)).as("g"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % B).as("b"))
+    val docBucket = graft.dedup.Checkpoints.output(
+      grams.groupBy("doc_id", "source", "b").agg(count(lit(1)).as("n")))
+    val bc = docBucket.groupBy("b").agg(
+      sum(when(col("source") === target, col("n")).otherwise(0L)).as("tc"),
+      sum(when(col("source") =!= target, col("n")).otherwise(0L)).as("rc"))
+    val tot = bc.agg(sum(col("tc")).as("T"), sum(col("rc")).as("R"))
+    val lean = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        ((col("tc") + 1).cast("decimal(19,0)") * (col("R") + B).cast("decimal(19,0)") >
+         (col("rc") + 1).cast("decimal(19,0)") * (col("T") + B).cast("decimal(19,0)")).as("leans"))
+    docBucket.filter(col("source") =!= target)
+      .join(broadcast(lean), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("n")).as("n_grams"),
+        sum(when(col("leans"), col("n")).otherwise(0L)).as("n_leaning"))
+      .select(col("doc_id"), col("source"), col("n_grams"), col("n_leaning"),
+        (col("n_leaning").cast("double") / col("n_grams").cast("double")).as("score"),
+        (col("n_leaning").cast("double") / col("n_grams").cast("double") > 0.5).as("selected"))
+      .orderBy("doc_id")
+  }
+
   /** Static pivot: per event_type counts + value sums as columns, one row
     * per user cohort. groupBy().pivot(values) plans as conditional
     * aggregates — map-side partial, shuffle carries |cohorts| rows.

@@ -329,7 +329,10 @@ object SparkEntry {
     "q167_span_dedup"           -> (Q.spanDedupQuery(_, _)),
     // DSIR-shaped importance selection: hashed-bigram likelihood-ratio
     // leaning test (exact integers), per-doc target-likeness score
-    "q168_importance_selection" -> (Q.importanceSelection(_, _))
+    "q168_importance_selection" -> (Q.importanceSelection(_, _)),
+    // leakage-safe split: train/val/test assignment rides the near-dup
+    // component, so near-duplicates never straddle splits
+    "q169_leakage_safe_split"   -> (Q.leakageSafeSplit(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1729,6 +1729,38 @@ object OracleCatalog {
          | doc_id = component AS is_canonical
          |FROM comp""".stripMargin,
 
+    // q169: q54's recursive component chain + the q57 md5-prefix uniform
+    // OF THE COMPONENT id — split is a pure function of the cluster, so
+    // near-dups never straddle (v/2^32 is exact in a double; the 0.8/0.9
+    // gates compare identically in both engines)
+    "q169_leakage_safe_split" ->
+      s"""WITH RECURSIVE $tkCte, $shCte,
+         |sig AS (SELECT doc_id, $sigCols FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, ${bandKey(b)} AS band_key FROM sig")
+              .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |         FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |ver AS (SELECT cand.doc_a, cand.doc_b FROM cand
+         |        JOIN sh a ON cand.doc_a = a.doc_id
+         |        JOIN sh bb ON cand.doc_b = bb.doc_id
+         |        WHERE ${jaccardSql("a.sh", "bb.sh")} >= 0.8),
+         |ed AS (SELECT doc_a AS s, doc_b AS d FROM ver
+         |       UNION ALL SELECT doc_b AS s, doc_a AS d FROM ver),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN ed e ON e.s = r.node),
+         |comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+         |cu AS (SELECT doc_id, component,
+         |  CAST(list_reduce([CAST(strpos('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+         |                    for i in generate_series(1, 8)], (a, x) -> a * 16 + x) AS DOUBLE)
+         |    / 4294967296.0 AS u FROM comp)
+         |SELECT doc_id, component,
+         |  CAST(count(*) OVER (PARTITION BY component) AS INTEGER) AS cluster_size,
+         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'validation' ELSE 'test' END AS split
+         |FROM cu ORDER BY doc_id""".stripMargin,
+
     // fixed-size token chunks with overlap; DuckDB's inclusive 1-based list
     // slice t[s : s+63] == Spark slice(t, s, 64); chunk_idx = (start-1)//48
     // == posexplode position since starts are arithmetic

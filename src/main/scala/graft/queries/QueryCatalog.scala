@@ -1010,7 +1010,7 @@ object QueryCatalog {
       invalidate = (s, d) => invalidateCandidatePairs(s, d)),
     SessionCache("components",
       consumers = Set("q106_cluster_keepers", "q110_best_copy_corpus",
-        "q54_dedup_clusters"),
+        "q169_leakage_safe_split", "q54_dedup_clusters"),
       invalidate = (s, d) => invalidateComponents(s, d)),
     SessionCache("corpus",
       consumers = Set("q32_clean_corpus", "q49_training_corpus"),
@@ -1377,6 +1377,34 @@ object QueryCatalog {
         count(lit(1)).over(Window.partitionBy("component")).cast("int"))
       .withColumn("is_canonical", col("doc_id") === col("component"))
       .select("doc_id", "component", "cluster_size", "is_canonical")
+
+  /** Leakage-safe train/validation/test split (q169): the split rides the
+    * NEAR-DUP COMPONENT, not the document — split = f(md5(component)), so
+    * two documents that are verified near-duplicates (or connected
+    * through a chain of them) can never straddle splits. Splitting by
+    * doc hash (q43's shape) leaks: a held-out doc with a training-set
+    * near-twin inflates eval. This is the cluster-aware split serious
+    * corpus pipelines run between dedup and sharding. The
+    * content-addressed uniform is q57's md5-prefix idiom (v/2³² is exact
+    * in a double — the 0.8/0.9 gates compare identically in both
+    * engines); components come from the session-cached q54 pipeline
+    * (banded MinHash candidates → verified Jaccard ≥ 0.8 → pointer-
+    * jumping components), so at 100 TB the split costs ONE md5 + two
+    * compares per row on top of the dedup artifact the pipeline already
+    * owns.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("component").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    docComponents(s, dir)
+      .withColumn("split",
+        when(u < 0.8, lit("train")).when(u < 0.9, lit("validation"))
+          .otherwise(lit("test")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")).cast("int"))
+      .select("doc_id", "component", "cluster_size", "split")
+      .orderBy("doc_id")
+  }
 
   /** Document chunking (q55): fixed-size token windows with overlap — the
     * context-window preparation step every pretraining pipeline runs

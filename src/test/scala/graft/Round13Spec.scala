@@ -392,4 +392,21 @@ class Round13Spec extends SparkSpec {
       CoreOps.groupedRowNumber(badG, Seq("grp"), Seq("id"))
     }
   }
+
+  test("q169: split is a pure function of the near-dup component (no straddle)") {
+    // verified near-dup pairs live inside components by construction
+    // (ComponentsSpec pins pairs ⊆ components), so "every component maps
+    // to exactly one split" IS the no-leakage property; also pin that the
+    // content-addressed gates actually produce all three splits and that
+    // q54 and q169 agree on the component labels
+    val out = QueryCatalog.leakageSafeSplit(spark, sf)
+    val straddle = out.groupBy("component")
+      .agg(count_distinct(col("split")).as("ns")).filter(col("ns") > 1)
+    assert(straddle.isEmpty, "a component straddles splits")
+    val splits = out.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "validation", "test"), s"got $splits")
+    val q54 = QueryCatalog.dedupClusters(spark, sf).select("doc_id", "component")
+    assert(out.select("doc_id", "component").exceptAll(q54).isEmpty,
+      "q169 component labels diverge from q54's")
+  }
 }

@@ -158,23 +158,28 @@ object Dedup {
     val sigDf = docs.select(col(idCol).as("doc_id"),
       minhashSignature(col(textCol), shingleN, k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until bands).map { b =>
-      // band b = sig components [b·rowsPerBand, (b+1)·rowsPerBand). The
-      // bucket key is xxhash64 over the band's longs — an 8-byte long
-      // through every bucket groupBy/join; bucketing by h(x) equals
-      // bucketing by x absent collisions, which the capped==uncapped and
-      // oracle-replay checks re-prove per corpus.
-      struct(
-        lit(b).as("band"),
-        xxhash64((0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("band_key")
-      )
-    }
     val banded = sigDf
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), explode(array(bandStructs(col("sig"), bands, rowsPerBand): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     (banded, sigDf)
   }
+
+  /** Band structs over a bound signature attribute — shared by the batch
+    * path above and the STREAMING near-dup detector
+    * ([[graft.streaming.EventStreams.nearDupStream]]), so both bucket by
+    * bit-identical keys. Band b = sig components [b·rowsPerBand,
+    * (b+1)·rowsPerBand); the bucket key is xxhash64 over the band's
+    * longs — an 8-byte long through every bucket groupBy/join; bucketing
+    * by h(x) equals bucketing by x absent collisions, which the
+    * capped==uncapped and oracle-replay checks re-prove per corpus.
+    */
+  private[graft] def bandStructs(sig: Column, bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(sig, b * rowsPerBand + r + 1)): _*).as("band_key"))
+    }
 
   /** Triangle-block salting — the poison-bucket guard shared by the MinHash
     * and SimHash candidate paths. Docs in a bucket of size s get one of

@@ -358,6 +358,75 @@ object EventStreams {
       .withColumn("fp", graft.text.TextOps.fingerprint(col("text")))
       .dropDuplicates("fp")
 
+  final case class NearDupCandidate(doc_a: Long, doc_b: Long, agree: Double)
+
+  /** Streaming NEAR-duplicate detection — the unbounded-stream face of
+    * the batch MinHash-LSH candidate machinery (q19): every arriving
+    * document is checked against all PRIOR documents sharing any of its
+    * LSH band buckets, so cross-batch near-dups surface the moment the
+    * second copy arrives. Exact streaming dedup ([[dedupStream]],
+    * [[corpusDedupStream]]) only catches byte-identical content; this is
+    * the fuzzy tier.
+    *
+    * Construction: the per-doc projection computes the SAME k-hash
+    * MinHash signature and xxhash64 band keys as the batch path (shared
+    * [[graft.dedup.Dedup.bandStructs]] — bit-identical bucketing), then
+    * `flatMapGroupsWithState` keyed by (band, band_key) holds each live
+    * bucket's (doc_id, signature) list. An incoming doc pairs against
+    * the retained bucket AND its same-batch predecessors (what batch
+    * banding would pair), emits (min_id, max_id, signature-agreement
+    * fraction), and joins the state. The SAME pair can surface from
+    * several bands/batches — consumers take the distinct set, exactly
+    * like the batch path's `.distinct()`.
+    *
+    * State contract: one bucket's state is its (id, 16-long sig) list —
+    * 136 bytes/doc. Genuinely-distinct corpora keep buckets tiny (the
+    * LSH argument); `maxBucket` is the poison-bucket guard for
+    * boilerplate-heavy streams: an overflowing bucket still COMPARES new
+    * docs against its retained members but stops retaining beyond the
+    * cap (pairs between two post-cap arrivals in the same degenerate
+    * bucket are the sacrificed recall — the batch reconciliation run,
+    * q19/q54, restores them; the streaming tier exists for freshness,
+    * not as the system of record). Assumes doc_ids are unique upstream
+    * ([[corpusDedupStream]] is the exact-dedup stage ahead of this one).
+    */
+  def nearDupStream(docs: Dataset[Doc], shingleN: Int = 3, k: Int = 16,
+                    rowsPerBand: Int = 4,
+                    maxBucket: Int = 4096): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    require(k % rowsPerBand == 0, "k must divide into bands evenly")
+    val bands = k / rowsPerBand
+    val banded = docs.toDF()
+      .select(col("doc_id"),
+        graft.dedup.Dedup.minhashSignature(col("text"), shingleN, k).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array(graft.dedup.Dedup.bandStructs(col("sig"), bands, rowsPerBand): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.band_key").as("band_key"),
+        col("doc_id"), col("sig"))
+      .as[(Int, Long, Long, Array[Long])]
+    banded
+      .groupByKey { case (band, key, _, _) => (band, key) }
+      .flatMapGroupsWithState[Seq[(Long, Array[Long])], NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          var bucket = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[NearDupCandidate]
+          // deterministic within-batch order so a re-executed task emits
+          // the same pairs against the same retained prefix
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
+            bucket.foreach { case (oid, osig) =>
+              if (oid != id) {
+                val agree = sig.indices.count(i => sig(i) == osig(i)).toDouble / k
+                out += NearDupCandidate(math.min(id, oid), math.max(id, oid), agree)
+              }
+            }
+            if (bucket.size < maxBucket) bucket = bucket :+ (id -> sig)
+          }
+          state.update(bucket)
+          out.result().iterator
+      }
+  }
+
   final case class DigestReadout(event_type: String, n: Long,
                                  p50: Double, p95: Double, p99: Double)
 

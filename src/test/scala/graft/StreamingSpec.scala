@@ -828,4 +828,43 @@ class StreamingSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("nearDupStream: cross-batch candidate pairs equal the batch LSH pair set") {
+    // the streaming detector buckets by the SAME signature + band keys as
+    // Dedup.minhashCandidatePairs (shared bandStructs), so its distinct
+    // pair set over a 2-batch feed must EQUAL the batch run over the
+    // union corpus — including pairs whose two members arrive in
+    // DIFFERENT batches (the case exact streaming dedup cannot see)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.Doc
+    def doc(id: Long, text: String) =
+      Doc(id, new java.sql.Timestamp(1704067200000L + id * 60000L), text)
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus1 = Seq(
+      doc(1, base),
+      doc(2, base + " extra"),                     // near-dup of 1, same batch
+      doc(3, "completely different words about spark shuffles and partitions"),
+      doc(4, "another unrelated document mentioning catalyst and tungsten engines"))
+    val corpus2 = Seq(
+      doc(5, base.replace("today", "tonight")),     // near-dup of 1/2, LATER batch
+      doc(6, "completely different words about spark shuffles and partitions !"), // near-dup of 3
+      doc(7, "fresh content with no relatives anywhere in this stream at all"))
+    val source = MemoryStream[Doc]
+    val q = EventStreams.runToMemory(
+      EventStreams.nearDupStream(source.toDS()).toDF(), "ndup_test",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      source.addData(corpus1: _*); q.processAllAvailable()
+      source.addData(corpus2: _*); q.processAllAvailable()
+      val streamed = spark.sql("SELECT DISTINCT doc_a, doc_b FROM ndup_test")
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.dedup.Dedup.minhashCandidatePairs(
+          (corpus1 ++ corpus2).toDF(), "doc_id", "text")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streaming pair set must equal batch LSH:\nstream $streamed\nbatch  $batch")
+      assert(streamed.contains((1L, 5L)) || streamed.contains((2L, 5L)),
+        s"a cross-batch near-dup pair must surface: $streamed")
+    } finally q.stop()
+  }
 }

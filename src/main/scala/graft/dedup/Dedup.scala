@@ -784,7 +784,11 @@ object Dedup {
     * is one document's tokens. Every shuffle is keyed by gram or doc_id;
     * no driver state, no data-sized single-task stage. The decontamination
     * bloom path (q80) composes: at extreme corpus sizes, build a bloom of
-    * duplicated grams and pre-filter the mark join's probe side.
+    * duplicated grams and pre-filter the mark join's probe side. The
+    * source is tokenized three times (gram pass, excision pass, final
+    * doc-length projection) — deliberate: re-reading a columnar scan is
+    * cheaper than materializing the token arrays, and the expensive gram
+    * pass runs exactly once behind the span checkpoint.
     *
     * Output: doc_id, n_tokens, n_spans, n_tokens_removed, frac_removed,
     * clean_text — one row per input document (untouched docs report 0

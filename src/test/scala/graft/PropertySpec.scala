@@ -178,4 +178,46 @@ class PropertySpec extends SparkSpec {
       assert(out == expect, s"case $caseIdx: $out vs $expect")
     }
   }
+
+  test("spanDedup == plain-Scala reference on random tiny-vocab corpora (w = 3 and 8)") {
+    // tiny vocabulary forces heavy cross-doc duplication: chained
+    // islands, whole-doc removals, and windows meeting doc boundaries —
+    // the cases the hand fixtures in SpanDedupSpec can only sample
+    def reference(docs: Seq[(Long, String)], w: Int) = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+      val wins = toks.toSeq.flatMap { case (id, t) =>
+        if (t.length >= w)
+          t.sliding(w).zipWithIndex.map { case (g, i) => (id, i + 1, g.mkString(" ")) }.toSeq
+        else Seq.empty }
+      val dup = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val marked = wins.filter(x => dup(x._3))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      docs.map { case (id, _) =>
+        val t = toks(id)
+        val spans = scala.collection.mutable.ListBuffer[(Int, Int)]()
+        for (p <- marked.getOrElse(id, Seq.empty)) {
+          if (spans.nonEmpty && p <= spans.last._2 + 1) {
+            val (s0, e0) = spans.remove(spans.size - 1)
+            spans += ((s0, math.max(e0, p + w - 1)))
+          } else spans += ((p, p + w - 1))
+        }
+        val removed = spans.flatMap { case (s0, e0) => s0 to e0 }.toSet
+        val kept = t.zipWithIndex.collect { case (tok, i) if !removed(i + 1) => tok }
+        id -> ((t.length.toLong, spans.size.toLong, removed.size.toLong,
+                removed.size.toDouble / t.length, kept.mkString(" ")))
+      }.toMap
+    }
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val doc = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for (w <- Seq(3, 8); (texts, caseIdx) <- samples(Gen.listOfN(6, doc), 4).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val got = graft.dedup.Dedup
+        .spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5))))
+        .toMap
+      assert(got == reference(docs, w), s"w=$w case $caseIdx diverges from reference")
+    }
+  }
 }

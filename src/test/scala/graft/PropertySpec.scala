@@ -220,4 +220,54 @@ class PropertySpec extends SparkSpec {
       assert(got == reference(docs, w), s"w=$w case $caseIdx diverges from reference")
     }
   }
+
+  test("importanceSelection == plain-Scala reference on random mixed-source corpora") {
+    // replicates the full semantics — shingles(2) short-doc convention,
+    // md5-prefix bucket ids mod 1024, add-one-smoothed cross-multiplied
+    // leaning, instance-fraction score — in ~25 lines of plain Scala
+    def md5bucket(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1024
+    }
+    def reference(docs: Seq[(Long, String, String)]) = {
+      val grams = docs.flatMap { case (id, src, text) =>
+        val t = text.trim.toLowerCase.split("\\s+").toSeq
+        val gs = if (t.length < 2) Seq(t.mkString(" "))
+                 else t.sliding(2).map(_.mkString(" ")).toSeq
+        gs.map(g => (id, src, md5bucket(g)))
+      }
+      val byBucket = grams.groupBy(_._3)
+      val tc = byBucket.view.mapValues(_.count(_._2 == "src0")).toMap
+      val rc = byBucket.view.mapValues(_.count(_._2 != "src0")).toMap
+      val T = tc.values.sum.toLong; val R = rc.values.sum.toLong
+      val leans = byBucket.keySet.map { b =>
+        b -> (BigInt(tc(b) + 1) * BigInt(R + 1024) > BigInt(rc(b) + 1) * BigInt(T + 1024))
+      }.toMap
+      grams.filter(_._2 != "src0").groupBy(g => (g._1, g._2)).map { case ((id, src), gs) =>
+        val n = gs.size.toLong
+        val l = gs.count(g => leans(g._3)).toLong
+        id -> ((src, n, l, l.toDouble / n, l.toDouble / n > 0.5))
+      }
+    }
+    val word = Gen.oneOf("red", "blue", "green", "gold")
+    val src = Gen.oneOf("src0", "src1", "src2", "src3")
+    val doc = for {
+      n <- Gen.chooseNum(1, 15); ws <- Gen.listOfN(n, word); s0 <- src
+    } yield (s0, ws.mkString(" "))
+    for ((rows, caseIdx) <- samples(Gen.listOfN(8, doc)
+           .suchThat(ds => ds.exists(_._1 == "src0") && ds.exists(_._1 != "src0")), 4)
+           .zipWithIndex) {
+      val docs = rows.zipWithIndex.map { case ((s0, t), i) => ((i + 1).toLong, s0, t) }
+      val dir = java.nio.file.Files.createTempDirectory(s"q168prop$caseIdx").toString
+      docs.toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.queries.QueryCatalog.importanceSelection(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+        .toMap
+      assert(got == reference(docs), s"case $caseIdx diverges from reference")
+    }
+  }
 }

@@ -867,4 +867,44 @@ class StreamingSpec extends SparkSpec {
         s"a cross-batch near-dup pair must surface: $streamed")
     } finally q.stop()
   }
+
+  test("nearDupStream state survives stop/restart via checkpoint: cross-RUN pairs still surface") {
+    // the bucket-keyed signature state must RESUME across a restart — a
+    // near-dup whose first copy arrived before the stop and second copy
+    // after must still pair (state reset would silently lose it), and the
+    // committed batch must not replay (no duplicate emissions)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.Doc
+    def doc(id: Long, text: String) =
+      Doc(id, new java.sql.Timestamp(1704067200000L + id * 60000L), text)
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val source = MemoryStream[Doc]
+    val root = java.nio.file.Files.createTempDirectory("ndup_ckpt_").toString
+    val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    def start() = EventStreams.nearDupStream(source.toDS()).toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir); ()
+      }
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    source.addData(doc(1, base), doc(2, "unrelated words about catalyst planning and shuffles"))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      source.addData(doc(3, base + " thirteen"))
+      q2.processAllAvailable()
+      val pairs = spark.read.parquet(outDir)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+      assert(pairs.contains((1L, 3L)),
+        s"pre-restart doc must pair with post-restart near-dup: $pairs")
+      // a pair may surface once per shared band (≤ 4) but never more —
+      // a replayed batch would double those emissions
+      assert(pairs.count(_ == ((1L, 3L))) <= 4, s"replay-duplicated emissions: $pairs")
+      assert(!pairs.exists(p => p == ((1L, 2L)) || p == ((2L, 3L))),
+        s"unrelated doc must not pair: $pairs")
+    } finally q2.stop()
+  }
 }

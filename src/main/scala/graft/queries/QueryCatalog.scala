@@ -772,9 +772,10 @@ object QueryCatalog {
     * leaning flags are driver-side-free broadcast joins. No shuffle
     * carries more than the doc-bucket grain.
     */
-  def importanceSelection(s: SparkSession, dir: String): DataFrame = {
-    val B = 1024
-    val target = "src0"
+  def importanceSelection(s: SparkSession, dir: String,
+                          target: String = "src0", buckets: Int = 1024,
+                          gate: Double = 0.5): DataFrame = {
+    val B = buckets
     val grams = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(Dedup.shingles(col("text"), 2)).as("g"))
@@ -797,7 +798,7 @@ object QueryCatalog {
         sum(when(col("leans"), col("n")).otherwise(0L)).as("n_leaning"))
       .select(col("doc_id"), col("source"), col("n_grams"), col("n_leaning"),
         (col("n_leaning").cast("double") / col("n_grams").cast("double")).as("score"),
-        (col("n_leaning").cast("double") / col("n_grams").cast("double") > 0.5).as("selected"))
+        (col("n_leaning").cast("double") / col("n_grams").cast("double") > gate).as("selected"))
       .orderBy("doc_id")
   }
 
@@ -1393,12 +1394,22 @@ object QueryCatalog {
     * compares per row on top of the dedup artifact the pipeline already
     * owns.
     */
-  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+  def leakageSafeSplit(s: SparkSession, dir: String,
+                       trainGate: Double = 0.8,
+                       validationGate: Double = 0.9): DataFrame = {
+    // CUMULATIVE gates (u < trainGate → train, u < validationGate →
+    // validation, else test), not fractions — summing fractions in
+    // doubles would give 0.9000000000000001, a literal the oracle
+    // doesn't spell (no u = v/2³² falls in that gap, but exact-literal
+    // parity is the cheaper invariant to keep)
+    require(trainGate >= 0 && validationGate >= trainGate && validationGate <= 1.0,
+      "gates must satisfy 0 <= trainGate <= validationGate <= 1")
     val u = conv(substring(md5(col("component").cast("string")), 1, 8), 16, 10)
       .cast("long").cast("double") / lit(4294967296.0)
     docComponents(s, dir)
       .withColumn("split",
-        when(u < 0.8, lit("train")).when(u < 0.9, lit("validation"))
+        when(u < trainGate, lit("train"))
+          .when(u < validationGate, lit("validation"))
           .otherwise(lit("test")))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("component")).cast("int"))

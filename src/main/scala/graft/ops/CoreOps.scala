@@ -441,7 +441,8 @@ object CoreOps {
                       numPartitions: Int = 0,
                       rankCol: String = "rank"): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must include a total order")
-    requireNoReserved(df, Seq("__pid", "__local", "__offset"), "globalRowNumber")
+    requireNoReserved(df, Seq("__pid", "__local", "__offset", rankCol),
+      "globalRowNumber")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -501,7 +502,8 @@ object CoreOps {
     require(groupCols.nonEmpty, "groupCols must be non-empty (use globalRowNumber)")
     require(orderCols.nonEmpty, "orderCols must include a within-group total order")
     requireNoReserved(df,
-      Seq("__pid", "__local", "__offset", "__cnt") ++ groupCols.map(c => s"__g_$c"),
+      Seq("__pid", "__local", "__offset", "__cnt", rankCol) ++
+        groupCols.map(c => s"__g_$c"),
       "groupedRowNumber")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
@@ -593,6 +595,7 @@ object CoreOps {
     val outNames = Seq("row_number", "rank", "dense_rank", "n_group", "n_peers")
     requireNoReserved(df, outNames, "groupedRankFunctions")
     if (peersUnique) {
+      requireNoReserved(df, groupCols.map(c => s"__t_$c"), "groupedRankFunctions")
       val rn = groupedRowNumber(df, groupCols, peerCols ++ tieCols,
         numPartitions = numPartitions, rankCol = "row_number")
       val totals = rn.groupBy(groupCols.map(col): _*)
@@ -605,8 +608,15 @@ object CoreOps {
         .withColumn("dense_rank", col("row_number"))
         .withColumn("n_peers", lit(1L))
     } else {
+      // the full working-name set, including every column the bk/b2/bsel
+      // bookkeeping frames create with withColumn/agg aliases — a group
+      // column named like one of those would be silently REPLACED, the
+      // exact corruption class this guard closes (r13 advisory)
       requireNoReserved(df,
-        Seq("__pid", "__local", "__lrank", "__ldense", "__lcnt") ++
+        Seq("__pid", "__local", "__lrank", "__ldense", "__lcnt",
+          "__cnt", "__nf", "__cfirst", "__clast", "__firstP", "__lastP",
+          "__offset", "__s", "__genf", "__cumg", "__tsc", "__pts",
+          "__ngc", "__ngs", "__gn", "__bcnt", "__b_pid", "__cend") ++
           groupCols.map(c => s"__g_$c"),
         "groupedRankFunctions")
       val spark = df.sparkSession
@@ -756,8 +766,11 @@ object CoreOps {
                         numPartitions: Int = 0): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(orderCols.nonEmpty, "orderCols must include a within-group total order")
+    // cumCol is as much a working name as the __-prefixed ones: an input
+    // frame already carrying it would be silently overwritten (r13 advisory)
     requireNoReserved(df,
-      Seq("__pid", "__local", "__psum", "__offset") ++ groupCols.map(c => s"__g_$c"),
+      Seq("__pid", "__local", "__psum", "__offset", cumCol) ++
+        groupCols.map(c => s"__g_$c"),
       "groupedRunningSum")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions

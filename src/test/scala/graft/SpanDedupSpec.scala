@@ -111,7 +111,7 @@ class SpanDedupSpec extends SparkSpec {
     }
     spark.listenerManager.register(listener)
     try {
-      graft.queries.QueryCatalog.spanDedupQuery(spark, "/root/testdata/sf0.001").collect()
+      graft.queries.QueryCatalog.spanDedupQuery(spark, sf).collect()
       import scala.jdk.CollectionConverters._
       val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
       def all = plans.asScala.mkString("\n===\n")

@@ -498,11 +498,37 @@ object CoreOps {
     */
   def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
                        orderCols: Seq[String], numPartitions: Int = 0,
-                       rankCol: String = "rank"): DataFrame = {
+                       rankCol: String = "rank"): DataFrame =
+    groupedRowNumberImpl(df, groupCols, orderCols, numPartitions, rankCol,
+      nCol = None)._1
+
+  /** [[groupedRowNumber]] plus the per-group TOTALS as a second (tiny)
+    * frame — FUSED from the same per-(partition, group) bookkeeping
+    * aggregate, so a caller that needs (rank, group size) pays no second
+    * pass over the data for the count (the r13 q166 lever:
+    * rankedPercentiles' group totals were a full re-scan of the input;
+    * equiDepthHistogram's were an aggregate over the ranked output).
+    * Totals = sum of the bookkeeping counts = exactly `count(*)` per
+    * group — bit-identical to the aggregate it replaces. The bookkeeping
+    * frame is itself checkpoint-materialized (≤ |partitions| + |groups|
+    * rows) so the offsets window and the totals aggregate both read it
+    * without re-aggregating the data.
+    */
+  def groupedRowNumberAndTotals(df: DataFrame, groupCols: Seq[String],
+                                orderCols: Seq[String], numPartitions: Int = 0,
+                                rankCol: String = "rank",
+                                nCol: String = "__n"): (DataFrame, DataFrame) =
+    groupedRowNumberImpl(df, groupCols, orderCols, numPartitions, rankCol,
+      nCol = Some(nCol))
+
+  private def groupedRowNumberImpl(df: DataFrame, groupCols: Seq[String],
+                                   orderCols: Seq[String], numPartitions: Int,
+                                   rankCol: String,
+                                   nCol: Option[String]): (DataFrame, DataFrame) = {
     require(groupCols.nonEmpty, "groupCols must be non-empty (use globalRowNumber)")
     require(orderCols.nonEmpty, "orderCols must include a within-group total order")
     requireNoReserved(df,
-      Seq("__pid", "__local", "__offset", "__cnt", rankCol) ++
+      Seq("__pid", "__local", "__offset", "__cnt", rankCol) ++ nCol ++
         groupCols.map(c => s"__g_$c"),
       "groupedRowNumber")
     val spark = df.sparkSession
@@ -514,9 +540,13 @@ object CoreOps {
     val parted = graft.dedup.Checkpoints.output(
       df.repartitionByRange(n, (groupCols ++ orderCols).map(c => asc(c)): _*)
         .withColumn("__pid", spark_partition_id()))
-    val counts = parted
+    val counts0 = parted
       .groupBy(("__pid" +: groupCols).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
+    // only the fused variant materializes the bookkeeping frame (it has
+    // two consumers there); the plain rank path keeps its r12 plan shape
+    val counts =
+      if (nCol.isDefined) graft.dedup.Checkpoints.output(counts0) else counts0
     val wOff = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(asc("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -528,12 +558,16 @@ object CoreOps {
     val joinCond = groupCols
       .map(c => parted(c) <=> offsets(s"__g_$c"))
       .foldLeft(parted("__pid") === offsets("__pid"))(_ && _)
-    parted
+    val ranked = parted
       .withColumn("__local", row_number().over(wLocal))
       .join(broadcast(offsets), joinCond)
       .withColumn(rankCol, (col("__offset") + col("__local")).cast("long"))
       .drop(offsets("__pid"))
       .drop((groupCols.map(c => s"__g_$c") ++ Seq("__pid", "__local", "__offset")): _*)
+    val totals = nCol.map(nc =>
+      counts.groupBy(groupCols.map(col): _*)
+        .agg(sum(col("__cnt")).as(nc))).orNull
+    (ranked, totals)
   }
 
   /** SCALE-CORRECT ranking-function FAMILY — rank / dense_rank (and via
@@ -836,8 +870,10 @@ object CoreOps {
     val slim = df
       .select((groupCols.map(col) :+ col(valueCol).cast("double").as("__v")): _*)
       .filter(col("__v").isNotNull)
-    val ranked = groupedRowNumber(slim, groupCols, Seq("__v"), rankCol = "__rk")
-    val totals = slim.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    // ranks AND group totals from ONE bookkeeping aggregate — the totals
+    // used to be a second full scan of the input (r13 verdict item 4)
+    val (ranked, totals) = groupedRowNumberAndTotals(slim, groupCols,
+      Seq("__v"), rankCol = "__rk", nCol = "__n")
     // one row per (group, percentile): target 0-based position and the
     // bracketing ranks, all arithmetic mirroring Percentile.getPercentile
     val targets = totals
@@ -910,13 +946,12 @@ object CoreOps {
     val ranked =
       if (rangedRanks) {
         val slim = df.select((groupCols ++ (valueCol +: tieCols)).map(col): _*)
-        val rk = groupedRowNumber(slim, groupCols, valueCol +: tieCols,
-          rankCol = "__rk")
-        // group totals via hash aggregation (partial combine — unlike a
-        // count-over-group window, this never funnels a group's rows
-        // through one task) — null-safe joined back like the ranks
-        val totals = rk.groupBy(groupCols.map(col): _*)
-          .agg(count(lit(1)).as("__n"))
+        // ranks and group totals fused from one bookkeeping aggregate
+        // (the totals used to re-aggregate the ranked output); the tiny
+        // totals frame broadcast-joins back — never a window over data
+        val (rk, totals0) = groupedRowNumberAndTotals(slim, groupCols,
+          valueCol +: tieCols, rankCol = "__rk", nCol = "__n")
+        val totals = totals0
           .select(groupCols.map(c => col(c).as(s"__t_$c")) :+ col("__n"): _*)
         val cond = groupCols.map(c => rk(c) <=> totals(s"__t_$c")).reduce(_ && _)
         rk.join(broadcast(totals), cond)

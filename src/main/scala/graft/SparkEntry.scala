@@ -332,7 +332,10 @@ object SparkEntry {
     "q168_importance_selection" -> (Q.importanceSelection(_, _)),
     // leakage-safe split: train/val/test assignment rides the near-dup
     // component, so near-duplicates never straddle splits
-    "q169_leakage_safe_split"   -> (Q.leakageSafeSplit(_, _))
+    "q169_leakage_safe_split"   -> (Q.leakageSafeSplit(_, _)),
+    // q53's scale side forced (ShapeDispatch's ranged shape), same window
+    // oracle as q53: both sides of the rank dial hash-checked at the gate
+    "q170_rank_functions_ranged" -> (Q.rankFunctionsRanged(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -744,6 +744,44 @@ object CoreOps {
     }
   }
 
+  /** The MANY-SMALL-GROUPS side of the ranking dial: the same five
+    * output columns as [[groupedRankFunctions]] (`row_number`, `rank`,
+    * `dense_rank`, `n_group`, `n_peers`, all long) computed with plain
+    * window functions — one hash exchange on the group columns, each
+    * group through one task's sort. Right when groups are many and
+    * small (no checkpoint, no bookkeeping); the trap when groups are
+    * few and huge (a 100 TB fact keyed by a 3-value flag = three 33 TB
+    * single-task sorts — the r12 q53 weak flag). All four windows ride
+    * ONE exchange + ONE sort: the (group, peer, tie) sort satisfies the
+    * peer-ordered and unordered windows by prefix/subset.
+    *
+    * [[graft.ops.ShapeDispatch.rankFunctionsAuto]] picks between this
+    * and the ranged form from group statistics; the two are row-for-row
+    * identical (Round13/14Spec pins) wherever (peer…, tie…) is a total
+    * order within each group — with full-duplicate rows both forms'
+    * row_number (and ntile) carry the same declared nondeterminism.
+    */
+  def windowRankFunctions(df: DataFrame, groupCols: Seq[String],
+                          peerCols: Seq[String],
+                          tieCols: Seq[String]): DataFrame = {
+    require(peerCols.nonEmpty, "peerCols must carry the ORDER BY expressions")
+    requireNoReserved(df,
+      Seq("row_number", "rank", "dense_rank", "n_group", "n_peers"),
+      "windowRankFunctions")
+    val g = groupCols.map(col)
+    val wRow = Window.partitionBy(g: _*)
+      .orderBy((peerCols ++ tieCols).map(c => asc(c)): _*)
+    val wPeer = Window.partitionBy(g: _*)
+      .orderBy(peerCols.map(c => asc(c)): _*)
+    val wGroup = Window.partitionBy(g: _*)
+    val wClass = Window.partitionBy((g ++ peerCols.map(col)): _*)
+    df.withColumn("row_number", row_number().over(wRow).cast("long"))
+      .withColumn("rank", rank().over(wPeer).cast("long"))
+      .withColumn("dense_rank", dense_rank().over(wPeer).cast("long"))
+      .withColumn("n_group", count(lit(1)).over(wGroup))
+      .withColumn("n_peers", count(lit(1)).over(wClass))
+  }
+
   /** percent_rank from exact ranks: (rank−1)/(n−1) as a double division
     * of exact integers — bit-identical to the window function (which
     * defines the n=1 case as 0.0). */

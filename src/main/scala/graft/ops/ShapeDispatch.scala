@@ -1,0 +1,292 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stat-driven selection between graft's bit-identical DUAL SHAPES —
+  * the round-14 productization of what SCALE.md previously documented
+  * as manual dials:
+  *
+  *  1. ranking family — [[CoreOps.windowRankFunctions]] (one exchange,
+  *     each group through one task's sort) vs
+  *     [[CoreOps.groupedRankFunctions]] (range partition + bookkeeping
+  *     broadcast; flat per-task work at any group size, pays a
+  *     checkpoint). Committed A/B (tools/bench_r13/AB_q53_forms.txt):
+  *     crossover at ~2M rows/group, window 4-6× growth above it.
+  *  2. percentiles — the buffering `percentile(...)` aggregate (one
+  *     (distinct value → count) entry per group in ONE task at merge,
+  *     ~50 B each) vs [[CoreOps.rankedPercentiles]] (order statistics,
+  *     no group-sized buffer). The q36 rule: buffer while max distinct
+  *     values per group ≲ 10⁷ (≈ 500 MB single-task state).
+  *  3. top-k per group — the row_number window filter vs the
+  *     `topk_structs` bounded heap (≤ k rows of aggregation state per
+  *     group at every node of the partial/merge tree).
+  *
+  * Selection inputs, in priority order:
+  *  - an explicit per-call override (`force`) — the old manual dial;
+  *  - the session conf `spark.graft.shape.force` = `window` | `ranged`
+  *    (one global switch for A/Bs and regression hunts);
+  *  - catalog/CBO statistics when the optimized plan carries a row
+  *    count and distinct counts for the group columns (ANALYZE'd
+  *    tables; zero probe cost). Catalog stats see AVERAGES, not skew —
+  *    a corpus with one dominant group should rely on the probe or
+  *    force the ranged shape;
+  *  - else ONE probe aggregation: `groupBy(group).count()` reduced to
+  *    (rows, groups, max rows per group) — a map-side-combined hash
+  *    aggregate plus a bookkeeping-sized second stage, scale-safe at
+  *    any corpus size and exact on the statistic that actually
+  *    matters (the LARGEST group, which is what straggles).
+  *
+  * Both sides of every dial are bit-identical (Round12/13/14Spec pins
+  * + the q36/q166 and q53/q170 driver-query pairs under shared DuckDB
+  * oracles), so dispatch can never change values — only plan shape.
+  */
+object ShapeDispatch {
+
+  sealed trait Shape
+  /** many small groups: plain window / buffering aggregate. */
+  case object WindowShape extends Shape
+  /** few huge groups: ranged ranks / order-statistic percentiles / heap. */
+  case object RangedShape extends Shape
+
+  /** Group-cardinality statistics driving the dispatch. `maxRowsPerGroup`
+    * is exact from the probe, an average (rows/groups, rounded up) from
+    * catalog stats; `maxDistinctPerGroup` additionally bounds the
+    * percentile buffer (Long.MaxValue = unknown → fall back to
+    * maxRowsPerGroup, which always bounds it from above).
+    */
+  final case class GroupStats(rows: Long, groups: Long,
+                              maxRowsPerGroup: Long,
+                              maxDistinctPerGroup: Long,
+                              source: String) {
+    def distinctBound: Long =
+      math.min(maxDistinctPerGroup, maxRowsPerGroup)
+  }
+
+  /** rows-per-group cutover for the ranking/top-k dials — default from
+    * the committed 3-scale q53 A/B (crossover at sf1 ≈ 2M rows/group). */
+  val RowsPerGroupCutoverKey = "spark.graft.shape.rowsPerGroupCutover"
+  val DefaultRowsPerGroupCutover: Long = 2L * 1000 * 1000
+
+  /** distinct-values-per-group cutover for the percentile dial — the
+    * q36 Scaladoc rule (~50 B per distinct value of single-task
+    * aggregation buffer at merge: 10⁷ ≈ 500 MB, the practical ceiling). */
+  val DistinctPerGroupCutoverKey = "spark.graft.shape.distinctPerGroupCutover"
+  val DefaultDistinctPerGroupCutover: Long = 10L * 1000 * 1000
+
+  /** Session-wide override: "window" | "ranged" (anything else ignored). */
+  val ForceKey = "spark.graft.shape.force"
+
+  /** The ranking/top-k predicate, pure and spec-testable: the ranged
+    * shape exactly when the largest group outruns the cutover. */
+  def decideByRows(stats: GroupStats, cutover: Long): Shape =
+    if (stats.maxRowsPerGroup > cutover) RangedShape else WindowShape
+
+  /** The percentile predicate: the buffering aggregate is safe while
+    * the largest group's DISTINCT value count fits one task's buffer. */
+  def decideByDistinct(stats: GroupStats, cutover: Long): Shape =
+    if (stats.distinctBound > cutover) RangedShape else WindowShape
+
+  private def confLong(df: DataFrame, key: String, dflt: Long): Long =
+    df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+
+  private def confForce(df: DataFrame): Option[Shape] =
+    df.sparkSession.conf.getOption(ForceKey).flatMap {
+      case "window" => Some(WindowShape)
+      case "ranged" => Some(RangedShape)
+      case _        => None
+    }
+
+  /** Catalog/CBO statistics, when the optimized plan carries them:
+    * rowCount plus a distinct count for EVERY group column (missing
+    * any → None → probe). groups = min(∏ distinct, rows) — the
+    * standard independence estimate; maxRowsPerGroup = ⌈rows/groups⌉
+    * (an average: catalog stats cannot see skew — documented trade).
+    * maxDistinctPerGroup for a value column is bounded by that
+    * column's GLOBAL distinct count when present.
+    */
+  def catalogStats(df: DataFrame, groupCols: Seq[String],
+                   valueCol: Option[String] = None): Option[GroupStats] = {
+    val st = df.queryExecution.optimizedPlan.stats
+    val byName = st.attributeStats.toSeq
+      .map { case (attr, cs) => attr.name -> cs }.toMap
+    for {
+      rc <- st.rowCount
+      if rc > 0
+      distincts <- {
+        val ds = groupCols.map(c => byName.get(c).flatMap(_.distinctCount))
+        if (ds.forall(_.isDefined)) Some(ds.map(_.get)) else None
+      }
+    } yield {
+      val prod = distincts.product.max(BigInt(1))
+      val groups = prod.min(rc)
+      val maxPer = ((rc + groups - 1) / groups).toLong
+      val vDistinct = valueCol
+        .flatMap(v => byName.get(v).flatMap(_.distinctCount))
+        .map(_.toLong).getOrElse(Long.MaxValue)
+      GroupStats(rc.toLong, groups.toLong, maxPer, vDistinct, "catalog")
+    }
+  }
+
+  /** ONE probe pass: per-group counts (hash aggregate, map-side
+    * combined) reduced to (rows, groups, max rows per group) — and,
+    * when `valueCol` is given, the max per-group
+    * `approx_count_distinct(value)` (±2%, HLL state per group), the
+    * exact statistic the percentile dial needs. Cost: one
+    * column-pruned scan + a bookkeeping-sized second stage — the
+    * insurance premium against shipping a 33 TB group into one task.
+    */
+  def probeStats(df: DataFrame, groupCols: Seq[String],
+                 valueCol: Option[String] = None): GroupStats = {
+    val per = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        valueCol.map(v => approx_count_distinct(col(v)).as("__d"))
+          .getOrElse(lit(0L).as("__d")))
+    val r = per.agg(sum(col("__n")), count(lit(1)), max(col("__n")),
+      max(col("__d"))).head()
+    GroupStats(
+      rows = if (r.isNullAt(0)) 0L else r.getLong(0),
+      groups = r.getLong(1),
+      maxRowsPerGroup = if (r.isNullAt(2)) 0L else r.getLong(2),
+      maxDistinctPerGroup =
+        if (valueCol.isEmpty || r.isNullAt(3)) Long.MaxValue else r.getLong(3),
+      source = "probe")
+  }
+
+  /** Catalog stats when complete, else the probe. */
+  def groupStats(df: DataFrame, groupCols: Seq[String],
+                 valueCol: Option[String] = None): GroupStats =
+    catalogStats(df, groupCols, valueCol)
+      .getOrElse(probeStats(df, groupCols, valueCol))
+
+  private def choose(df: DataFrame, force: Option[Shape],
+                     decideFrom: GroupStats => Shape,
+                     stats: => GroupStats): Shape =
+    force.orElse(confForce(df)).getOrElse(decideFrom(stats))
+
+  // ---- dial 1: the ranking family ------------------------------------------
+
+  /** [[CoreOps.groupedRankFunctions]] with the shape CHOSEN by the
+    * engine: `windowRankFunctions` when every group fits a task,
+    * the ranged bookkeeping form when the largest group outruns
+    * `spark.graft.shape.rowsPerGroupCutover` (default 2M — the
+    * committed q53 crossover). Identical output columns and values
+    * either way (spec-pinned); `force`/conf override for callers who
+    * know their distribution.
+    */
+  def rankFunctionsAuto(df: DataFrame, groupCols: Seq[String],
+                        peerCols: Seq[String], tieCols: Seq[String],
+                        peersUnique: Boolean = false,
+                        numPartitions: Int = 0,
+                        stats: Option[GroupStats] = None,
+                        force: Option[Shape] = None): DataFrame = {
+    val cut = confLong(df, RowsPerGroupCutoverKey, DefaultRowsPerGroupCutover)
+    choose(df, force, decideByRows(_, cut),
+        stats.getOrElse(groupStats(df, groupCols))) match {
+      case WindowShape =>
+        CoreOps.windowRankFunctions(df, groupCols, peerCols, tieCols)
+      case RangedShape =>
+        CoreOps.groupedRankFunctions(df, groupCols, peerCols, tieCols,
+          peersUnique, numPartitions)
+    }
+  }
+
+  // ---- dial 2: exact per-group percentiles ---------------------------------
+
+  /** The buffering side of the percentile dial, as
+    * [[CoreOps.rankedPercentiles]]' exact contract: one row per group
+    * with ≥ 1 non-null value (the aggregate's null row for an all-null
+    * group is dropped — the ranked form emits no row there), outputs
+    * double. Bit-identical to the ranked form (Round12Spec pins the
+    * interpolation arithmetic on q36's shape).
+    */
+  def bufferPercentiles(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, ps: Seq[Double],
+                        outCols: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.length == outCols.length,
+      "one output column name per percentile")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), lit(ps.head)).as(outCols.head),
+        ps.tail.zip(outCols.tail).map { case (p, o) =>
+          percentile(col(valueCol), lit(p)).as(o) }: _*)
+      .filter(col(outCols.head).isNotNull)
+  }
+
+  /** Exact per-group percentiles with the shape CHOSEN by the engine:
+    * the buffering aggregate while the largest group's distinct-value
+    * count fits one task's merge buffer
+    * (`spark.graft.shape.distinctPerGroupCutover`, default 10⁷ — the
+    * q36 rule), else [[CoreOps.rankedPercentiles]]. The probe measures
+    * max per-group `approx_count_distinct(value)` directly; catalog
+    * stats bound it by the value column's global distinct count.
+    */
+  def percentilesAuto(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String, ps: Seq[Double],
+                      outCols: Seq[String],
+                      stats: Option[GroupStats] = None,
+                      force: Option[Shape] = None): DataFrame = {
+    val cut = confLong(df, DistinctPerGroupCutoverKey,
+      DefaultDistinctPerGroupCutover)
+    choose(df, force, decideByDistinct(_, cut),
+        stats.getOrElse(groupStats(df, groupCols, Some(valueCol)))) match {
+      case WindowShape =>
+        bufferPercentiles(df, groupCols, valueCol, ps, outCols)
+      case RangedShape =>
+        CoreOps.rankedPercentiles(df, groupCols, valueCol, ps, outCols)
+    }
+  }
+
+  // ---- dial 3: top-k per group ---------------------------------------------
+
+  /** Top-k rows per group by `orderCols` ascending (encode DESC by
+    * negating/inverting the column upstream — the q71 convention),
+    * with the shape CHOSEN by the engine:
+    *
+    *  - window `row_number() ≤ k` when groups are small (one exchange,
+    *    group-sized sorts);
+    *  - the `topk_structs` bounded heap when the largest group outruns
+    *    the rows-per-group cutover: ≤ k rows of aggregation state per
+    *    group at every node, never a group-sized sort.
+    *
+    * Output: the input columns + `rnCol` (int, 1-based). Identical
+    * multisets whenever (orderCols) is a total order within each group
+    * — with ties both forms carry row_number's declared
+    * nondeterminism (the TopKRewrite contract, stated not hidden).
+    */
+  def topKPerGroupAuto(df: DataFrame, groupCols: Seq[String],
+                       orderCols: Seq[String], k: Int,
+                       rnCol: String = "rn",
+                       stats: Option[GroupStats] = None,
+                       force: Option[Shape] = None): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(!df.columns.contains(rnCol),
+      s"topKPerGroupAuto: input already carries $rnCol")
+    val cut = confLong(df, RowsPerGroupCutoverKey, DefaultRowsPerGroupCutover)
+    choose(df, force, decideByRows(_, cut),
+        stats.getOrElse(groupStats(df, groupCols))) match {
+      case WindowShape =>
+        val w = Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(orderCols.map(c => asc(c)): _*)
+        df.withColumn(rnCol, row_number().over(w)).filter(col(rnCol) <= k)
+      case RangedShape =>
+        // struct field order encodes the sort (structs compare
+        // field-by-field): (order…, rest…) ascending == the window's
+        // ORDER BY; payload columns ride along and are restored after
+        val rest = df.columns.filterNot(groupCols.contains).toSeq
+        val packed = df.groupBy(groupCols.map(col): _*)
+          .agg(graft.functions.TopKStructs.topk_structs(
+            struct((orderCols ++ rest.filterNot(orderCols.contains))
+              .map(col): _*), k).as("__tk"))
+        val restAll = orderCols ++ rest.filterNot(orderCols.contains)
+        packed
+          .select(groupCols.map(col) :+ posexplode(col("__tk")): _*)
+          .select(groupCols.map(col) ++
+            restAll.map(c => col(s"col.$c").as(c)) :+
+            (col("pos") + 1).cast("int").as(rnCol): _*)
+          // restore the input column order
+          .select(df.columns.toSeq.map(col) :+ col(rnCol): _*)
+    }
+  }
+}

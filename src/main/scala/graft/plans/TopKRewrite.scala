@@ -40,6 +40,15 @@ object TopKRewrite extends SparkStrategy {
 
   val FlagKey = "spark.graft.topk.rewrite"
 
+  /** Upper bound on k for the rewrite (r14): the heap holds k rows PER
+    * GROUP per task, so a filter like `rank <= 50_000_000` must keep
+    * WindowExec's sort (which spills) rather than pin groups × k rows
+    * in memory. Defaults to 1M (≈ tens of MB per group at typical row
+    * widths); override per session.
+    */
+  val MaxKKey = "spark.graft.topk.maxK"
+  val DefaultMaxK = 1000000
+
   private def limitOf(cond: Expression, rank: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, org.apache.spark.sql.types.IntegerType))
       if a.exprId == rank.exprId => Some(v)
@@ -56,8 +65,9 @@ object TopKRewrite extends SparkStrategy {
           WindowExpression(RowNumber(), WindowSpecDefinition(part, order, _)), _)),
           _, _, child, _))
         if SQLConf.get.getConfString(FlagKey, "false").toBoolean && order.nonEmpty =>
+      val maxK = SQLConf.get.getConfString(MaxKKey, DefaultMaxK.toString).toInt
       limitOf(cond, alias.toAttribute) match {
-        case Some(k) if k > 0 =>
+        case Some(k) if k > 0 && k <= maxK =>
           TopKPerGroupExec(part, order, k, alias.toAttribute, planLater(child)) :: Nil
         case _ => Nil
       }

@@ -351,6 +351,19 @@ object OracleCatalog {
 
   // ---- the oracle map ------------------------------------------------------
 
+  /** q53 AND q170 (the auto-dispatched and forced-ranged sides of the
+    * ranking dial) replay the same window-function oracle. */
+  private val rankFunctionsSql: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+      | CAST(rank() OVER w AS INTEGER) AS rnk,
+      | CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+      | percent_rank() OVER w AS prnk,
+      | cume_dist() OVER w AS cdist,
+      | CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |  ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey AS order_id, l_linenumber AS line_number, l_quantity AS quantity,
@@ -1690,16 +1703,11 @@ object OracleCatalog {
         | CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER) AS n_digit_runs
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
-    "q53_rank_functions" ->
-      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
-        | CAST(rank() OVER w AS INTEGER) AS rnk,
-        | CAST(dense_rank() OVER w AS INTEGER) AS drnk,
-        | percent_rank() OVER w AS prnk,
-        | cume_dist() OVER w AS cdist,
-        | CAST(ntile(4) OVER w AS INTEGER) AS quartile
-        |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_returnflag
-        |  ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC)""".stripMargin,
+    "q53_rank_functions" -> rankFunctionsSql,
+    // q170 = q53's ranged shape FORCED (ShapeDispatch's scale side) —
+    // deliberately the SAME window-function oracle: the dispatcher's two
+    // shapes must hash identically at the gate (the q36/q166 pattern)
+    "q170_rank_functions_ranged" -> rankFunctionsSql,
 
     // dedup clusters: verified near-dup pairs (the q19 candidates re-scored
     // with true Jaccard, q32's `pv` shape) → connected components via a

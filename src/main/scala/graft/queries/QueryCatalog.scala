@@ -1351,20 +1351,48 @@ object QueryCatalog {
     * so the oracle keeps computing the window form. Plan-pinned: every
     * raw-frame window partitions by (__pid, …), never the 3-value flag.
     */
-  def rankFunctions(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+  private def rankFunctionsSelect(ranked: DataFrame): DataFrame =
+    ranked.select(
+      col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("rank").cast("int").as("rnk"),
+      col("dense_rank").cast("int").as("drnk"),
+      graft.ops.CoreOps.percentRankFromRanks(col("rank"), col("n_group")).as("prnk"),
+      graft.ops.CoreOps.cumeDistFromRanks(col("rank"), col("n_peers"), col("n_group")).as("cdist"),
+      graft.ops.CoreOps.ntileFromRanks("row_number", "n_group", 4).cast("int").as("quartile"))
+
+  private def rankFunctionsInput(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
-    graft.ops.CoreOps.groupedRankFunctions(li, Seq("l_returnflag"),
-        peerCols = Seq("l_quantity", "l_orderkey", "l_linenumber"),
-        tieCols = Nil)
-      .select(
-        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("rank").cast("int").as("rnk"),
-        col("dense_rank").cast("int").as("drnk"),
-        graft.ops.CoreOps.percentRankFromRanks(col("rank"), col("n_group")).as("prnk"),
-        graft.ops.CoreOps.cumeDistFromRanks(col("rank"), col("n_peers"), col("n_group")).as("cdist"),
-        graft.ops.CoreOps.ntileFromRanks("row_number", "n_group", 4).cast("int").as("quartile"))
-  }
+
+  /** q53 since r14 rides [[graft.ops.ShapeDispatch.rankFunctionsAuto]] —
+    * the ENGINE picks the shape from a probe of the group distribution
+    * (l_returnflag: max rows/group ≈ rows/2): the window form below the
+    * 2M rows-per-group cutover (every SF the gates run), the ranged form
+    * above it (where the window form's single-task sorts straggle —
+    * the committed 3-scale A/B, tools/bench_r13/AB_q53_forms.txt).
+    * q170 drives the ranged form EXPLICITLY under the same oracle, so
+    * both sides of the dial stay hash-checked at the gate (the q36/q166
+    * pattern), and Round14Spec pins the dispatcher's choice in both
+    * regimes.
+    */
+  def rankFunctions(s: SparkSession, dir: String): DataFrame =
+    rankFunctionsSelect(graft.ops.ShapeDispatch.rankFunctionsAuto(
+      rankFunctionsInput(s, dir), Seq("l_returnflag"),
+      peerCols = Seq("l_quantity", "l_orderkey", "l_linenumber"),
+      tieCols = Nil))
+
+  /** q170: q53's scale side FORCED — the r13 ranged-rank shape
+    * ([[graft.ops.CoreOps.groupedRankFunctions]]: range exchange +
+    * one-pass local stats + boundary bookkeeping broadcast; flat
+    * per-task work at any group size) under the SAME DuckDB window
+    * oracle as q53, proving the dispatcher's two shapes swap plan,
+    * never values, at the gate itself.
+    */
+  def rankFunctionsRanged(s: SparkSession, dir: String): DataFrame =
+    rankFunctionsSelect(graft.ops.CoreOps.groupedRankFunctions(
+      rankFunctionsInput(s, dir), Seq("l_returnflag"),
+      peerCols = Seq("l_quantity", "l_orderkey", "l_linenumber"),
+      tieCols = Nil))
 
   /** Dedup clusters (q54): verified near-dup pairs → connected components
     * → one canonical doc per cluster. The transitive-closure step pair

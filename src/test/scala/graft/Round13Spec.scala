@@ -162,12 +162,14 @@ class Round13Spec extends SparkSpec {
       percent_rank().over(w).as("prnk"),
       cume_dist().over(w).as("cdist"),
       ntile(4).over(w).as("quartile"))
-    val ranged = QueryCatalog.rankFunctions(spark, sf)
+    // r14: q53 itself now dispatches (and picks the window shape at this
+    // SF); the ranged-form pin rides q170, the FORCED scale side
+    val ranged = QueryCatalog.rankFunctionsRanged(spark, sf)
     assert(ranged.exceptAll(windowed).isEmpty && windowed.exceptAll(ranged).isEmpty,
-      "ranged q53 must be multiset-identical to the window form")
+      "ranged q170 must be multiset-identical to the window form")
   }
 
-  test("q53 plan: no window partitions by the raw 3-value flag (every data window __pid-scoped)") {
+  test("q170 plan: no window partitions by the raw 3-value flag (every data window __pid-scoped)") {
     // the one-pass ranking materializes inside an eager checkpoint, so
     // (as with q150) the assertions run over EVERY execution of the run,
     // captured through a QueryExecutionListener: the ranged local rank
@@ -186,7 +188,7 @@ class Round13Spec extends SparkSpec {
     }
     spark.listenerManager.register(listener)
     try {
-      QueryCatalog.rankFunctions(spark, sf).write.format("noop").mode("overwrite").save()
+      QueryCatalog.rankFunctionsRanged(spark, sf).write.format("noop").mode("overwrite").save()
       import scala.jdk.CollectionConverters._
       val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
       def all = plans.asScala.mkString("\n===\n")

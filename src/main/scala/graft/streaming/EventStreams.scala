@@ -389,41 +389,90 @@ object EventStreams {
     * q19/q54, restores them; the streaming tier exists for freshness,
     * not as the system of record). Assumes doc_ids are unique upstream
     * ([[corpusDedupStream]] is the exact-dedup stage ahead of this one).
+    *
+    * `stateTtl` (r14, the r13 watch item): with `NoTimeout` the BUCKET
+    * COUNT grows with all history — per-bucket size is capped, total
+    * state is not, so a long-lived stream retains one (band, band_key)
+    * entry per vocabulary-distinct band forever. An optional EVENT-TIME
+    * TTL (e.g. `Some("6 hours")`) evicts a bucket once the stream's
+    * watermark passes `last touch + TTL`: a duplicate arriving after
+    * its bucket expired pairs with nothing — exactly the `maxBucket`
+    * recall trade, and exactly what the periodic batch reconciliation
+    * restores. The dial bounds state by ingest CHURN × TTL instead of
+    * corpus vocabulary. Event time (not processing time) on purpose:
+    * eviction is a pure function of the DATA, so tests and replays are
+    * deterministic, a restarted query resumes the same clock, and —
+    * mechanically — a processing-time timeout forces the engine to run
+    * micro-batches continuously (`shouldRunAnotherBatch` is
+    * unconditionally true there), busy-spinning an idle stream.
+    * `None` keeps the dedup-against-all-history semantics unchanged
+    * (StreamingSpec pins both contracts). With a TTL the source must
+    * carry honest event times: the watermark delay (`ttlLateness`)
+    * bounds how out-of-order arrivals may be, same as every other
+    * watermarked operator here.
     */
   def nearDupStream(docs: Dataset[Doc], shingleN: Int = 3, k: Int = 16,
                     rowsPerBand: Int = 4,
-                    maxBucket: Int = 4096): Dataset[NearDupCandidate] = {
+                    maxBucket: Int = 4096,
+                    stateTtl: Option[String] = None,
+                    ttlLateness: String = "0 seconds"): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
     require(k % rowsPerBand == 0, "k must divide into bands evenly")
     val bands = k / rowsPerBand
-    val banded = docs.toDF()
-      .select(col("doc_id"),
+    val ttlMs: Option[Long] =
+      stateTtl.map(s => scala.concurrent.duration.Duration(s).toMillis)
+    val bandedDf = docs.toDF()
+      .select(col("doc_id"), col("ts"),
         graft.dedup.Dedup.minhashSignature(col("text"), shingleN, k).as("sig"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"), col("ts"), col("sig"),
         explode(array(graft.dedup.Dedup.bandStructs(col("sig"), bands, rowsPerBand): _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.band_key").as("band_key"),
-        col("doc_id"), col("sig"))
-      .as[(Int, Long, Long, Array[Long])]
+        col("doc_id"), col("sig"), col("ts"))
+    val banded =
+      (if (stateTtl.isDefined) bandedDf.withWatermark("ts", ttlLateness)
+       else bandedDf)
+        .as[(Int, Long, Long, Array[Long], java.sql.Timestamp)]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded
-      .groupByKey { case (band, key, _, _) => (band, key) }
+      .groupByKey { case (band, key, _, _, _) => (band, key) }
       .flatMapGroupsWithState[Seq[(Long, Array[Long])], NearDupCandidate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (_, rows, state) =>
-          var bucket = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[NearDupCandidate]
-          // deterministic within-batch order so a re-executed task emits
-          // the same pairs against the same retained prefix
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
-            bucket.foreach { case (oid, osig) =>
-              if (oid != id) {
-                val agree = sig.indices.count(i => sig(i) == osig(i)).toDouble / k
-                out += NearDupCandidate(math.min(id, oid), math.max(id, oid), agree)
+          if (state.hasTimedOut) {
+            // the watermark passed this bucket's last touch + TTL with no
+            // new data: evict. A later copy of this content starts a
+            // fresh bucket (the documented recall trade, restored by
+            // batch reconciliation).
+            state.remove()
+            Iterator.empty
+          } else {
+            var bucket = state.getOption.getOrElse(Seq.empty)
+            val out = Seq.newBuilder[NearDupCandidate]
+            // deterministic within-batch order so a re-executed task emits
+            // the same pairs against the same retained prefix
+            val batch = rows.toSeq.sortBy(_._3)
+            batch.foreach { case (_, _, id, sig, _) =>
+              bucket.foreach { case (oid, osig) =>
+                if (oid != id) {
+                  val agree = sig.indices.count(i => sig(i) == osig(i)).toDouble / k
+                  out += NearDupCandidate(math.min(id, oid), math.max(id, oid), agree)
+                }
               }
+              if (bucket.size < maxBucket) bucket = bucket :+ (id -> sig)
             }
-            if (bucket.size < maxBucket) bucket = bucket :+ (id -> sig)
+            state.update(bucket)
+            // a touch restarts the bucket's TTL clock: expire at the max
+            // event time seen + TTL (clamped above the current watermark,
+            // which a straggler batch may already have passed)
+            ttlMs.foreach { ms =>
+              val maxTs = batch.map(_._5.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ms, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          state.update(bucket)
-          out.result().iterator
       }
   }
 

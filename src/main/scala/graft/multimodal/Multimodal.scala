@@ -44,16 +44,54 @@ object Multimodal {
 
   /** Shannon entropy of the byte distribution, bits ∈ [0, 8] — a
     * modality-independent payload statistic (corrupt-media triage,
-    * compression detection).
+    * compression detection). Histogram built with a primitive index
+    * loop (an `Array[Byte].foreach` boxes every byte — Function1 isn't
+    * specialized on Byte); the entropy fold over the ≤256-entry
+    * histogram is unchanged, so the value is bit-identical to r13.
     */
-  def byteEntropy(bytes: Array[Byte]): Double = {
-    if (bytes.isEmpty) return 0.0
+  def byteEntropy(bytes: Array[Byte]): Double =
+    entropyFromCounts(byteCounts(bytes), bytes.length)
+
+  private def byteCounts(bytes: Array[Byte]): Array[Long] = {
     val counts = new Array[Long](256)
-    bytes.foreach(b => counts(b & 0xff) += 1)
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
+    counts
+  }
+
+  private def entropyFromCounts(counts: Array[Long], n: Int): Double = {
+    if (n == 0) return 0.0
     counts.filter(_ > 0).map { c =>
-      val p = c.toDouble / bytes.length; -p * math.log(p) / math.log(2)
+      val p = c.toDouble / n; -p * math.log(p) / math.log(2)
     }.sum
   }
+
+  /** Cheap container-magic gates for the garbage-heavy corrupt-media
+    * scan: the JDK's own image/audio SPIs recognize exactly these
+    * containers (PNG/JPEG/GIF/BMP/TIFF/WBMP; WAV/AIFF/AU), and their
+    * probe path is expensive per row — ImageIO spins up a cached
+    * stream and polls every reader's canDecodeInput; AudioSystem
+    * CONSTRUCTS an UnsupportedAudioFileException for every non-audio
+    * payload. A payload failing the magic check cannot decode through
+    * the stock SPIs, so gating is behavior-identical for the JDK SPI
+    * set (a deployment registering third-party SPIs should widen the
+    * gate alongside them — the documented coupling).
+    */
+  private[multimodal] def imageMagicPlausible(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||                // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M') ||
+      (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||     // TIFF LE
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) ||     // TIFF BE
+      (b(0) == 0 && b(1) == 0))                                      // WBMP
+
+  private[multimodal] def audioMagicPlausible(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||  // WAV
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||  // AIFF
+      (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))    // AU
 
   /** FeatureDim-bin luma histogram (fraction of pixels per 256/FeatureDim
     * luma band) — the image feature. */
@@ -134,21 +172,33 @@ object Multimodal {
           val feature: Array[Float] =
             try {
               modality match {
-                case "image" =>
+                // magic-gated: a payload no JDK SPI can decode skips the
+                // per-row probe/exception machinery entirely (the hot
+                // path of a corrupt-media scan — see the gates' Scaladoc)
+                case "image" if imageMagicPlausible(bytes) =>
                   Option(javax.imageio.ImageIO.read(
                       new java.io.ByteArrayInputStream(bytes)))
                     .map(lumaHistogram).orNull
-                case "audio" =>
+                case "audio" if audioMagicPlausible(bytes) =>
                   decodePcm16Mono(bytes).map(s => audioEnvelope(s._1)).orNull
                 case "video" =>
                   demuxFrames(bytes).map(videoFrameLumas).orNull
                 case _ => null
               }
             } catch { case _: Exception => null }
+          // one primitive pass for byte sum + histogram: the r13 form's
+          // bytes.map(…toDouble).sum allocated 8× the payload and boxed
+          // per element. Summing exact integers keeps byte_mean
+          // bit-identical (every partial sum is an integer < 2⁵³, where
+          // IEEE addition is exact in both forms) — oracle hash frozen.
+          val counts = byteCounts(bytes)
+          var s = 0L
+          var v = 0
+          while (v < 256) { s += counts(v) * v; v += 1 }
           MediaFeatures(
             id, modality, bytes.length.toLong,
-            if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length,
-            byteEntropy(bytes),
+            if (bytes.isEmpty) 0.0 else s.toDouble / bytes.length,
+            entropyFromCounts(counts, bytes.length),
             feature
           )
         }
@@ -238,6 +288,7 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.flatMap { case (id, content) =>
           Option(content)
+            .filter(imageMagicPlausible) // SPI-mirror gate, see Scaladoc
             .flatMap(b => Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(b))))
             .map { img =>
@@ -305,7 +356,11 @@ object Multimodal {
     * sample streams (the corrupt-media posture).
     */
   private[multimodal] def decodePcm16Mono(content: Array[Byte]): Option[(Array[Int], Int)] =
-    try {
+    // the SPI-mirror magic gate (see audioMagicPlausible): a payload no
+    // JDK provider recognizes returns None without paying AudioSystem's
+    // per-row UnsupportedAudioFileException construction
+    if (content == null || !audioMagicPlausible(content)) None
+    else try {
       val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(content))
       val f0 = raw.getFormat

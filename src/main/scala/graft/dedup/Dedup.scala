@@ -406,28 +406,111 @@ object Dedup {
     * quarter-window granularity — the class depth 1 cannot see
     * (Round10Spec's saturation fixture; 8.9% further pruned on Zipf).
     */
+  /** Conf key: token-table budget (bytes) under which [[prefixFilterPairs]]
+    * verifies candidates against a BROADCAST doc→tokens map instead of two
+    * array-carrying joins. See the r14 scale note in the method doc. */
+  val BroadcastVerifyBytesKey = "spark.graft.prefix.broadcastVerifyBytes"
+  val DefaultBroadcastVerifyBytes: Long = 1500L * 1000 * 1000
+
+  /** Merge-intersection count of two sorted-distinct long arrays — the
+    * plain-JVM twin of [[graft.functions.SortedIntersect]] (same
+    * definition on the same contract, so both verification paths count
+    * identical integers). */
+  private[graft] def intersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
                         thrNum: Int, thrDen: Int, shingleN: Int = 1,
                         suffixFilter: Boolean = false,
-                        suffixDepth: Int = 1): DataFrame = {
+                        suffixDepth: Int = 1,
+                        broadcastVerify: Option[Boolean] = None): DataFrame = {
     val (cands, stoks, blocks) =
       prefixCandidates(docs, idCol, textCol, thrNum, thrDen, shingleN,
         suffixFilter, suffixDepth)
+    val spark = docs.sparkSession
     // Verification merge-intersects the per-doc SORTED arrays — tokid
     // ranks with the suffix filter on, sorted gram hashes off; either way
     // longs in bijection with the grams (xxhash64 collisions could merge
     // gram identities with probability ~sz²·2⁻⁶⁴ per pair; the
     // string-exact oracle replay re-proves absence on every gated corpus).
-    val withSets = cands
-      .join(stoks.select(col("id").as("doc_a"), col("stoks").as("tk_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(stoks.select(col("id").as("doc_b"), col("stoks").as("tk_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .withColumn("inter",
-        graft.functions.SortedIntersect.sorted_intersect_count(col("tk_a"), col("tk_b")))
-      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+    //
+    // TWO physical shapes, identical output (the r14 sf4 grid's finding):
+    //  - join-verify: attach both token arrays to every candidate pair.
+    //    On a SATURATING corpus candidates grow ~n²/V (sf4 fixed-vocab:
+    //    ~310M pairs), and pairs × arrays is a terabyte-class shuffle —
+    //    measured 828s median at sf4, and the suffix-filter variant
+    //    (which attaches arrays a second time to prune) filled the disk.
+    //  - broadcast-verify: when the whole token table fits the budget
+    //    (spark.graft.prefix.broadcastVerifyBytes, default 1.5 GB — a
+    //    normal executor broadcast allowance), candidates shuffle as bare
+    //    16-byte id pairs and verify against a broadcast doc→tokens map:
+    //    the array shuffle disappears entirely. Above the budget the join
+    //    shape returns (arrays genuinely too big to replicate) — at THAT
+    //    scale an exact SSJoin on a saturating corpus is inherently
+    //    pair-bound, and the engine's documented answer is LSH (q19) or
+    //    dedup-first. Same gate-with-fallback pattern as the Similarity
+    //    codebook inlining.
+    val idIsLong = stoks.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType
+    val takeBroadcast = broadcastVerify.getOrElse {
+      val est = stoks.agg(sum(col("sz")), count(lit(1))).head()
+      val bytes = (if (est.isNullAt(0)) 0L else est.getLong(0)) * 8L +
+        est.getLong(1) * 96L // per-entry map + array-header overhead
+      val cap = spark.conf.getOption(BroadcastVerifyBytesKey)
+        .map(_.toLong).getOrElse(DefaultBroadcastVerifyBytes)
+      idIsLong && bytes <= cap
+    }
+    val verified: DataFrame =
+      if (takeBroadcast && idIsLong) {
+        import spark.implicits._
+        val index: Map[Long, Array[Long]] =
+          stoks.select(col("id"), col("stoks")).collect()
+            .iterator.map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+            .toMap
+        val bIndex = spark.sparkContext.broadcast(index)
+        cands.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            val m = bIndex.value
+            it.flatMap { case (a, b) =>
+              val ta = m(a); val tb = m(b)
+              val inter = intersectCount(ta, tb)
+              // same integer predicate as the join shape's filter;
+              // Option fields make the encoder's schema NULLABLE, so
+              // both verify shapes write the identical parquet schema
+              // (a when(true,…) wrapper would fold away inside the
+              // output checkpoint's optimized plan)
+              if (inter.toLong * thrDen >=
+                  (ta.length.toLong + tb.length - inter) * thrNum)
+                Some((Option(a), Option(b), Option(inter),
+                  Option(ta.length), Option(tb.length)))
+              else None
+            }
+          }
+          .toDF("doc_a", "doc_b", "inter", "sz_a", "sz_b")
+          .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+      } else {
+        cands
+          .join(stoks.select(col("id").as("doc_a"), col("stoks").as("tk_a"), col("sz").as("sz_a")), Seq("doc_a"))
+          .join(stoks.select(col("id").as("doc_b"), col("stoks").as("tk_b"), col("sz").as("sz_b")), Seq("doc_b"))
+          .withColumn("inter",
+            graft.functions.SortedIntersect.sorted_intersect_count(col("tk_a"), col("tk_b")))
+          .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+          .filter(col("inter") * thrDen >= col("union_sz") * thrNum)
+      }
     // candidate pairs are SIZE-oriented (a = smaller, the indexing-prefix
-    // orientation); the output contract is id-ordered doc_a < doc_b
-    val out = Checkpoints.output(withSets
-      .filter(col("inter") * thrDen >= col("union_sz") * thrNum)
+    // orientation); the output contract is id-ordered doc_a < doc_b.
+    // Both shapes land here with identical (doc_a, doc_b, inter,
+    // union_sz) integers; jaccard is computed by the SAME Column
+    // expressions either way, so the FP result is bit-identical.
+    val out = Checkpoints.output(verified
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"),
         col("inter"), col("union_sz"),

@@ -237,6 +237,24 @@ object ShapeDispatch {
     }
   }
 
+  /** [[CoreOps.equiDepthHistogram]] with `rangedRanks` CHOSEN by the
+    * engine — the same rows-per-group predicate as the ranking dial
+    * (the histogram's rank pass is exactly that dial: a per-group
+    * window sort vs groupedRowNumber). Output bit-identical either way
+    * (Round12Spec pins the two forms on q129's shape).
+    */
+  def equiDepthHistogramAuto(df: DataFrame, groupCols: Seq[String],
+                             valueCol: String, tieCols: Seq[String],
+                             buckets: Int,
+                             stats: Option[GroupStats] = None,
+                             force: Option[Shape] = None): DataFrame = {
+    val cut = confLong(df, RowsPerGroupCutoverKey, DefaultRowsPerGroupCutover)
+    val shape = choose(df, force, decideByRows(_, cut),
+      stats.getOrElse(groupStats(df, groupCols)))
+    CoreOps.equiDepthHistogram(df, groupCols, valueCol, tieCols, buckets,
+      rangedRanks = shape == RangedShape)
+  }
+
   // ---- dial 3: top-k per group ---------------------------------------------
 
   /** Top-k rows per group by `orderCols` ascending (encode DESC by

@@ -204,6 +204,20 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("equiDepthHistogramAuto: both regimes identical on the fixture") {
+    val totally = fixture.filter(col("value").isNotNull)
+    val w = ShapeDispatch.equiDepthHistogramAuto(totally, Seq("grp"), "value",
+      Seq("id"), buckets = 4, force = Some(WindowShape))
+    val r = ShapeDispatch.equiDepthHistogramAuto(totally, Seq("grp"), "value",
+      Seq("id"), buckets = 4, force = Some(RangedShape))
+    assert(w.exceptAll(r).isEmpty && r.exceptAll(w).isEmpty,
+      "equi-depth shapes diverge under dispatch")
+    // and the stats path picks the window form on this small frame
+    val auto = ShapeDispatch.equiDepthHistogramAuto(totally, Seq("grp"), "value",
+      Seq("id"), buckets = 4)
+    assert(auto.exceptAll(w).isEmpty && w.exceptAll(auto).isEmpty)
+  }
+
   // ---- dial 3: top-k per group -------------------------------------------
 
   test("topKPerGroupAuto: both regimes identical under a total order; plan follows") {
@@ -224,6 +238,47 @@ class Round14Spec extends SparkSpec {
     val wref = Window.partitionBy("grp").orderBy(asc("value"), asc("id"))
     val ref = totally.withColumn("rn", row_number().over(wref)).filter(col("rn") <= 7)
     assert(h.exceptAll(ref).isEmpty && ref.exceptAll(h).isEmpty)
+  }
+
+  // ---- prefix-filter verify shapes (the sf4 grid's finding) ----------------
+
+  test("prefixFilterPairs: broadcast-verify == join-verify, row for row") {
+    // the two verification shapes must agree on the exact output contract
+    // (pairs, integer inter/union, the rounded jaccard) — the r14 sf4
+    // grid found join-verify shuffling pairs × token-arrays (828s at
+    // sf4); broadcast-verify ships 16-byte pairs against a broadcast map
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val joinForm = graft.dedup.Dedup.prefixFilterPairs(docs, "doc_id", "text",
+      1, 2, shingleN = 3, broadcastVerify = Some(false))
+    val bcastForm = graft.dedup.Dedup.prefixFilterPairs(docs, "doc_id", "text",
+      1, 2, shingleN = 3, broadcastVerify = Some(true))
+    assert(joinForm.schema == bcastForm.schema,
+      s"schemas diverge:\n${joinForm.schema}\nvs\n${bcastForm.schema}")
+    assert(joinForm.exceptAll(bcastForm).isEmpty &&
+           bcastForm.exceptAll(joinForm).isEmpty,
+      "verify shapes diverge")
+    assert(joinForm.count() > 0, "fixture must produce pairs")
+    // the auto gate takes the broadcast shape on this (tiny) corpus
+    val auto = graft.dedup.Dedup.prefixFilterPairs(docs, "doc_id", "text",
+      1, 2, shingleN = 3)
+    assert(auto.exceptAll(joinForm).isEmpty && joinForm.exceptAll(auto).isEmpty)
+  }
+
+  test("intersectCount == SortedIntersect on sorted-distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { _ =>
+      val a = rnd.shuffle((0L until 400L).toVector).take(rnd.nextInt(50) + 1)
+        .distinct.sorted.toArray
+      val b = rnd.shuffle((0L until 400L).toVector).take(rnd.nextInt(50) + 1)
+        .distinct.sorted.toArray
+      (a, b, graft.dedup.Dedup.intersectCount(a, b))
+    }
+    val df = rows.toDF("a", "b", "jvm")
+    val diff = df.withColumn("expr",
+        graft.functions.SortedIntersect.sorted_intersect_count(col("a"), col("b")))
+      .filter(col("expr") =!= col("jvm"))
+    assert(diff.isEmpty, s"counts diverge:\n${diff.limit(5).collect().mkString("\n")}")
   }
 
   // ---- TopKRewrite stat guard ---------------------------------------------

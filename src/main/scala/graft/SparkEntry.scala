@@ -335,7 +335,13 @@ object SparkEntry {
     "q169_leakage_safe_split"   -> (Q.leakageSafeSplit(_, _)),
     // q53's scale side forced (ShapeDispatch's ranged shape), same window
     // oracle as q53: both sides of the rank dial hash-checked at the gate
-    "q170_rank_functions_ranged" -> (Q.rankFunctionsRanged(_, _))
+    "q170_rank_functions_ranged" -> (Q.rankFunctionsRanged(_, _)),
+    // q129's scale side forced (ranged equi-depth ranks), same oracle as
+    // q129 now that q129 rides equiDepthHistogramAuto
+    "q171_equidepth_ranged"     -> (Q.equiDepthHistRanged(_, _)),
+    // q137's scale side forced (topk_structs bounded heap), same oracle
+    // as q137 now that q137 rides topKPerGroupAuto
+    "q172_top_parts_heap"       -> (Q.topPartsPerFlagHeap(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

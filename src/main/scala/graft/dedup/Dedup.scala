@@ -412,6 +412,30 @@ object Dedup {
   val BroadcastVerifyBytesKey = "spark.graft.prefix.broadcastVerifyBytes"
   val DefaultBroadcastVerifyBytes: Long = 1500L * 1000 * 1000
 
+  /** Conf keys: the PAIR-SPACE regime guard (r15). An exact set-similarity
+    * join on a saturating fixed-vocabulary corpus has an inherent ~n²/V
+    * candidate space — no filter ladder changes that asymptote, and the
+    * r14 sf4 grid measured where it lands (310M candidates; the
+    * array-carrying verify filled the disk). The guard estimates the
+    * candidate shuffle volume BEFORE any pair materializes, from the
+    * already-checkpointed prefix frame: Σ over prefix tokens of
+    * cnt·(cnt−1)/2 upper-bounds the bucket join's output multiset.
+    * Above the warn threshold it logs the documented escape (LSH q19 /
+    * dedup-first, with the recall contract stated); above the hard cap
+    * (default off) it fails fast — the alternative the cap replaces is
+    * hours of shuffle ending in a full disk. */
+  val PairShuffleWarnBytesKey = "spark.graft.prefix.pairShuffleWarnBytes"
+  val DefaultPairShuffleWarnBytes: Long = 100L * 1000 * 1000 * 1000
+  val MaxPairShuffleBytesKey = "spark.graft.prefix.maxPairShuffleBytes"
+
+  /** Estimated candidate-verification shuffle volume (pure, spec-pinned):
+    * the broadcast shape ships 16-byte id pairs; the join shape attaches
+    * both token arrays (8 B/token + tuple overhead) to every candidate. */
+  def pairShuffleBytes(estPairs: Double, avgTokensPerDoc: Double,
+                       broadcastShape: Boolean): Double =
+    if (broadcastShape) estPairs * 16.0
+    else estPairs * (2.0 * avgTokensPerDoc * 8.0 + 32.0)
+
   /** Merge-intersection count of two sorted-distinct long arrays — the
     * plain-JVM twin of [[graft.functions.SortedIntersect]] (same
     * definition on the same contract, so both verification paths count
@@ -431,7 +455,7 @@ object Dedup {
                         suffixFilter: Boolean = false,
                         suffixDepth: Int = 1,
                         broadcastVerify: Option[Boolean] = None): DataFrame = {
-    val (cands, stoks, blocks) =
+    val (cands, stoks, prefix, blocks) =
       prefixCandidates(docs, idCol, textCol, thrNum, thrDen, shingleN,
         suffixFilter, suffixDepth)
     val spark = docs.sparkSession
@@ -449,7 +473,8 @@ object Dedup {
     //    (which attaches arrays a second time to prune) filled the disk.
     //  - broadcast-verify: when the whole token table fits the budget
     //    (spark.graft.prefix.broadcastVerifyBytes, default 1.5 GB — a
-    //    normal executor broadcast allowance), candidates shuffle as bare
+    //    normal executor broadcast allowance — AND at most a quarter of
+    //    the driver heap, whichever is smaller), candidates shuffle as bare
     //    16-byte id pairs and verify against a broadcast doc→tokens map:
     //    the array shuffle disappears entirely. Above the budget the join
     //    shape returns (arrays genuinely too big to replicate) — at THAT
@@ -459,28 +484,99 @@ object Dedup {
     //    codebook inlining.
     val idIsLong = stoks.schema("id").dataType ==
       org.apache.spark.sql.types.LongType
+    // A caller FORCING the broadcast shape on a non-long id would get a
+    // silent downgrade to the join shape — fail loud instead (r14 ADVICE).
+    require(idIsLong || !broadcastVerify.contains(true),
+      s"prefixFilterPairs(broadcastVerify=true): the id column must be " +
+        s"LongType for the broadcast index, got ${stoks.schema("id").dataType.sql}")
+    // one bookkeeping agg over the checkpointed token table serves both
+    // the broadcast budget gate and the pair-space regime guard
+    val tokEst = stoks.agg(sum(col("sz")), count(lit(1))).head()
+    val totalTokens = if (tokEst.isNullAt(0)) 0L else tokEst.getLong(0)
+    val nDocs = tokEst.getLong(1)
     val takeBroadcast = broadcastVerify.getOrElse {
-      val est = stoks.agg(sum(col("sz")), count(lit(1))).head()
-      val bytes = (if (est.isNullAt(0)) 0L else est.getLong(0)) * 8L +
-        est.getLong(1) * 96L // per-entry map + array-header overhead
+      val bytes = totalTokens * 8L +
+        nDocs * 96L // per-entry map + array-header overhead
       val cap = spark.conf.getOption(BroadcastVerifyBytesKey)
         .map(_.toLong).getOrElse(DefaultBroadcastVerifyBytes)
-      idIsLong && bytes <= cap
+      // The estimate is the index's RESIDENT size; building it and the
+      // torrent-broadcast serialization both transiently hold more. Never
+      // let the auto gate commit more than a quarter of the driver's heap
+      // regardless of the configured cap (r14 ADVICE: a cap tuned for one
+      // deployment OOMed a smaller driver where the join shape — slowly —
+      // succeeded). Forcing broadcastVerify=Some(true) bypasses this:
+      // the caller owns the sizing.
+      val driverCap = Runtime.getRuntime.maxMemory / 4
+      idIsLong && bytes <= math.min(cap, driverCap)
     }
+    // ---- pair-space regime guard (r15 — the q142 auto-escape) ------------
+    // Estimated BEFORE any candidate materializes, from the prefix
+    // checkpoint: the bucket join's output is Σ_t idxCnt_t·cnt_t, upper-
+    // bounded by Σ_t cnt_t·(cnt_t−1)/2 over prefix-token buckets. Double
+    // arithmetic: this is a regime detector, not an accountant, and the
+    // sums would overflow a long exactly where the guard matters most.
+    val estPairs = {
+      val r = prefix.groupBy("tokid").agg(count(lit(1)).as("__c"))
+        .agg(sum(expr("__c * (__c - 1d) / 2.0d"))).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    val avgSz = if (nDocs == 0) 0.0 else totalTokens.toDouble / nDocs
+    val estShuffle = pairShuffleBytes(estPairs, avgSz,
+      broadcastShape = takeBroadcast && idIsLong)
+    val hardCap = spark.conf.getOption(MaxPairShuffleBytesKey).map(_.toLong)
+    val warnCap = spark.conf.getOption(PairShuffleWarnBytesKey)
+      .map(_.toLong).getOrElse(DefaultPairShuffleWarnBytes)
+    if (hardCap.exists(estShuffle > _)) {
+      Checkpoints.release(blocks)
+      throw new IllegalStateException(
+        f"prefixFilterPairs: estimated candidate shuffle $estShuffle%.3g B " +
+          f"(~$estPairs%.3g candidate pairs) exceeds $MaxPairShuffleBytesKey=" +
+          s"${hardCap.get} — the exact SSJoin is pair-bound on this corpus. " +
+          "Use LSH banding (Dedup.minhashCandidatePairs / q19 — probabilistic recall " +
+          "per the banding curve) or dedup-first to shrink the corpus, or " +
+          "raise the cap to accept the shuffle.")
+    } else if (estShuffle > warnCap) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"prefixFilterPairs: estimated candidate shuffle $estShuffle%.3g B " +
+          f"(~$estPairs%.3g candidate pairs, avg $avgSz%.1f tokens/doc) is " +
+          "in the pair-bound regime for an exact set-similarity join. It " +
+          "will complete but scales with the pair space; consider LSH " +
+          "banding (Dedup.minhashCandidatePairs / q19 — probabilistic recall per " +
+          "the banding curve) or dedup-first. Hard cap: " +
+          s"$MaxPairShuffleBytesKey.")
+    }
+    var bIndex: Option[org.apache.spark.broadcast.Broadcast[
+      scala.collection.mutable.LongMap[Array[Long]]]] = None
     val verified: DataFrame =
       if (takeBroadcast && idIsLong) {
         import spark.implicits._
-        val index: Map[Long, Array[Long]] =
-          stoks.select(col("id"), col("stoks")).collect()
-            .iterator.map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-            .toMap
-        val bIndex = spark.sparkContext.broadcast(index)
+        // Stream the index in partition-at-a-time (toLocalIterator via the
+        // primitive-typed Dataset): peak driver demand is the LongMap plus
+        // ONE partition of rows, not a full collected Row[] alongside a
+        // boxed-key Map (the r14 ADVICE transient-overhead finding).
+        // LongMap keys are unboxed longs; values are the primitive arrays.
+        val index = new scala.collection.mutable.LongMap[Array[Long]]()
+        val localIt = stoks.select(col("id"), col("stoks"))
+          .as[(Long, Array[Long])].toLocalIterator()
+        while (localIt.hasNext) {
+          val kv = localIt.next(); index.update(kv._1, kv._2)
+        }
+        val bc = spark.sparkContext.broadcast(index)
+        bIndex = Some(bc)
         cands.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
           .as[(Long, Long)]
           .mapPartitions { it =>
-            val m = bIndex.value
+            val m = bc.value
+            def tokensOf(id: Long): Array[Long] = {
+              val t = m.getOrNull(id)
+              if (t == null) throw new IllegalStateException(
+                s"prefixFilterPairs broadcast-verify: candidate doc id $id " +
+                  "is missing from the token index — candidates and the " +
+                  "index must derive from the same corpus frame")
+              t
+            }
             it.flatMap { case (a, b) =>
-              val ta = m(a); val tb = m(b)
+              val ta = tokensOf(a); val tb = tokensOf(b)
               val inter = intersectCount(ta, tb)
               // same integer predicate as the join shape's filter;
               // Option fields make the encoder's schema NULLABLE, so
@@ -516,6 +612,11 @@ object Dedup {
         col("inter"), col("union_sz"),
         graft.ops.CoreOps.roundPortable(
           col("inter").cast("double") / col("union_sz").cast("double"), 6).as("jaccard")))
+    // the output checkpoint above is EAGER, so nothing can re-read the
+    // broadcast index: free its driver + executor copies now instead of
+    // waiting on ContextCleaner (r14 ADVICE — the index is the single
+    // biggest driver-side allocation in the dedup family)
+    bIndex.foreach(_.destroy())
     Checkpoints.release(blocks)
     out
   }
@@ -523,8 +624,9 @@ object Dedup {
   /** Candidate generation for [[prefixFilterPairs]], split out so the
     * pruning power of each filter level is countable (Round9Spec's
     * Zipf-fixture measurement). Returns (candidates, per-doc sorted
-    * token-rank arrays, checkpoint blocks — caller releases after the
-    * last consumer).
+    * token-rank arrays, the checkpointed per-doc prefix-token frame —
+    * the pair-space guard's input — and checkpoint blocks, which the
+    * caller releases after the last consumer).
     *
     * Filter ladder, every level LOSSLESS for J ≥ thrNum/thrDen:
     *   1. length filter — min·den ≥ max·num;
@@ -553,7 +655,7 @@ object Dedup {
                                       thrNum: Int, thrDen: Int, shingleN: Int,
                                       suffixFilter: Boolean,
                                       suffixDepth: Int = 1)
-      : (DataFrame, DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      : (DataFrame, DataFrame, DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold must be a fraction in (0,1]: $thrNum/$thrDen")
     require(suffixDepth == 1 || suffixDepth == 2,
@@ -685,7 +787,7 @@ object Dedup {
           }
         filtered.select(col("doc_a"), col("doc_b"))
       }
-    (cands, stoks, baseBlocks ++ stoksBlocks ++ prefixBlocks)
+    (cands, stoks, prefix, baseBlocks ++ stoksBlocks ++ prefixBlocks)
   }
 
   /** Sorted-neighborhood (SNM) near-dup pairs — the third blocking

@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   *  - catalog/CBO statistics when the optimized plan carries a row
   *    count and distinct counts for the group columns (ANALYZE'd
   *    tables; zero probe cost). Catalog stats see AVERAGES, not skew —
-  *    a corpus with one dominant group should rely on the probe or
-  *    force the ranged shape;
+  *    so the dials trust them only when decisive under
+  *    `spark.graft.shape.catalogSkewHeadroom` ([[trustCatalog]]): an
+  *    average within headroom× below the cutover falls through to the
+  *    exact probe instead of silently window-shaping a skewed table;
   *  - else ONE probe aggregation: `groupBy(group).count()` reduced to
   *    (rows, groups, max rows per group) — a map-side-combined hash
   *    aggregate plus a bookkeeping-sized second stage, scale-safe at
@@ -78,6 +80,20 @@ object ShapeDispatch {
   /** Session-wide override: "window" | "ranged" (anything else ignored). */
   val ForceKey = "spark.graft.shape.force"
 
+  /** Catalog stats see AVERAGES, not skew — their maxRowsPerGroup is
+    * ⌈rows/groups⌉. The r14 ADVICE scenario: an ANALYZE'd table with one
+    * dominant group averages below the cutover, auto-picks WindowShape,
+    * and recreates the single-task giant-group sort the dispatcher
+    * exists to prevent — silently, and ONLY on ANALYZE'd tables. The
+    * guard: trust the catalog only when its answer would survive this
+    * much multiplicative skew on the window side (estimate × headroom
+    * still under the cutover), or when it already mandates the ranged
+    * shape (an average above the cutover means the max is above it too —
+    * skew only strengthens that verdict). In the undecided band the
+    * exact probe runs, same as on un-ANALYZE'd tables. */
+  val CatalogSkewHeadroomKey = "spark.graft.shape.catalogSkewHeadroom"
+  val DefaultCatalogSkewHeadroom: Long = 10L
+
   /** The ranking/top-k predicate, pure and spec-testable: the ranged
     * shape exactly when the largest group outruns the cutover. */
   def decideByRows(stats: GroupStats, cutover: Long): Shape =
@@ -87,6 +103,14 @@ object ShapeDispatch {
     * the largest group's DISTINCT value count fits one task's buffer. */
   def decideByDistinct(stats: GroupStats, cutover: Long): Shape =
     if (stats.distinctBound > cutover) RangedShape else WindowShape
+
+  /** The catalog-trust predicate (pure, spec-pinned): a skew-blind
+    * average `statValue` is decisive when it already exceeds the
+    * cutover (max ≥ average, so the ranged verdict can only be right)
+    * or sits at least `headroom`× below it (the window verdict survives
+    * headroom-fold skew). Anywhere in between → probe. */
+  def trustCatalog(statValue: Long, cutover: Long, headroom: Long): Boolean =
+    statValue > cutover || statValue <= cutover / math.max(headroom, 1L)
 
   private def confLong(df: DataFrame, key: String, dflt: Long): Long =
     df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(dflt)
@@ -107,7 +131,17 @@ object ShapeDispatch {
     * column's GLOBAL distinct count when present.
     */
   def catalogStats(df: DataFrame, groupCols: Seq[String],
-                   valueCol: Option[String] = None): Option[GroupStats] = {
+                   valueCol: Option[String] = None): Option[GroupStats] =
+    catalogStatsMulti(df, groupCols, valueCol.toSeq)
+
+  /** [[catalogStats]] over several value columns at once (the q36 shape:
+    * one percentile call spanning l_quantity AND l_extendedprice). The
+    * distinct bound is the MAX over the columns' global distinct counts
+    * — the worst single-column buffer governs — and collapses to
+    * unknown (Long.MaxValue) if ANY column lacks catalog stats, since
+    * the unknown column might be the worst one. */
+  def catalogStatsMulti(df: DataFrame, groupCols: Seq[String],
+                        valueCols: Seq[String]): Option[GroupStats] = {
     val st = df.queryExecution.optimizedPlan.stats
     val byName = st.attributeStats.toSeq
       .map { case (attr, cs) => attr.name -> cs }.toMap
@@ -122,9 +156,11 @@ object ShapeDispatch {
       val prod = distincts.product.max(BigInt(1))
       val groups = prod.min(rc)
       val maxPer = ((rc + groups - 1) / groups).toLong
-      val vDistinct = valueCol
-        .flatMap(v => byName.get(v).flatMap(_.distinctCount))
-        .map(_.toLong).getOrElse(Long.MaxValue)
+      val vDistincts = valueCols
+        .map(v => byName.get(v).flatMap(_.distinctCount).map(_.toLong))
+      val vDistinct =
+        if (vDistincts.isEmpty || vDistincts.exists(_.isEmpty)) Long.MaxValue
+        else vDistincts.flatten.max
       GroupStats(rc.toLong, groups.toLong, maxPer, vDistinct, "catalog")
     }
   }
@@ -138,11 +174,21 @@ object ShapeDispatch {
     * insurance premium against shipping a 33 TB group into one task.
     */
   def probeStats(df: DataFrame, groupCols: Seq[String],
-                 valueCol: Option[String] = None): GroupStats = {
+                 valueCol: Option[String] = None): GroupStats =
+    probeStatsMulti(df, groupCols, valueCol.toSeq)
+
+  /** [[probeStats]] over several value columns: per group the probe
+    * takes the worst column's approx-distinct (still ONE aggregation
+    * pass — the HLL sketches ride the same hash aggregate). */
+  def probeStatsMulti(df: DataFrame, groupCols: Seq[String],
+                      valueCols: Seq[String]): GroupStats = {
+    val dCol = valueCols.map(v => approx_count_distinct(col(v))) match {
+      case Seq()    => lit(0L)
+      case Seq(one) => one
+      case many     => greatest(many: _*)
+    }
     val per = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"),
-        valueCol.map(v => approx_count_distinct(col(v)).as("__d"))
-          .getOrElse(lit(0L).as("__d")))
+      .agg(count(lit(1)).as("__n"), dCol.as("__d"))
     val r = per.agg(sum(col("__n")), count(lit(1)), max(col("__n")),
       max(col("__d"))).head()
     GroupStats(
@@ -150,15 +196,35 @@ object ShapeDispatch {
       groups = r.getLong(1),
       maxRowsPerGroup = if (r.isNullAt(2)) 0L else r.getLong(2),
       maxDistinctPerGroup =
-        if (valueCol.isEmpty || r.isNullAt(3)) Long.MaxValue else r.getLong(3),
+        if (valueCols.isEmpty || r.isNullAt(3)) Long.MaxValue else r.getLong(3),
       source = "probe")
   }
 
-  /** Catalog stats when complete, else the probe. */
+  /** Catalog stats when complete, else the probe — UNGUARDED: trusts a
+    * complete catalog unconditionally. The auto dials go through
+    * [[guardedStats]] instead, which only trusts the catalog's
+    * skew-blind averages when they are decisive either way. */
   def groupStats(df: DataFrame, groupCols: Seq[String],
                  valueCol: Option[String] = None): GroupStats =
     catalogStats(df, groupCols, valueCol)
       .getOrElse(probeStats(df, groupCols, valueCol))
+
+  /** The stats source the auto dials use: catalog stats ONLY when
+    * [[trustCatalog]] holds for the statistic the dial decides on
+    * (rows-per-group, or the distinct bound when `byDistinct`),
+    * else the exact probe. Headroom from
+    * `spark.graft.shape.catalogSkewHeadroom` (default 10×). */
+  def guardedStats(df: DataFrame, groupCols: Seq[String],
+                   valueCols: Seq[String], cutover: Long,
+                   byDistinct: Boolean): GroupStats = {
+    val headroom = confLong(df, CatalogSkewHeadroomKey, DefaultCatalogSkewHeadroom)
+    catalogStatsMulti(df, groupCols, valueCols) match {
+      case Some(cs) if trustCatalog(
+          if (byDistinct) cs.distinctBound else cs.maxRowsPerGroup,
+          cutover, headroom) => cs
+      case _ => probeStatsMulti(df, groupCols, valueCols)
+    }
+  }
 
   private def choose(df: DataFrame, force: Option[Shape],
                      decideFrom: GroupStats => Shape,
@@ -183,7 +249,8 @@ object ShapeDispatch {
                         force: Option[Shape] = None): DataFrame = {
     val cut = confLong(df, RowsPerGroupCutoverKey, DefaultRowsPerGroupCutover)
     choose(df, force, decideByRows(_, cut),
-        stats.getOrElse(groupStats(df, groupCols))) match {
+        stats.getOrElse(guardedStats(df, groupCols, Nil, cut,
+          byDistinct = false))) match {
       case WindowShape =>
         CoreOps.windowRankFunctions(df, groupCols, peerCols, tieCols)
       case RangedShape =>
@@ -225,15 +292,52 @@ object ShapeDispatch {
                       valueCol: String, ps: Seq[Double],
                       outCols: Seq[String],
                       stats: Option[GroupStats] = None,
-                      force: Option[Shape] = None): DataFrame = {
+                      force: Option[Shape] = None): DataFrame =
+    percentilesAutoMulti(df, groupCols,
+      Seq(PercentileSpec(valueCol, ps, outCols)), stats, force)
+
+  /** One value column's percentile requests for [[percentilesAutoMulti]]. */
+  final case class PercentileSpec(valueCol: String, ps: Seq[Double],
+                                  outCols: Seq[String]) {
+    require(ps.nonEmpty && ps.length == outCols.length,
+      "one output column name per percentile")
+  }
+
+  /** [[percentilesAuto]] spanning SEVERAL value columns under one
+    * decision (the q36 shape: quantity p50/p90 + price p99 in one
+    * call). Window shape: ONE buffering aggregate computes every
+    * requested percentile in a single pass — q36's historical plan.
+    * Ranged shape: one [[CoreOps.rankedPercentiles]] pass per value
+    * column, inner-joined on the group keys — q166's plan. Contract
+    * either way: one row per group with ≥ 1 non-null value in EVERY
+    * value column (the buffer form drops the aggregate's null outputs;
+    * the ranked form's inner join drops the same groups — a group
+    * all-null in one column has no order statistics there).
+    * The probe measures the WORST column's per-group distinct count,
+    * still in one aggregation pass.
+    */
+  def percentilesAutoMulti(df: DataFrame, groupCols: Seq[String],
+                           specs: Seq[PercentileSpec],
+                           stats: Option[GroupStats] = None,
+                           force: Option[Shape] = None): DataFrame = {
+    require(specs.nonEmpty, "at least one percentile spec")
     val cut = confLong(df, DistinctPerGroupCutoverKey,
       DefaultDistinctPerGroupCutover)
     choose(df, force, decideByDistinct(_, cut),
-        stats.getOrElse(groupStats(df, groupCols, Some(valueCol)))) match {
+        stats.getOrElse(guardedStats(df, groupCols, specs.map(_.valueCol),
+          cut, byDistinct = true))) match {
       case WindowShape =>
-        bufferPercentiles(df, groupCols, valueCol, ps, outCols)
+        val aggs = specs.flatMap(sp => sp.ps.zip(sp.outCols).map {
+          case (p, o) => percentile(col(sp.valueCol), lit(p)).as(o) })
+        val keep = specs.map(sp => col(sp.outCols.head).isNotNull)
+          .reduce(_ && _)
+        df.groupBy(groupCols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .filter(keep)
       case RangedShape =>
-        CoreOps.rankedPercentiles(df, groupCols, valueCol, ps, outCols)
+        specs.map(sp => CoreOps.rankedPercentiles(df, groupCols,
+            sp.valueCol, sp.ps, sp.outCols))
+          .reduce((a, b) => a.join(b, groupCols))
     }
   }
 
@@ -250,7 +354,8 @@ object ShapeDispatch {
                              force: Option[Shape] = None): DataFrame = {
     val cut = confLong(df, RowsPerGroupCutoverKey, DefaultRowsPerGroupCutover)
     val shape = choose(df, force, decideByRows(_, cut),
-      stats.getOrElse(groupStats(df, groupCols)))
+      stats.getOrElse(guardedStats(df, groupCols, Nil, cut,
+        byDistinct = false)))
     CoreOps.equiDepthHistogram(df, groupCols, valueCol, tieCols, buckets,
       rangedRanks = shape == RangedShape)
   }
@@ -281,9 +386,17 @@ object ShapeDispatch {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     require(!df.columns.contains(rnCol),
       s"topKPerGroupAuto: input already carries $rnCol")
+    // a group column is constant within its group — ordering by it is
+    // meaningless, and the ranged shape's packed struct would collide
+    // with the group key on restore. Reject it in BOTH shapes so the
+    // two can never diverge structurally on this edge (r14 ADVICE).
+    require(orderCols.intersect(groupCols).isEmpty,
+      s"topKPerGroupAuto: orderCols ${orderCols.mkString(",")} must not " +
+        s"overlap groupCols ${groupCols.mkString(",")}")
     val cut = confLong(df, RowsPerGroupCutoverKey, DefaultRowsPerGroupCutover)
     choose(df, force, decideByRows(_, cut),
-        stats.getOrElse(groupStats(df, groupCols))) match {
+        stats.getOrElse(guardedStats(df, groupCols, Nil, cut,
+          byDistinct = false))) match {
       case WindowShape =>
         val w = Window.partitionBy(groupCols.map(col): _*)
           .orderBy(orderCols.map(c => asc(c)): _*)

@@ -351,6 +351,29 @@ object OracleCatalog {
 
   // ---- the oracle map ------------------------------------------------------
 
+  /** q129 AND q171 (the auto-dispatched and forced-ranged sides of the
+    * equi-depth histogram dial) replay the same oracle. */
+  private val equiDepthHistSql: String =
+    """WITH r AS (SELECT l_returnflag, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rk,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, CAST(((rk - 1) * 8) // n AS INTEGER) AS bucket,
+      |  count(*) AS n_rows, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q137 AND q172 (the auto-dispatched and forced-heap sides of the
+    * grouped top-k dial) replay the same oracle. */
+  private val topPartsPerFlagSql: String =
+    """WITH r AS (SELECT l_returnflag, l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev1e4
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, l_partkey, rev1e4, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY rev1e4 DESC, l_partkey ASC) AS rank FROM r)
+      |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin
+
   /** q53 AND q170 (the auto-dispatched and forced-ranged sides of the
     * ranking dial) replay the same window-function oracle. */
   private val rankFunctionsSql: String =
@@ -778,15 +801,11 @@ object OracleCatalog {
 
     // q129: equi-depth histogram — rank·B DIV n bucket assignment is
     // pure integer arithmetic, identical in both engines
-    "q129_equidepth_hist" ->
-      """WITH r AS (SELECT l_returnflag, l_extendedprice,
-        |    row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rk,
-        |    count(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem)
-        |SELECT l_returnflag, CAST(((rk - 1) * 8) // n AS INTEGER) AS bucket,
-        |  count(*) AS n_rows, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
-        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q129_equidepth_hist" -> equiDepthHistSql,
+    // q171 = q129's ranged rank shape FORCED (ShapeDispatch's scale
+    // side) — deliberately the SAME oracle: both histogram shapes must
+    // hash identically at the gate (the q53/q170 pattern)
+    "q171_equidepth_ranged" -> equiDepthHistSql,
 
     // q130: distributed global rank — oracle is the NAIVE global window,
     // proving the range-partition + offset construction rank-for-rank
@@ -1444,14 +1463,11 @@ object OracleCatalog {
          |FROM f GROUP BY batch ORDER BY batch""".stripMargin,
 
     // q137: grouped top-k — exact integer-scaled revenue, window replay
-    "q137_top_parts_per_flag" ->
-      """WITH r AS (SELECT l_returnflag, l_partkey,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev1e4
-        |  FROM lineitem GROUP BY 1, 2)
-        |SELECT l_returnflag, l_partkey, rev1e4, CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
-        |    ORDER BY rev1e4 DESC, l_partkey ASC) AS rank FROM r)
-        |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin,
+    "q137_top_parts_per_flag" -> topPartsPerFlagSql,
+    // q172 = q137's bounded-heap shape FORCED (ShapeDispatch's scale
+    // side) — deliberately the SAME oracle: both top-k shapes must hash
+    // identically at the gate (the q53/q170 pattern)
+    "q172_top_parts_heap" -> topPartsPerFlagSql,
 
     // q127: fully-trained IVF-PQ — q68's trained cells gate the pair
     // space, q125's trained codebooks quantize it; one pqAnnSql source

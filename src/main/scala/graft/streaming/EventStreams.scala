@@ -415,13 +415,30 @@ object EventStreams {
                     rowsPerBand: Int = 4,
                     maxBucket: Int = 4096,
                     stateTtl: Option[String] = None,
-                    ttlLateness: String = "0 seconds"): Dataset[NearDupCandidate] = {
+                    ttlLateness: String = null): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
     require(k % rowsPerBand == 0, "k must divide into bands evenly")
+    // With a TTL the watermark DROPS late rows outright — "0 seconds"
+    // discards every out-of-order arrival, a recall cliff relative to
+    // the NoTimeout path. There is no safe universal default, so the
+    // caller must state the source's out-of-orderness explicitly
+    // (r14 ADVICE: the old silent "0 seconds" default hid the cliff).
+    require(stateTtl.isEmpty || ttlLateness != null,
+      "nearDupStream(stateTtl=...): choose ttlLateness explicitly — the " +
+        "watermark delay bounds how out-of-order arrivals may be; '0 " +
+        "seconds' drops ALL late rows, which is a deliberate decision, " +
+        "not a default")
     val bands = k / rowsPerBand
     val ttlMs: Option[Long] =
       stateTtl.map(s => scala.concurrent.duration.Duration(s).toMillis)
-    val bandedDf = docs.toDF()
+    val tsSafe =
+      // a null event time cannot participate in event-time eviction (and
+      // NPEs the timeout bookkeeping): with a TTL, reject such rows up
+      // front instead of failing mid-batch. The NoTimeout path keeps
+      // accepting them — it never reads the clock.
+      if (stateTtl.isDefined) docs.toDF().filter(col("ts").isNotNull)
+      else docs.toDF()
+    val bandedDf = tsSafe
       .select(col("doc_id"), col("ts"),
         graft.dedup.Dedup.minhashSignature(col("text"), shingleN, k).as("sig"))
       .select(col("doc_id"), col("ts"), col("sig"),

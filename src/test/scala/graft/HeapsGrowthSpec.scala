@@ -27,7 +27,7 @@ class HeapsGrowthSpec extends SparkSpec {
 
   private def candidateCount(nDocs: Long): Long = {
     val docs = GenScale.heapsCorpus(spark, nDocs)
-    val (cands, _, blocks) = Dedup.prefixCandidates(
+    val (cands, _, _, blocks) = Dedup.prefixCandidates(
       docs, "doc_id", "text", 1, 2, 3, suffixFilter = false)
     val n = cands.count()
     Checkpoints.release(blocks)

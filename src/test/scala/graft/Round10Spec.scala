@@ -50,10 +50,10 @@ class Round10Spec extends SparkSpec {
   test("dense fixture saturates depth 1; depth 2 prunes exactly the adversarial pairs") {
     val k = 8
     val docs = denseFixture(k, h = 12)
-    val (c1, _, b1) = Dedup.prefixCandidates(docs, "doc_id", "text", 1, 2,
+    val (c1, _, _, b1) = Dedup.prefixCandidates(docs, "doc_id", "text", 1, 2,
       shingleN = 1, suffixFilter = true, suffixDepth = 1)
     val n1 = c1.count()
-    val (c2, _, b2) = Dedup.prefixCandidates(docs, "doc_id", "text", 1, 2,
+    val (c2, _, _, b2) = Dedup.prefixCandidates(docs, "doc_id", "text", 1, 2,
       shingleN = 1, suffixFilter = true, suffixDepth = 2)
     val n2 = c2.count()
     graft.dedup.Checkpoints.release(b1)
@@ -105,10 +105,10 @@ class Round10Spec extends SparkSpec {
         ((b * 3 + v + 1).toLong, w.mkString(" "))
       }
     }.toDF("doc_id", "text")
-    val (c1, _, b1) = Dedup.prefixCandidates(docs, "doc_id", "text", 1, 2,
+    val (c1, _, _, b1) = Dedup.prefixCandidates(docs, "doc_id", "text", 1, 2,
       shingleN = 3, suffixFilter = true, suffixDepth = 1)
     val n1 = c1.count()
-    val (c2, _, b2) = Dedup.prefixCandidates(docs, "doc_id", "text", 1, 2,
+    val (c2, _, _, b2) = Dedup.prefixCandidates(docs, "doc_id", "text", 1, 2,
       shingleN = 3, suffixFilter = true, suffixDepth = 2)
     val n2 = c2.count()
     graft.dedup.Checkpoints.release(b1)

@@ -121,8 +121,11 @@ class Round12Spec extends SparkSpec {
     assert(rq == aq, s"lineitem percentiles diverge:\n$rq\n$aq")
   }
 
-  test("q129 plan: every window is (__pid, group)-partitioned — no group-only sort task") {
-    val df = QueryCatalog.equiDepthHist(spark, sf)
+  test("q171 plan: every window is (__pid, group)-partitioned — no group-only sort task") {
+    // r15: q129 rides equiDepthHistogramAuto (window shape at gate SFs);
+    // the ranged-plan pin moves to its forced twin q171 — same plan this
+    // test always pinned, now behind the dispatcher's force path
+    val df = QueryCatalog.equiDepthHistRanged(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     // the offsets window runs over the (pid, group) COUNTS frame and the

@@ -119,10 +119,10 @@ class Round9Spec extends SparkSpec {
       }
     }.toDF("doc_id", "text")
 
-    val (candsOff, _, blocksOff) = graft.dedup.Dedup.prefixCandidates(
+    val (candsOff, _, _, blocksOff) = graft.dedup.Dedup.prefixCandidates(
       docs, "doc_id", "text", 1, 2, shingleN = 3, suffixFilter = false)
     val nOff = candsOff.count()
-    val (candsOn, _, blocksOn) = graft.dedup.Dedup.prefixCandidates(
+    val (candsOn, _, _, blocksOn) = graft.dedup.Dedup.prefixCandidates(
       docs, "doc_id", "text", 1, 2, shingleN = 3, suffixFilter = true)
     val nOn = candsOn.count()
     assert(nOn < nOff,

@@ -927,7 +927,8 @@ class StreamingSpec extends SparkSpec {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val source = MemoryStream[Doc]
     val q = EventStreams.runToMemory(
-      EventStreams.nearDupStream(source.toDS(), stateTtl = Some("10 minutes")).toDF(),
+      EventStreams.nearDupStream(source.toDS(), stateTtl = Some("10 minutes"),
+        ttlLateness = "0 seconds").toDF(),
       "ndup_ttl_test",
       mode = org.apache.spark.sql.streaming.OutputMode.Append())
     try {

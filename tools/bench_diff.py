@@ -8,23 +8,37 @@ Two-file mode (back-compat):
 Multi-run median mode (the round-9/10 adjudication discipline, now a
 flag instead of a by-hand argument):
     bench_diff.py base1.json base2.json ... --vs new1.json new2.json ...
+                  [--solo=<dir of solo run*.json receipts>]
 
 In median mode each side collapses to per-query MEDIANS first, and every
-flagged query gets an explicit verdict:
+flagged query gets an explicit verdict (the r15 refinement of the r14
+two-way split, which mislabeled moved medians as "median clean"):
   REGRESSION (reproduces k/n) -- the regression holds in at least half
       of the new runs individually, not just in the median.
+  DRIFT (median moved) -- the median crossed the threshold with fewer
+      than half the runs individually over it, OR sits above
+      --drift-ratio (default 1.25) with EVERY run elevated (the
+      consistent sub-gate movement the old gate mislabeled). NOT
+      adjudicable from these runs alone: attach a solo re-run receipt
+      via --solo=<dir> (run*.json files from a quiet-box
+      SPARK_GRAFT_BENCH_ONLY run of the drifted queries). A solo median
+      back inside the threshold prints DRIFT-adjudicated (host) and
+      passes; a solo median still over escalates to REGRESSION; no solo
+      data leaves the DRIFT unadjudicated and FAILS the gate -- the
+      receipt is mandatory, not optional.
   HOST-STALL (spikes k/n, median clean) -- one-off spikes: some run(s)
       exceed the threshold but the median does not. Not a code problem;
       re-run on a quiet box instead of re-litigating.
 A query is flagged when newMed/baseMed >= ratio AND newMed-baseMed >=
 min-sec (the min-sec floor keeps 0.1s->0.2s planner jitter out of the
-report). Exits 1 only on reproduced REGRESSIONs, so it can gate a commit.
+report). Exits 1 on reproduced REGRESSIONs and unadjudicated or
+solo-confirmed DRIFTs, so it can gate a commit.
 
 Noise guards: a run whose gc_sec > 5% of value, or whose wall_sec exceeds
 value by > 30%, is labeled CONTENDED -- treat its numbers as upper bounds
 (SCALE.md benchmark-number caveat).
 """
-import json, statistics, sys
+import glob, json, os, statistics, sys
 
 
 def load(path):
@@ -69,6 +83,7 @@ def main():
                 for a in argv if a.startswith("--") and a != "--vs")
     ratio = float(opts.get("ratio", 1.5))
     min_sec = float(opts.get("min-sec", 0.5))
+    drift_ratio = float(opts.get("drift-ratio", 1.25))
     paths = [a for a in argv if not a.startswith("--") or a == "--vs"]
     if "--vs" in paths:
         cut = paths.index("--vs")
@@ -93,26 +108,77 @@ def main():
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
 
+    def solo_dir(key):
+        if key in opts and opts[key] is not True:
+            files = sorted(glob.glob(os.path.join(opts[key], "run*.json")))
+            if not files:
+                raise SystemExit(f"--{key}={opts[key]}: no run*.json receipts")
+            return medians([load(p) for p in files])
+        return {}
+    solo_meds = solo_dir("solo")
+    # --solo-base: the SAME queries run solo with the BASE code on the
+    # SAME box (git worktree at the base commit). Solo runs pay costs a
+    # full-suite run amortizes elsewhere (session caches), so solo-new
+    # vs suite-base is apples-to-oranges; solo-new vs solo-base is the
+    # same-code-shape A/B that actually separates box drift from a code
+    # regression. Preferred over the plain solo comparison when present.
+    solo_base_meds = solo_dir("solo-base")
+
     shared = sorted(set(bq) & set(nq))
-    reproduced, stalls, improvements = [], [], []
+    reproduced, drifts, stalls, improvements = [], [], [], []
     for q in shared:
         b, n = bq[q], nq[q]
         per_run = [r["queries"][q] for r in new_runs if q in r.get("queries", {})]
         over = sum(1 for v in per_run if b > 0 and v / b >= ratio and v - b >= min_sec)
+        consistent = bool(per_run) and all(v > b for v in per_run)
         if b > 0 and n / b >= ratio and n - b >= min_sec:
             if len(per_run) == 1 or over * 2 >= len(per_run):
                 reproduced.append((n / b, q, b, n, over, len(per_run)))
             else:
-                stalls.append((n / b, q, b, n, over, len(per_run)))
+                drifts.append((n / b, q, b, n, over, len(per_run)))
+        elif b > 0 and n / b >= drift_ratio and n - b >= min_sec and consistent:
+            # the q130 class: under the full gate, but EVERY run sits above
+            # base -- that is a moved median, not a spike, and saying
+            # "median clean" would be false. Adjudicate with a solo receipt.
+            drifts.append((n / b, q, b, n, over, len(per_run)))
         elif over:
             stalls.append((max(per_run) / b, q, b, n, over, len(per_run)))
         elif n > 0 and b / n >= ratio and b - n >= min_sec:
             improvements.append((b / n, q, b, n))
     for r, q, b, n, k, t in sorted(reproduced, reverse=True):
         print(f"REGRESSION {q}: {b:.2f}s -> {n:.2f}s ({r:.1f}x, reproduces {k}/{t})")
+    drift_failures = []
+    for r, q, b, n, k, t in sorted(drifts, reverse=True):
+        head = (f"DRIFT {q}: median {b:.2f}s -> {n:.2f}s "
+                f"({r:.1f}x, reproduces only {k}/{t})")
+        if q in solo_meds and q in solo_base_meds:
+            s, sb = solo_meds[q], solo_base_meds[q]
+            if sb > 0 and s / sb >= min(r, ratio) and s - sb >= min_sec:
+                drift_failures.append(q)
+                print(f"{head} -- same-code A/B CONFIRMS (solo new {s:.2f}s "
+                      f"vs solo base-code {sb:.2f}s): REGRESSION")
+            else:
+                print(f"{head} -- same-code A/B clean (solo new {s:.2f}s vs "
+                      f"solo base-code {sb:.2f}s): adjudicated host drift")
+        elif q in solo_meds:
+            s = solo_meds[q]
+            if b > 0 and s / b >= min(r, ratio) and s - b >= min_sec:
+                drift_failures.append(q)
+                print(f"{head} -- solo receipt CONFIRMS ({s:.2f}s vs base "
+                      f"{b:.2f}s): REGRESSION (caveat: a solo run pays "
+                      f"session-cache fills the suite amortizes -- prefer "
+                      f"--solo-base for a same-code A/B)")
+            else:
+                print(f"{head} -- solo receipt clean ({s:.2f}s vs base "
+                      f"{b:.2f}s): adjudicated host drift")
+        else:
+            drift_failures.append(q)
+            print(f"{head} -- UNADJUDICATED: no solo receipt (--solo=<dir> "
+                  f"with a quiet SPARK_GRAFT_BENCH_ONLY={q} run)")
     for r, q, b, n, k, t in sorted(stalls, reverse=True):
-        print(f"HOST-STALL {q}: median {n:.2f}s vs base {b:.2f}s "
-              f"(spikes {k}/{t}, median clean) -- re-run quiet, not a code verdict")
+        print(f"HOST-STALL {q}: spikes {k}/{t}; median {n:.2f}s vs base "
+              f"{b:.2f}s ({n / b:.2f}x, under the gate, runs straddle base) "
+              f"-- re-run quiet, not a code verdict")
     for r, q, b, n in sorted(improvements, reverse=True):
         print(f"improved   {q}: {b:.2f}s -> {n:.2f}s ({r:.1f}x faster)")
 
@@ -121,7 +187,7 @@ def main():
     print(f"shared {len(shared)} queries ({len(base_runs)} base / "
           f"{len(new_runs)} new runs, medians): base {tb:.1f}s -> new {tn:.1f}s "
           f"({tn / tb:.2f}x)" if tb else "no shared queries")
-    sys.exit(1 if reproduced else 0)
+    sys.exit(1 if (reproduced or drift_failures) else 0)
 
 
 if __name__ == "__main__":

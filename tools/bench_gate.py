@@ -7,7 +7,15 @@ failures).
 
 Usage:
     bench_gate.py <base_run_dir_or_files...> --vs <new_run_dir_or_files...>
-                  [--ratio=1.5] [--min-sec=0.5]
+                  [--ratio=1.5] [--min-sec=0.5] [--drift-ratio=1.25]
+                  [--solo=<dir>] [--solo-base=<dir>]
+
+DRIFT verdicts (median moved but not reproduced in >= half the runs,
+or consistently elevated above --drift-ratio) FAIL the gate unless a
+solo receipt adjudicates them: --solo = current-code solo run*.json of
+the drifted queries; --solo-base = the same queries run solo with the
+BASE code on the same box (worktree at the base commit) — the
+same-code A/B that separates box drift from a code regression.
 
 Directories expand to their *.json run files. Everything else — median
 collapse, REGRESSION-reproduces vs HOST-STALL verdicts, contention

@@ -1,14 +1,25 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Diagnostic main: print [[graft.ops.ShapeDispatch]]'s probe statistics
-  * and resulting shape choice for the q53 ranking dial at each given SF
-  * directory — the on-the-record receipt that the dispatcher picks the
-  * window shape at gate SFs and crosses to the ranged shape where the
-  * committed q53 A/B measured the crossover (~2M rows/group, sf1).
+  * and resulting shape choice for EVERY dial at each given SF directory
+  * — the on-the-record receipt that the dispatcher picks the window
+  * shape at gate SFs and crosses to the ranged shape where the
+  * committed A/Bs measured the crossovers.
   *
   *   runMain graft.tools.ShapeChoice <sfDir> [<sfDir> ...]
+  *
+  * Dials, with the exact stats frame each driver query dispatches on:
+  *  - rank (q53/q170): lineitem by l_returnflag, rows-per-group cutover
+  *  - equidepth (q129/q171): same grouping, same cutover (the histogram's
+  *    rank pass IS the rank dial)
+  *  - percentile (q36/q166): max per-group approx-distinct over BOTH
+  *    value columns (l_quantity, l_extendedprice), distinct cutover
+  *  - topk (q137/q172): the per-(flag, part) revenue AGGREGATE frame —
+  *    the dial sees parts-per-flag, which grows with the part table,
+  *    not the fact table
   */
 object ShapeChoice {
   def main(args: Array[String]): Unit = {
@@ -19,16 +30,38 @@ object ShapeChoice {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val sd = graft.ops.ShapeDispatch
     for (dir <- dirs) {
       val li = graft.io.Tables.table(spark, dir, "lineitem")
-        .select("l_returnflag", "l_quantity")
-      val st = graft.ops.ShapeDispatch.probeStats(li, Seq("l_returnflag"))
-      val shape = graft.ops.ShapeDispatch.decideByRows(st,
-        graft.ops.ShapeDispatch.DefaultRowsPerGroupCutover)
-      println(s"[shape] dir=$dir rows=${st.rows} groups=${st.groups} " +
-        s"maxRowsPerGroup=${st.maxRowsPerGroup} " +
-        s"cutover=${graft.ops.ShapeDispatch.DefaultRowsPerGroupCutover} " +
-        s"choice=$shape")
+
+      val rank = sd.probeStats(li.select("l_returnflag", "l_quantity"),
+        Seq("l_returnflag"))
+      println(s"[shape:rank] dir=$dir rows=${rank.rows} groups=${rank.groups} " +
+        s"maxRowsPerGroup=${rank.maxRowsPerGroup} " +
+        s"cutover=${sd.DefaultRowsPerGroupCutover} " +
+        s"choice=${sd.decideByRows(rank, sd.DefaultRowsPerGroupCutover)}")
+
+      println(s"[shape:equidepth] dir=$dir rows=${rank.rows} groups=${rank.groups} " +
+        s"maxRowsPerGroup=${rank.maxRowsPerGroup} " +
+        s"cutover=${sd.DefaultRowsPerGroupCutover} " +
+        s"choice=${sd.decideByRows(rank, sd.DefaultRowsPerGroupCutover)}")
+
+      val pct = sd.probeStatsMulti(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice"))
+      println(s"[shape:percentile] dir=$dir rows=${pct.rows} groups=${pct.groups} " +
+        s"maxDistinctPerGroup=${pct.maxDistinctPerGroup} " +
+        s"distinctBound=${pct.distinctBound} " +
+        s"cutover=${sd.DefaultDistinctPerGroupCutover} " +
+        s"choice=${sd.decideByDistinct(pct, sd.DefaultDistinctPerGroupCutover)}")
+
+      val rev = li.groupBy("l_returnflag", "l_partkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
+      val topk = sd.probeStats(rev, Seq("l_returnflag"))
+      println(s"[shape:topk] dir=$dir rows=${topk.rows} groups=${topk.groups} " +
+        s"maxRowsPerGroup=${topk.maxRowsPerGroup} " +
+        s"cutover=${sd.DefaultRowsPerGroupCutover} " +
+        s"choice=${sd.decideByRows(topk, sd.DefaultRowsPerGroupCutover)}")
     }
     spark.stop()
   }

@@ -458,30 +458,23 @@ object Dedup {
     val (cands, stoks, prefix, blocks) =
       prefixCandidates(docs, idCol, textCol, thrNum, thrDen, shingleN,
         suffixFilter, suffixDepth)
-    val spark = docs.sparkSession
-    // Verification merge-intersects the per-doc SORTED arrays — tokid
-    // ranks with the suffix filter on, sorted gram hashes off; either way
-    // longs in bijection with the grams (xxhash64 collisions could merge
-    // gram identities with probability ~sz²·2⁻⁶⁴ per pair; the
-    // string-exact oracle replay re-proves absence on every gated corpus).
-    //
-    // TWO physical shapes, identical output (the r14 sf4 grid's finding):
-    //  - join-verify: attach both token arrays to every candidate pair.
-    //    On a SATURATING corpus candidates grow ~n²/V (sf4 fixed-vocab:
-    //    ~310M pairs), and pairs × arrays is a terabyte-class shuffle —
-    //    measured 828s median at sf4, and the suffix-filter variant
-    //    (which attaches arrays a second time to prune) filled the disk.
-    //  - broadcast-verify: when the whole token table fits the budget
-    //    (spark.graft.prefix.broadcastVerifyBytes, default 1.5 GB — a
-    //    normal executor broadcast allowance — AND at most a quarter of
-    //    the driver heap, whichever is smaller), candidates shuffle as bare
-    //    16-byte id pairs and verify against a broadcast doc→tokens map:
-    //    the array shuffle disappears entirely. Above the budget the join
-    //    shape returns (arrays genuinely too big to replicate) — at THAT
-    //    scale an exact SSJoin on a saturating corpus is inherently
-    //    pair-bound, and the engine's documented answer is LSH (q19) or
-    //    dedup-first. Same gate-with-fallback pattern as the Similarity
-    //    codebook inlining.
+    verifyPrefixCandidates(cands, stoks, prefix, blocks, thrNum, thrDen,
+      broadcastVerify)
+  }
+
+  /** Verification-shape plan for [[verifyPrefixCandidates]], computed ONCE
+    * from the checkpointed token/prefix frames so [[ssJoinPairsAuto]] can
+    * make its escape decision on the SAME numbers the pair-space guard
+    * acts on (two bookkeeping aggregates; no candidate materializes). */
+  private[graft] final case class VerifyPlan(idIsLong: Boolean,
+                                             takeBroadcast: Boolean,
+                                             estPairs: Double,
+                                             avgSz: Double,
+                                             estShuffle: Double)
+
+  private[graft] def planVerify(stoks: DataFrame, prefix: DataFrame,
+                                broadcastVerify: Option[Boolean]): VerifyPlan = {
+    val spark = stoks.sparkSession
     val idIsLong = stoks.schema("id").dataType ==
       org.apache.spark.sql.types.LongType
     // A caller FORCING the broadcast shape on a non-long id would get a
@@ -509,7 +502,7 @@ object Dedup {
       val driverCap = Runtime.getRuntime.maxMemory / 4
       idIsLong && bytes <= math.min(cap, driverCap)
     }
-    // ---- pair-space regime guard (r15 — the q142 auto-escape) ------------
+    // ---- pair-space estimate (r15 — the regime guard's input) ------------
     // Estimated BEFORE any candidate materializes, from the prefix
     // checkpoint: the bucket join's output is Σ_t idxCnt_t·cnt_t, upper-
     // bounded by Σ_t cnt_t·(cnt_t−1)/2 over prefix-token buckets. Double
@@ -523,6 +516,45 @@ object Dedup {
     val avgSz = if (nDocs == 0) 0.0 else totalTokens.toDouble / nDocs
     val estShuffle = pairShuffleBytes(estPairs, avgSz,
       broadcastShape = takeBroadcast && idIsLong)
+    VerifyPlan(idIsLong, takeBroadcast, estPairs, avgSz, estShuffle)
+  }
+
+  /** The verification stage of [[prefixFilterPairs]] over prebuilt
+    * [[prefixCandidates]] output — split out so [[ssJoinPairsAuto]] can
+    * estimate the pair space FIRST (via [[planVerify]]) and only then
+    * commit to the exact shape. Releases `blocks` after the output
+    * checkpoint materializes. */
+  private[graft] def verifyPrefixCandidates(cands: DataFrame, stoks: DataFrame,
+      prefix: DataFrame, blocks: Seq[org.apache.spark.rdd.RDD[_]],
+      thrNum: Int, thrDen: Int, broadcastVerify: Option[Boolean],
+      plan: Option[VerifyPlan] = None): DataFrame = {
+    val spark = cands.sparkSession
+    // Verification merge-intersects the per-doc SORTED arrays — tokid
+    // ranks with the suffix filter on, sorted gram hashes off; either way
+    // longs in bijection with the grams (xxhash64 collisions could merge
+    // gram identities with probability ~sz²·2⁻⁶⁴ per pair; the
+    // string-exact oracle replay re-proves absence on every gated corpus).
+    //
+    // TWO physical shapes, identical output (the r14 sf4 grid's finding):
+    //  - join-verify: attach both token arrays to every candidate pair.
+    //    On a SATURATING corpus candidates grow ~n²/V (sf4 fixed-vocab:
+    //    ~310M pairs), and pairs × arrays is a terabyte-class shuffle —
+    //    measured 828s median at sf4, and the suffix-filter variant
+    //    (which attaches arrays a second time to prune) filled the disk.
+    //  - broadcast-verify: when the whole token table fits the budget
+    //    (spark.graft.prefix.broadcastVerifyBytes, default 1.5 GB — a
+    //    normal executor broadcast allowance — AND at most a quarter of
+    //    the driver heap, whichever is smaller), candidates shuffle as bare
+    //    16-byte id pairs and verify against a broadcast doc→tokens map:
+    //    the array shuffle disappears entirely. Above the budget the join
+    //    shape returns (arrays genuinely too big to replicate) — at THAT
+    //    scale an exact SSJoin on a saturating corpus is inherently
+    //    pair-bound, and the engine's documented answer is LSH (q19) or
+    //    dedup-first. Same gate-with-fallback pattern as the Similarity
+    //    codebook inlining.
+    val VerifyPlan(idIsLong, takeBroadcast, estPairs, avgSz, estShuffle) =
+      plan.getOrElse(planVerify(stoks, prefix, broadcastVerify))
+    // ---- pair-space regime guard (r15 — the q142 escape hatch) -----------
     val hardCap = spark.conf.getOption(MaxPairShuffleBytesKey).map(_.toLong)
     val warnCap = spark.conf.getOption(PairShuffleWarnBytesKey)
       .map(_.toLong).getOrElse(DefaultPairShuffleWarnBytes)
@@ -619,6 +651,150 @@ object Dedup {
     bIndex.foreach(_.destroy())
     Checkpoints.release(blocks)
     out
+  }
+
+  /** The two physical answers to a set-similarity join, for
+    * [[ssJoinPairsAuto]]'s dispatch (the [[graft.ops.ShapeDispatch]]
+    * pattern applied to the dedup family). */
+  sealed trait SsJoinShape
+  /** the lossless PPJoin+ prefix-filter join — every true pair, exactly
+    * ([[prefixFilterPairs]]). */
+  case object ExactSsJoin extends SsJoinShape
+  /** MinHash-LSH candidate generation + the SAME exact integer
+    * verification — precision 1, recall follows the banding curve
+    * 1−(1−s^r)^b on each true pair's similarity s. */
+  case object LshSsJoin extends SsJoinShape
+
+  /** Session-wide override for [[ssJoinPairsAuto]]: "exact" | "lsh". */
+  val SsJoinForceKey = "spark.graft.ssjoin.force"
+  /** OPT-IN escape threshold (bytes) for [[ssJoinPairsAuto]]: when set,
+    * an estimated exact-verify candidate shuffle above it dispatches to
+    * the LSH shape. Unset (the default) = always exact — sub-unit recall
+    * is never a silent default. */
+  val SsJoinLshEscapeBytesKey = "spark.graft.ssjoin.lshEscapeBytes"
+
+  /** [[LshSsJoin]]'s materialization: MinHash-LSH candidates
+    * ([[minhashCandidatePairsTracked]]) re-scored by the SAME integer
+    * predicate as [[prefixFilterPairs]] (inter·den ≥ num·union over
+    * distinct-gram sets), emitting the SAME output contract
+    * (doc_a < doc_b, inter, union_sz, jaccard — bit-identical values on
+    * every emitted pair, since both shapes count set identities under
+    * the same xxhash64 gram bijection and round with the same
+    * expression). What differs is COVERAGE: only pairs that collide in
+    * ≥1 of the b bands appear, so recall on a true pair at similarity s
+    * is 1−(1−s^r)^b — the banding curve; precision stays 1. Defaults
+    * (k=32 — the native minhash_sig ceiling — r=4 → b=8) give ~0.40
+    * recall AT a 0.5 threshold and ≥0.95 at s ≥ 0.75; lower
+    * `rowsPerBand` to raise recall at the cost of more candidates
+    * (r=1 → miss probability (1−s)^32 ≤ 2⁻³² at s ≥ 0.5, but every
+    * pair sharing ONE minhash becomes a candidate — the dial trades
+    * candidate volume, which is the very thing the escape bounds).
+    * Scale: candidates form only inside band buckets
+    * (never the n²/V exact-prefix pair space this shape escapes), and
+    * verification tokenizes only candidate-incident docs. */
+  private[graft] def lshVerifiedPairs(docs: DataFrame, idCol: String,
+      textCol: String, thrNum: Int, thrDen: Int, shingleN: Int,
+      k: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val (cands, candBlocks) = minhashCandidatePairsTracked(
+      docs, idCol, textCol, shingleN, k, rowsPerBand, maxBucket)
+    // shingle ONLY candidate-incident docs (the nearDupPairsFrom shape):
+    // per-token hash work scales with candidate density, not the corpus
+    val candIds = cands.select(col("doc_a").as("id"))
+      .union(cands.select(col("doc_b").as("id")))
+      .distinct()
+    val sets = docs.select(col(idCol).as("id"), col(textCol))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        sort_array(shingleHashSet(col(textCol), shingleN)).as("tk"))
+    val out = Checkpoints.output(cands
+      .join(sets.select(col("id").as("doc_a"), col("tk").as("tk_a")), Seq("doc_a"))
+      .join(sets.select(col("id").as("doc_b"), col("tk").as("tk_b")), Seq("doc_b"))
+      .withColumn("sz_a", size(col("tk_a")))
+      .withColumn("sz_b", size(col("tk_b")))
+      .withColumn("inter",
+        graft.functions.SortedIntersect.sorted_intersect_count(col("tk_a"), col("tk_b")))
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * thrDen >= col("union_sz") * thrNum)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        col("inter"), col("union_sz"),
+        graft.ops.CoreOps.roundPortable(
+          col("inter").cast("double") / col("union_sz").cast("double"), 6).as("jaccard")))
+    Checkpoints.release(candBlocks)
+    out
+  }
+
+  /** Stat-driven set-similarity join (the q142 escape, productized —
+    * VERDICT r14 item 3's "ideally"): [[prefixFilterPairs]] while the
+    * estimated candidate shuffle stays tractable, the LSH-verified shape
+    * ([[lshVerifiedPairs]]) once the exact join enters the pair-bound
+    * regime — IF the caller opted in. Selection ladder, mirroring
+    * [[graft.ops.ShapeDispatch]]:
+    *
+    *  1. per-call `force`;
+    *  2. session conf `spark.graft.ssjoin.force` = "exact" | "lsh";
+    *  3. `spark.graft.ssjoin.lshEscapeBytes` UNSET → always exact (the
+    *     warn/hard-cap guards in [[prefixFilterPairs]] still apply);
+    *  4. set → build the prefix structures once, estimate the verify
+    *     shuffle on the SAME numbers the guard uses ([[planVerify]]:
+    *     Σ c·(c−1)/2 over prefix buckets × the shape's per-pair bytes);
+    *     above the threshold, release the prefix checkpoints and take
+    *     the LSH shape; otherwise continue into the exact verification
+    *     with nothing recomputed.
+    *
+    * The RECALL CONTRACT when the escape fires: precision stays 1 (the
+    * verification is the same integer arithmetic), recall on a true pair
+    * at similarity s drops to the banding curve 1−(1−s^r)^b. That loss
+    * is deliberate and opt-in — at the corpus sizes that trigger the
+    * escape, the exact join's candidate space is ~n²/V and no filter
+    * ladder changes the asymptote (the r14 sf4 grid measured it filling
+    * the disk); a bounded-recall answer that completes beats an exact
+    * one that does not. Callers needing exactness at that scale shrink
+    * the corpus first (exact dedup / span dedup), then run exact. */
+  def ssJoinPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+                      thrNum: Int, thrDen: Int, shingleN: Int = 1,
+                      force: Option[SsJoinShape] = None,
+                      broadcastVerify: Option[Boolean] = None,
+                      lshK: Int = 32, lshRowsPerBand: Int = 4,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val conf = docs.sparkSession.conf
+    val chosen = force.orElse(conf.getOption(SsJoinForceKey).flatMap {
+      case "exact" => Some(ExactSsJoin)
+      case "lsh"   => Some(LshSsJoin)
+      case _       => None
+    })
+    def lshShape(): DataFrame = lshVerifiedPairs(docs, idCol, textCol,
+      thrNum, thrDen, shingleN, lshK, lshRowsPerBand, maxBucket)
+    chosen match {
+      case Some(ExactSsJoin) =>
+        prefixFilterPairs(docs, idCol, textCol, thrNum, thrDen, shingleN,
+          broadcastVerify = broadcastVerify)
+      case Some(LshSsJoin) => lshShape()
+      case None =>
+        conf.getOption(SsJoinLshEscapeBytesKey).map(_.toLong) match {
+          case None => // escape not opted into: exact, unconditionally
+            prefixFilterPairs(docs, idCol, textCol, thrNum, thrDen, shingleN,
+              broadcastVerify = broadcastVerify)
+          case Some(escapeBytes) =>
+            val (cands, stoks, prefix, blocks) = prefixCandidates(
+              docs, idCol, textCol, thrNum, thrDen, shingleN,
+              suffixFilter = false, suffixDepth = 1)
+            val vp = planVerify(stoks, prefix, broadcastVerify)
+            if (vp.estShuffle > escapeBytes) {
+              Checkpoints.release(blocks)
+              org.slf4j.LoggerFactory.getLogger(getClass).info(
+                f"ssJoinPairsAuto: estimated exact-verify shuffle " +
+                  f"${vp.estShuffle}%.3g B (~${vp.estPairs}%.3g candidate " +
+                  f"pairs) exceeds $SsJoinLshEscapeBytesKey=$escapeBytes — " +
+                  s"dispatching to the LSH shape (k=$lshK, r=$lshRowsPerBand; " +
+                  "precision 1, recall per the banding curve)")
+              lshShape()
+            } else {
+              verifyPrefixCandidates(cands, stoks, prefix, blocks,
+                thrNum, thrDen, broadcastVerify, Some(vp))
+            }
+        }
+    }
   }
 
   /** Candidate generation for [[prefixFilterPairs]], split out so the

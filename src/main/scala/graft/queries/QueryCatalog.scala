@@ -3738,15 +3738,19 @@ object QueryCatalog {
       .orderBy("promo_id")
   }
 
-  /** Exact set-similarity join (q142):
+  /** Exact set-similarity join (q142), riding the r15 dispatcher
+    * [[graft.dedup.Dedup.ssJoinPairsAuto]]: with no force and no opt-in
+    * escape threshold the ladder resolves to
     * [[graft.dedup.Dedup.prefixFilterPairs]] at 3-gram Jaccard ≥ 1/2 —
     * the no-false-negative dual of the MinHash (q19) and SimHash (q52)
     * probabilistic families, with the threshold held in integer
     * arithmetic end to end. The oracle replays the whole construction
-    * (df ranks, prefix bound, length filter, integer verification).
+    * (df ranks, prefix bound, length filter, integer verification) —
+    * which is exactly why the LSH escape must stay opt-in: sub-unit
+    * recall can never pass this oracle, or a user who didn't choose it.
     */
   def prefixFilterPairsQuery(s: SparkSession, dir: String): DataFrame =
-    Dedup.prefixFilterPairs(t(s, dir, "documents"), "doc_id", "text", 1, 2, shingleN = 3)
+    Dedup.ssJoinPairsAuto(t(s, dir, "documents"), "doc_id", "text", 1, 2, shingleN = 3)
       .orderBy("doc_a", "doc_b")
 
   /** Per-group OLS (q143): price-vs-quantity trend per return flag from

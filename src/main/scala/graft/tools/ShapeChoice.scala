@@ -62,6 +62,24 @@ object ShapeChoice {
         s"maxRowsPerGroup=${topk.maxRowsPerGroup} " +
         s"cutover=${sd.DefaultRowsPerGroupCutover} " +
         s"choice=${sd.decideByRows(topk, sd.DefaultRowsPerGroupCutover)}")
+
+      // ssjoin dial (q142's construction): the pair-space estimate
+      // ssJoinPairsAuto decides on, priced for the shape the exact
+      // verify would take, against a representative opt-in escape
+      // threshold (the default warn level). The receipt shows where the
+      // exact join's candidate shuffle enters the pair-bound regime.
+      val docs = graft.io.Tables.table(spark, dir, "documents")
+      val (_, stoks, prefix, blocks) = graft.dedup.Dedup.prefixCandidates(
+        docs, "doc_id", "text", 1, 2, shingleN = 3,
+        suffixFilter = false, suffixDepth = 1)
+      val vp = graft.dedup.Dedup.planVerify(stoks, prefix, None)
+      graft.dedup.Checkpoints.release(blocks)
+      val escape = graft.dedup.Dedup.DefaultPairShuffleWarnBytes
+      val ssChoice = if (vp.estShuffle > escape) "LshSsJoin" else "ExactSsJoin"
+      println(f"[shape:ssjoin] dir=$dir estPairs=${vp.estPairs}%.4g " +
+        f"avgTokensPerDoc=${vp.avgSz}%.1f broadcastShape=${vp.takeBroadcast} " +
+        f"estShuffleBytes=${vp.estShuffle}%.4g escapeBytesIfOptedIn=$escape " +
+        s"choice=$ssChoice")
     }
     spark.stop()
   }

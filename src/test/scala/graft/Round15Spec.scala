@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * multi-column percentile dial q36 now rides, (c) the q129/q171 and
   * q137/q172 auto/forced pairs' shapes, (d) the prefixFilterPairs
   * pair-space regime guard and broadcast-verify hardening, (e) the
-  * nearDupStream explicit-lateness contract.
+  * nearDupStream explicit-lateness contract, (f) ssJoinPairsAuto — the
+  * opt-in stat-driven escape from the exact SSJoin to the LSH-verified
+  * shape (precision 1, recall per the banding curve).
   */
 class Round15Spec extends SparkSpec {
 
@@ -234,6 +236,81 @@ class Round15Spec extends SparkSpec {
     val auto = Dedup.prefixFilterPairs(docs, "doc_id", "text", 1, 2,
       shingleN = 1)
     assert(auto.count() == 1)
+  }
+
+  // ---- (f) ssJoinPairsAuto: the opt-in LSH escape ---------------------------
+
+  test("ssJoinPairsAuto: the default ladder is exact — multiset-identical to prefixFilterPairs (q142's frozen shape)") {
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val exact = Dedup.prefixFilterPairs(docs, "doc_id", "text", 1, 2, shingleN = 3)
+    val auto = Dedup.ssJoinPairsAuto(docs, "doc_id", "text", 1, 2, shingleN = 3)
+    assert(auto.columns.toSeq == exact.columns.toSeq)
+    assert(auto.exceptAll(exact).isEmpty && exact.exceptAll(auto).isEmpty,
+      "with no force and no escape conf the dispatcher must be the exact join")
+  }
+
+  test("ssJoinPairsAuto: escape fires above the opt-in threshold — precision 1, bit-identical rows on emitted pairs") {
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val exact = Dedup.prefixFilterPairs(docs, "doc_id", "text", 1, 2, shingleN = 3)
+    withConf(Dedup.SsJoinLshEscapeBytesKey, "1") {
+      val lsh = Dedup.ssJoinPairsAuto(docs, "doc_id", "text", 1, 2, shingleN = 3)
+      assert(lsh.columns.toSeq == exact.columns.toSeq,
+        "both shapes must share the output contract")
+      // precision 1: the verification is the same integer arithmetic, so
+      // every emitted row (ids, inter, union_sz, jaccard) must appear in
+      // the exact output verbatim
+      assert(lsh.exceptAll(exact).isEmpty,
+        "the LSH shape must never emit a row the exact join would not")
+      // r=1 over 64 bands: any true pair at J >= 1/2 misses all bands
+      // with model probability (1-s)^64 <= 2^-64 — on this fixed corpus
+      // and hash family the candidate cover is total, so recall is
+      // exactly 1 (deterministic; re-proven every run)
+      val full = Dedup.ssJoinPairsAuto(docs, "doc_id", "text", 1, 2,
+        shingleN = 3, lshRowsPerBand = 1)
+      assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty,
+        "r=1 banding must cover every true pair on the fixture")
+    }
+  }
+
+  test("ssJoinPairsAuto: selection ladder — per-call force > session conf > escape conf > exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    // the hard-cap guard lives ONLY in the exact verify path: with the
+    // cap at 1 byte, a run that throws took the exact shape and a run
+    // that completes took the LSH shape — an unambiguous plan witness
+    withConf(Dedup.MaxPairShuffleBytesKey, "1") {
+      intercept[IllegalStateException] { // default ladder: exact
+        Dedup.ssJoinPairsAuto(docs, "doc_id", "text", 1, 2)
+      }
+      // forced LSH skips the exact path (and its guard) entirely
+      val viaLsh = Dedup.ssJoinPairsAuto(docs, "doc_id", "text", 1, 2,
+        force = Some(Dedup.LshSsJoin), lshRowsPerBand = 1)
+      assert(viaLsh.count() == 1)
+      withConf(Dedup.SsJoinForceKey, "lsh") { // session conf alone: LSH
+        assert(Dedup.ssJoinPairsAuto(docs, "doc_id", "text", 1, 2,
+          lshRowsPerBand = 1).count() == 1)
+        intercept[IllegalStateException] { // per-call force beats the conf
+          Dedup.ssJoinPairsAuto(docs, "doc_id", "text", 1, 2,
+            force = Some(Dedup.ExactSsJoin))
+        }
+      }
+      withConf(Dedup.SsJoinForceKey, "exact") {
+        withConf(Dedup.SsJoinLshEscapeBytesKey, "1") {
+          intercept[IllegalStateException] { // force conf beats the escape
+            Dedup.ssJoinPairsAuto(docs, "doc_id", "text", 1, 2)
+          }
+        }
+      }
+      // an escape threshold the estimate stays UNDER resolves to exact
+      // (the guard proves the exact path ran; the estimate was computed
+      // before it — ladder step 4's under-threshold branch)
+      withConf(Dedup.SsJoinLshEscapeBytesKey, "1000000000000000000") {
+        intercept[IllegalStateException] {
+          Dedup.ssJoinPairsAuto(docs, "doc_id", "text", 1, 2)
+        }
+      }
+    }
   }
 
   // ---- (e) nearDupStream explicit-lateness contract ------------------------

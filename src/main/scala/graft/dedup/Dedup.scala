@@ -158,7 +158,17 @@ object Dedup {
     val sigDf = docs.select(col(idCol).as("doc_id"),
       minhashSignature(col(textCol), shingleN, k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // null/empty-text docs have a NULL signature (minhash_sig's
+    // null-on-empty contract). Banding them anyway would xxhash64 the
+    // same all-null band slices into ONE shared band_key per band — a
+    // single quadratic candidate bucket growing n²_null pairs that every
+    // verifier later discards (null tk fails any overlap predicate), so
+    // output parity holds but candidate generation can blow up (r15
+    // ADVICE). Content-less docs are not near-dup candidates: drop the
+    // null signatures before banding, mirroring the exact SSJoin's
+    // sz > 0 filter.
     val banded = sigDf
+      .filter(col("sig").isNotNull)
       .select(col("doc_id"), explode(array(bandStructs(col("sig"), bands, rowsPerBand): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     (banded, sigDf)
@@ -758,10 +768,14 @@ object Dedup {
                       lshK: Int = 32, lshRowsPerBand: Int = 4,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
     val conf = docs.sparkSession.conf
-    val chosen = force.orElse(conf.getOption(SsJoinForceKey).flatMap {
-      case "exact" => Some(ExactSsJoin)
-      case "lsh"   => Some(LshSsJoin)
-      case _       => None
+    // an unrecognized force value fails loud (r15 ADVICE): a user who
+    // typo'd "LSH" believes they forced a shape — silently taking the
+    // auto ladder instead is the one outcome they explicitly ruled out
+    val chosen = force.orElse(conf.getOption(SsJoinForceKey).map {
+      case "exact" => ExactSsJoin
+      case "lsh"   => LshSsJoin
+      case other => throw new IllegalArgumentException(
+        s"$SsJoinForceKey: unknown value '$other' (valid: exact | lsh)")
     })
     def lshShape(): DataFrame = lshVerifiedPairs(docs, idCol, textCol,
       thrNum, thrDen, shingleN, lshK, lshRowsPerBand, maxBucket)

@@ -209,10 +209,43 @@ object ShapeDispatch {
     catalogStats(df, groupCols, valueCol)
       .getOrElse(probeStats(df, groupCols, valueCol))
 
+  /** Conf: memoize [[guardedStats]]' probe result per (session, input
+    * plan, group/value columns) — default ON, "false" disables. The
+    * probe is a full column-pruned scan; without the memo every auto
+    * dial invocation on the same input re-pays it (the r15 sf10 cell
+    * measured ~13s of a 41s query — real money at 100×). Set "false"
+    * for inputs whose underlying files mutate mid-session under an
+    * unchanged plan (a stale entry can only mis-pick the SHAPE — both
+    * sides of every dial are bit-identical, so values never change). */
+  val StatsCacheKey = "spark.graft.shape.statsCache"
+
+  /** Probe memo, keyed by the ANALYZED plan's canonical semantic hash +
+    * the probed columns, session-scoped (the star/PQ-index lifecycle:
+    * entries die with the session, evicted by the context listener).
+    * A semantic-hash collision would serve another input's stats — the
+    * blast radius is a wrong plan SHAPE, never a wrong value (the
+    * dual-shape contract), the same trust level the dials already
+    * extend to catalog averages. */
+  private val statsCache =
+    graft.util.SessionScoped.cache[GroupStats]("shapeStats", _ => ())
+
+  /** Probe invocations since JVM start (spec surface: Round16Spec pins
+    * that a second auto-dial call on the same input runs ZERO probes). */
+  private[graft] val probeInvocations = new java.util.concurrent.atomic.AtomicLong
+
+  private def statsCacheOn(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(StatsCacheKey).forall(_.toBoolean)
+
+  private[graft] def statsCacheKey(df: DataFrame, groupCols: Seq[String],
+                                   valueCols: Seq[String]): String =
+    s"${df.queryExecution.analyzed.semanticHash()}|g=${groupCols.mkString(",")}" +
+      s"|v=${valueCols.mkString(",")}"
+
   /** The stats source the auto dials use: catalog stats ONLY when
     * [[trustCatalog]] holds for the statistic the dial decides on
     * (rows-per-group, or the distinct bound when `byDistinct`),
-    * else the exact probe. Headroom from
+    * else the exact probe — memoized per (session, plan, columns)
+    * unless `spark.graft.shape.statsCache=false`. Headroom from
     * `spark.graft.shape.catalogSkewHeadroom` (default 10×). */
   def guardedStats(df: DataFrame, groupCols: Seq[String],
                    valueCols: Seq[String], cutover: Long,
@@ -222,7 +255,13 @@ object ShapeDispatch {
       case Some(cs) if trustCatalog(
           if (byDistinct) cs.distinctBound else cs.maxRowsPerGroup,
           cutover, headroom) => cs
-      case _ => probeStatsMulti(df, groupCols, valueCols)
+      case _ =>
+        def probed = { probeInvocations.incrementAndGet()
+          probeStatsMulti(df, groupCols, valueCols) }
+        if (statsCacheOn(df))
+          statsCache.getOrElseUpdate(df.sparkSession,
+            statsCacheKey(df, groupCols, valueCols))(probed)
+        else probed
     }
   }
 
@@ -335,10 +374,90 @@ object ShapeDispatch {
           .agg(aggs.head, aggs.tail: _*)
           .filter(keep)
       case RangedShape =>
-        specs.map(sp => CoreOps.rankedPercentiles(df, groupCols,
-            sp.valueCol, sp.ps, sp.outCols))
-          .reduce((a, b) => a.join(b, groupCols))
+        // one spec keeps rankedPercentiles' exact r13 plan shape; several
+        // fuse into ONE melted ranked pass (r15 advisory: the per-column
+        // map+join paid one full ranked pass per value column)
+        if (specs.sizeIs == 1)
+          CoreOps.rankedPercentiles(df, groupCols, specs.head.valueCol,
+            specs.head.ps, specs.head.outCols)
+        else rankedPercentilesFused(df, groupCols, specs)
     }
+  }
+
+  /** The ranged percentile shape over SEVERAL value columns in ONE
+    * ranked pass (r15 advisory #3): instead of one
+    * [[CoreOps.rankedPercentiles]] exchange per column plus an inner
+    * join of the results, the value columns MELT into
+    * (group…, __spec, __v) long form — numSpecs× the rows, two narrow
+    * columns — and a single [[CoreOps.groupedRowNumberAndTotals]] pass
+    * keyed by (group…, spec) ranks them all: one range exchange, one
+    * bookkeeping aggregate, one broadcast rank-lookup chain, shared by
+    * every column. Values are bit-identical to the per-column form
+    * (same cast-to-double, same per-(group,spec) rank order statistics,
+    * same `Percentile.getPercentile` interpolation arithmetic — the
+    * ranks of column A are computed within its own __spec slice, so
+    * melting cannot mix columns), and the keep-filter reproduces the
+    * inner join's semantics: a group all-null in ANY column has no
+    * order statistics there and drops. Round16Spec pins fused ≡ joined
+    * on skewed + null-bearing fixtures; q166 rides this shape under the
+    * frozen DuckDB oracle.
+    */
+  def rankedPercentilesFused(df: DataFrame, groupCols: Seq[String],
+                             specs: Seq[PercentileSpec]): DataFrame = {
+    require(specs.sizeIs >= 2, "fused form needs >= 2 specs (use rankedPercentiles)")
+    val allOut = specs.flatMap(_.outCols)
+    require(allOut.distinct.sizeIs == allOut.size,
+      s"output column names must be unique across specs: $allOut")
+    // melt: one row per (input row, spec), nulls dropped per slice —
+    // exactly the per-column form's pre-rank null filter
+    val meltArr = array(specs.zipWithIndex.map { case (sp, i) =>
+      struct(lit(i).as("__spec"), col(sp.valueCol).cast("double").as("__v")) }: _*)
+    val melted = df
+      .select(groupCols.map(col) :+ explode(meltArr).as("__e"): _*)
+      .select(groupCols.map(col) :+ col("__e.__spec").as("__spec") :+
+        col("__e.__v").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val gs = groupCols :+ "__spec"
+    val (ranked, totals) = CoreOps.groupedRowNumberAndTotals(melted, gs,
+      Seq("__v"), rankCol = "__rk", nCol = "__n")
+    // per-(group, spec) targets: explode THAT spec's (p, out) list,
+    // selected from an array-of-arrays literal by the spec index
+    val perSpec = element_at(
+      array(specs.map(sp => array(sp.ps.zip(sp.outCols).map { case (p, o) =>
+        struct(lit(p).as("__p"), lit(o).as("__out")) }: _*)): _*),
+      col("__spec") + 1)
+    val targets = totals
+      .select(gs.map(col) :+ col("__n") :+ explode(perSpec).as("__e"): _*)
+      .select(gs.map(col) :+ col("__n") :+ col("__e.__p").as("__p") :+
+        col("__e.__out").as("__out"): _*)
+      .withColumn("__pos", (col("__n") - lit(1L)) * col("__p"))
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+    // targets are |groups|·|specs|·|ps| rows — broadcast side by
+    // construction; each attach is a broadcast hash filter-join over
+    // the ONE ranked stream (the rankedPercentiles shape, shared here)
+    def attach(t: DataFrame, rank0: String, as: String): DataFrame = {
+      val r = ranked.select(gs.map(c => col(c).as(s"__r_$c")) :+
+        col("__rk").as("__r_rk") :+ col("__v").as(as): _*)
+      val cond = gs.map(c => t(c) <=> r(s"__r_$c"))
+        .foldLeft(t(rank0) + lit(1L) === r("__r_rk"))(_ && _)
+      r.join(broadcast(t), cond)
+        .drop("__r_rk")
+        .drop(gs.map(c => s"__r_$c"): _*)
+    }
+    val withLo = attach(targets, "__lo", "__loVal")
+    val both = attach(withLo, "__hi", "__hiVal")
+    val interp = when(col("__lo") === col("__hi"), col("__loVal"))
+      .otherwise((col("__hi") - col("__pos")) * col("__loVal") +
+                 (col("__pos") - col("__lo")) * col("__hiVal"))
+    val vals = both.withColumn("__val", interp)
+    val keep = specs.map(sp => col(sp.outCols.head).isNotNull).reduce(_ && _)
+    vals.groupBy(groupCols.map(col): _*)
+      .agg(
+        max(when(col("__out") === allOut.head, col("__val"))).as(allOut.head),
+        allOut.tail.map(o =>
+          max(when(col("__out") === o, col("__val"))).as(o)): _*)
+      .filter(keep)
   }
 
   /** [[CoreOps.equiDepthHistogram]] with `rangedRanks` CHOSEN by the

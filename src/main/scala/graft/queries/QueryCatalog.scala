@@ -723,21 +723,29 @@ object QueryCatalog {
   }
 
   /** q36's OTHER side of the dial (q166): the same three percentiles
-    * through [[graft.ops.CoreOps.rankedPercentiles]] — groupedRowNumber
-    * order statistics + the identical `Percentile.getPercentile`
+    * through the FORCED ranged shape — groupedRowNumber order
+    * statistics + the identical `Percentile.getPercentile`
     * interpolation, no group-sized aggregation buffer anywhere. Checked
     * against the SAME `quantile_cont` oracle as q36: the two driver
     * entries jointly prove the cutover rule swaps plan shape, never
-    * values. (Two passes per value column by construction; the buffer
-    * form q36 keeps is the sf ≤ 1 bench shape — see the q36 Scaladoc.)
+    * values. r16: re-platformed onto
+    * [[graft.ops.ShapeDispatch.rankedPercentilesFused]] (via the dial's
+    * force param) — BOTH value columns through ONE melted ranked pass
+    * instead of one pass per column + join (the r15 advisory), so the
+    * shape users actually get from the ranged branch is the one this
+    * frozen hash checks.
     */
   def rankedPercentilesQuery(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val q = graft.ops.CoreOps.rankedPercentiles(li, Seq("l_returnflag"),
-      "l_quantity", Seq(0.5, 0.9), Seq("p50raw", "p90raw"))
-    val p = graft.ops.CoreOps.rankedPercentiles(li, Seq("l_returnflag"),
-      "l_extendedprice", Seq(0.99), Seq("p99raw"))
-    q.join(p, Seq("l_returnflag"))
+    import graft.ops.ShapeDispatch
+    ShapeDispatch.percentilesAutoMulti(
+        t(s, dir, "lineitem")
+          .select("l_returnflag", "l_quantity", "l_extendedprice"),
+        Seq("l_returnflag"),
+        Seq(ShapeDispatch.PercentileSpec("l_quantity",
+              Seq(0.5, 0.9), Seq("p50raw", "p90raw")),
+          ShapeDispatch.PercentileSpec("l_extendedprice",
+              Seq(0.99), Seq("p99raw"))),
+        force = Some(ShapeDispatch.RangedShape))
       .select(col("l_returnflag"),
         roundPortable(col("p50raw"), 4).as("p50"),
         roundPortable(col("p90raw"), 4).as("p90"),
@@ -3738,19 +3746,25 @@ object QueryCatalog {
       .orderBy("promo_id")
   }
 
-  /** Exact set-similarity join (q142), riding the r15 dispatcher
-    * [[graft.dedup.Dedup.ssJoinPairsAuto]]: with no force and no opt-in
-    * escape threshold the ladder resolves to
+  /** Exact set-similarity join (q142) through the r15 dispatcher
+    * [[graft.dedup.Dedup.ssJoinPairsAuto]], PINNED to
+    * [[graft.dedup.Dedup.ExactSsJoin]]:
     * [[graft.dedup.Dedup.prefixFilterPairs]] at 3-gram Jaccard ≥ 1/2 —
     * the no-false-negative dual of the MinHash (q19) and SimHash (q52)
     * probabilistic families, with the threshold held in integer
     * arithmetic end to end. The oracle replays the whole construction
     * (df ranks, prefix bound, length filter, integer verification) —
-    * which is exactly why the LSH escape must stay opt-in: sub-unit
-    * recall can never pass this oracle, or a user who didn't choose it.
+    * which is exactly why this GATED query pins the shape (r15 ADVICE):
+    * a session-wide `spark.graft.ssjoin.force=lsh` or an opt-in
+    * `lshEscapeBytes` a user sets for their OWN joins must not silently
+    * change a frozen-hash catalog query's recall in the same session.
+    * Sub-unit recall can never pass this oracle, or a user who didn't
+    * choose it; the conf-sensitive auto ladder stays covered by
+    * Round15/16Spec on the API path.
     */
   def prefixFilterPairsQuery(s: SparkSession, dir: String): DataFrame =
-    Dedup.ssJoinPairsAuto(t(s, dir, "documents"), "doc_id", "text", 1, 2, shingleN = 3)
+    Dedup.ssJoinPairsAuto(t(s, dir, "documents"), "doc_id", "text", 1, 2,
+        shingleN = 3, force = Some(Dedup.ExactSsJoin))
       .orderBy("doc_a", "doc_b")
 
   /** Per-group OLS (q143): price-vs-quantity trend per return flag from

@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
   * shapes against each other on the SAME session and corpus — wall time
   * AND the exact recall the LSH escape trades for it (computable here
   * because the exact join IS the ground truth: recall =
-  * |lsh ∩ exact| / |exact|, and precision is asserted 1 by checking
-  * lsh \ exact is empty, values included).
+  * |lsh ∩ exact| / |exact| = (|lsh| − |lsh \ exact|) / |exact|, and
+  * precision 1 is ENFORCED — a non-empty lsh \ exact (values included)
+  * is a contract violation and the tool throws).
   *
   *   runMain graft.tools.AbSsJoinEscape <sfDir> [table] [rList]
   *
@@ -60,10 +61,16 @@ object AbSsJoinEscape {
       }
       val nLsh = lsh.count()
       val falsePos = lsh.exceptAll(exact).count()
+      // recall counts TRUE positives only — |lsh|/|exact| would overstate
+      // whenever falsePos > 0 (r15 ADVICE)
+      val truePos = nLsh - falsePos
       println(f"[ab:ssjoin] dir=$dir table=$table form=lsh_r$r VERDICT " +
-        f"recall=${if (nExact == 0) 1.0 else nLsh.toDouble / nExact}%.4f " +
-        s"($nLsh of $nExact exact pairs) falsePositives=$falsePos " +
+        f"recall=${if (nExact == 0) 1.0 else truePos.toDouble / nExact}%.4f " +
+        s"($truePos of $nExact exact pairs) falsePositives=$falsePos " +
         s"bands=${32 / r}")
+      require(falsePos == 0L,
+        s"precision-1 contract violated: $falsePos pairs in lsh \\ exact — " +
+          "both shapes verify with the same integer predicate; this is a bug")
     }
     spark.stop()
   }

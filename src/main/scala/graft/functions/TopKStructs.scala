@@ -24,6 +24,16 @@ import org.apache.spark.sql.types._
 final class TopKBuffer(val k: Int, ord: Ordering[Any]) {
   private[functions] val entries = new scala.collection.mutable.ArrayBuffer[Any](k)
 
+  /** Would `v` enter the buffer? The saturated steady state rejects
+    * almost every row here — callers use this to skip the defensive
+    * copy entirely (see [[TopKStructs.update]]): a top-10 over an 8M-row
+    * group would otherwise allocate 8M struct copies to keep 10
+    * (measured: the copy-always form swung 4.6→28s on a 16M-row cell
+    * from the GC churn; the guarded form is flat — tools/bench_r16/
+    * AB_TOPK_BOUNDARY.txt). */
+  def wouldAccept(v: Any): Boolean =
+    entries.length < k || ord.gt(entries.last, v)
+
   def insert(v: Any): Unit = {
     if (entries.length >= k && ord.lteq(entries.last, v)) return
     var i = entries.length
@@ -95,8 +105,12 @@ case class TopKStructs(
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
     val v = child.eval(input)
     // nulls sort nowhere under a SQL top-k: skip, like an ORDER BY's input
-    // filtered on IS NOT NULL (the doc_ngrams aggregate never produces one)
-    if (v != null) buffer.insert(InternalRow.copyValue(v))
+    // filtered on IS NOT NULL (the doc_ngrams aggregate never produces one).
+    // Gate the defensive copy on acceptance: `v` may be a reused
+    // buffer-backed row, but the comparison against the (already-copied)
+    // buffer tail is immediate, and rejected rows — the saturated steady
+    // state's ~100% — must not pay a struct allocation each.
+    if (v != null && buffer.wouldAccept(v)) buffer.insert(InternalRow.copyValue(v))
     buffer
   }
 

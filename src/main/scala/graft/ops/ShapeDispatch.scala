@@ -77,6 +77,19 @@ object ShapeDispatch {
   val DistinctPerGroupCutoverKey = "spark.graft.shape.distinctPerGroupCutover"
   val DefaultDistinctPerGroupCutover: Long = 10L * 1000 * 1000
 
+  /** rows-per-group cutover for the TOP-K dial specifically. The top-k
+    * heap has no exchange, no checkpoint and ≤ k rows of state per
+    * group at every node — structurally cheaper than the ranked rank
+    * shape whose 2M constant it used to borrow — and the r16 boundary
+    * receipt (tools/bench_r16/AB_TOPK_BOUNDARY.txt: 4 groups, k=10,
+    * 1M/2M/4M/8M rows per group, after the TopKBuffer copy-gate fix)
+    * measures the heap at parity at 1M and 2.4–3.1× faster from 2M up
+    * while the window form grows with group size. Default 1M: strict
+    * `>` keeps small-group frames on the one-exchange window sort,
+    * engages the heap from the first scale where it measurably wins. */
+  val TopKRowsPerGroupCutoverKey = "spark.graft.shape.topkRowsPerGroupCutover"
+  val DefaultTopKRowsPerGroupCutover: Long = 1000L * 1000
+
   /** Session-wide override: "window" | "ranged" (anything else ignored). */
   val ForceKey = "spark.graft.shape.force"
 
@@ -488,8 +501,16 @@ object ShapeDispatch {
     *  - window `row_number() ≤ k` when groups are small (one exchange,
     *    group-sized sorts);
     *  - the `topk_structs` bounded heap when the largest group outruns
-    *    the rows-per-group cutover: ≤ k rows of aggregation state per
-    *    group at every node, never a group-sized sort.
+    *    `spark.graft.shape.topkRowsPerGroupCutover` (default 1M — the
+    *    r16 boundary receipt, this dial's OWN constant since r16: the
+    *    heap measured 2.4–3.1× faster from 2M rows/group up once the
+    *    copy-gate fix landed, and it has no checkpoint to amortize):
+    *    ≤ k rows of aggregation state per group at every node, never a
+    *    group-sized sort. The auto decision additionally refuses to
+    *    heap a k above `spark.graft.topk.maxK` (the TopKRewrite line:
+    *    O(k) inserts and groups×k state stop being "bounded" there —
+    *    WindowExec's spillable sort is the safe shape); a forced shape
+    *    is the caller's own sizing and bypasses the guard.
     *
     * Output: the input columns + `rnCol` (int, 1-based). Identical
     * multisets whenever (orderCols) is a total order within each group
@@ -512,8 +533,16 @@ object ShapeDispatch {
     require(orderCols.intersect(groupCols).isEmpty,
       s"topKPerGroupAuto: orderCols ${orderCols.mkString(",")} must not " +
         s"overlap groupCols ${groupCols.mkString(",")}")
-    val cut = confLong(df, RowsPerGroupCutoverKey, DefaultRowsPerGroupCutover)
-    choose(df, force, decideByRows(_, cut),
+    val cut = confLong(df, TopKRowsPerGroupCutoverKey,
+      DefaultTopKRowsPerGroupCutover)
+    // the AUTO decision never heaps a huge k (O(k) insert, groups×k
+    // state — the same line TopKRewrite draws); an explicit force is the
+    // caller's own sizing and is honored either way
+    val maxK = confLong(df, graft.plans.TopKRewrite.MaxKKey,
+      graft.plans.TopKRewrite.DefaultMaxK.toLong)
+    def decide(st: GroupStats): Shape =
+      if (k > maxK) WindowShape else decideByRows(st, cut)
+    choose(df, force, decide,
         stats.getOrElse(guardedStats(df, groupCols, Nil, cut,
           byDistinct = false))) match {
       case WindowShape =>

@@ -235,6 +235,58 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  // ---- (g) the top-k dial's own cutover + guards (r16 boundary receipt) ----
+
+  test("topKPerGroupAuto: the topk-specific cutover drives the choice; copy-gated heap stays value-identical") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (s"g${i % 4}", i.toLong, (i * 31 % 97).toLong))
+      .toDF("grp", "id", "v")
+    def planOf(d: DataFrame) = d.queryExecution.executedPlan.toString
+    // tiny groups: window either way under defaults
+    val auto = ShapeDispatch.topKPerGroupAuto(df, Seq("grp"), Seq("v", "id"), 5)
+    assert(!planOf(auto).contains("topk_structs"))
+    // the TOPK key at 0 flips the dial to the heap…
+    withConf(ShapeDispatch.TopKRowsPerGroupCutoverKey, "0") {
+      val heap = ShapeDispatch.topKPerGroupAuto(df, Seq("grp"), Seq("v", "id"), 5)
+      assert(planOf(heap).contains("topk_structs"),
+        "topkRowsPerGroupCutover=0 must engage the bounded heap")
+      // …and the copy-gated buffer is value-identical to the window form
+      val w = ShapeDispatch.topKPerGroupAuto(df, Seq("grp"), Seq("v", "id"), 5,
+        force = Some(ShapeDispatch.WindowShape))
+      assert(heap.exceptAll(w).isEmpty && w.exceptAll(heap).isEmpty)
+      // the auto decision refuses a k above spark.graft.topk.maxK…
+      withConf(graft.plans.TopKRewrite.MaxKKey, "4") {
+        val guarded = ShapeDispatch.topKPerGroupAuto(df, Seq("grp"),
+          Seq("v", "id"), 5)
+        assert(!planOf(guarded).contains("topk_structs"),
+          "auto must not heap k > maxK")
+        // …but an explicit force is the caller's own sizing
+        val forced = ShapeDispatch.topKPerGroupAuto(df, Seq("grp"),
+          Seq("v", "id"), 5, force = Some(ShapeDispatch.RangedShape))
+        assert(planOf(forced).contains("topk_structs"))
+      }
+    }
+    // the RANK dial's shared key no longer moves the topk dial
+    withConf(ShapeDispatch.RowsPerGroupCutoverKey, "0") {
+      val still = ShapeDispatch.topKPerGroupAuto(df, Seq("grp"), Seq("v", "id"), 5)
+      assert(!planOf(still).contains("topk_structs"),
+        "rowsPerGroupCutover is the rank dial's key, not top-k's")
+    }
+  }
+
+  test("TopKBuffer.wouldAccept mirrors insert: rejects at-or-below tail when full, accepts otherwise") {
+    val ord = implicitly[Ordering[Int]].asInstanceOf[Ordering[Any]]
+    val buf = new graft.functions.TopKBuffer(3, ord)
+    assert(buf.wouldAccept(100)) // not full: everything enters
+    Seq(5, 1, 9).foreach(buf.insert)
+    assert(buf.wouldAccept(8) && buf.wouldAccept(0))
+    assert(!buf.wouldAccept(9) && !buf.wouldAccept(12),
+      "full buffer must reject >= tail (these are the skipped copies)")
+    buf.insert(8)
+    assert(!buf.wouldAccept(8) && buf.wouldAccept(7),
+      "after inserting 8 the kept set is {1,5,8}: tail moved from 9 to 8")
+  }
+
   // ---- (f) the banding-curve recall contract, measured ---------------------
 
   test("LSH escape recall tracks the banding curve on a planted borderline corpus (and is lower-bounded by it)") {

@@ -387,33 +387,50 @@ object ShapeDispatch {
           .agg(aggs.head, aggs.tail: _*)
           .filter(keep)
       case RangedShape =>
-        // one spec keeps rankedPercentiles' exact r13 plan shape; several
-        // fuse into ONE melted ranked pass (r15 advisory: the per-column
-        // map+join paid one full ranked pass per value column)
-        if (specs.sizeIs == 1)
-          CoreOps.rankedPercentiles(df, groupCols, specs.head.valueCol,
-            specs.head.ps, specs.head.outCols)
-        else rankedPercentilesFused(df, groupCols, specs)
+        // one rankedPercentiles pass per value column + join — MEASURED
+        // as the right default (r16): each pass's scan is column-pruned,
+        // so the per-column "duplicated upstream" costs ~nothing on
+        // columnar inputs, and the melted one-exchange alternative
+        // ([[rankedPercentilesFused]]) moves the same shuffle bytes
+        // (+6%) and the same scan bytes (+8%) while only halving the
+        // job count (tools/bench_r16/AB_MULTIPCT_FUSION.txt). Callers
+        // whose INPUT LINEAGE is expensive per evaluation (heavy
+        // compute, non-prunable row-oriented checkpoints) should call
+        // the fused form directly — it evaluates that lineage once.
+        specs.map(sp => CoreOps.rankedPercentiles(df, groupCols,
+            sp.valueCol, sp.ps, sp.outCols))
+          .reduce((a, b) => a.join(b, groupCols))
     }
   }
 
   /** The ranged percentile shape over SEVERAL value columns in ONE
-    * ranked pass (r15 advisory #3): instead of one
-    * [[CoreOps.rankedPercentiles]] exchange per column plus an inner
-    * join of the results, the value columns MELT into
-    * (group…, __spec, __v) long form — numSpecs× the rows, two narrow
-    * columns — and a single [[CoreOps.groupedRowNumberAndTotals]] pass
-    * keyed by (group…, spec) ranks them all: one range exchange, one
-    * bookkeeping aggregate, one broadcast rank-lookup chain, shared by
-    * every column. Values are bit-identical to the per-column form
-    * (same cast-to-double, same per-(group,spec) rank order statistics,
-    * same `Percentile.getPercentile` interpolation arithmetic — the
-    * ranks of column A are computed within its own __spec slice, so
-    * melting cannot mix columns), and the keep-filter reproduces the
-    * inner join's semantics: a group all-null in ANY column has no
-    * order statistics there and drops. Round16Spec pins fused ≡ joined
-    * on skewed + null-bearing fixtures; q166 rides this shape under the
-    * frozen DuckDB oracle.
+    * ranked pass: the value columns MELT into (group…, __spec, __v)
+    * long form — numSpecs× the rows, two narrow columns — and a single
+    * [[CoreOps.groupedRowNumberAndTotals]] pass keyed by (group…, spec)
+    * ranks them all: one range exchange, one bookkeeping aggregate, one
+    * broadcast rank-lookup chain, and — the property that matters — the
+    * INPUT LINEAGE evaluated once instead of once per column.
+    *
+    * NOT the dial's default, on the record (r16,
+    * tools/bench_r16/AB_MULTIPCT_FUSION.txt): the r15 advisory's
+    * premise was that the per-column form "pays one full ranked pass
+    * per value column", but on columnar inputs each of those passes is
+    * COLUMN-PRUNED — measured at sf1, the q166 shape reads 2,401 MB
+    * under the per-column form vs 2,592 MB melted and shuffles 149 vs
+    * 158 MB, so this form moves slightly MORE data and only halves the
+    * job count (26 → 13). Reach for it when the shared upstream is
+    * genuinely expensive per evaluation — heavy per-row compute, a
+    * non-prunable row-oriented materialization — where "lineage × once"
+    * beats "pruned scan × numSpecs".
+    *
+    * Values are bit-identical to the per-column form (same
+    * cast-to-double, same per-(group,spec) rank order statistics, same
+    * `Percentile.getPercentile` interpolation arithmetic — the ranks of
+    * column A are computed within its own __spec slice, so melting
+    * cannot mix columns), and the keep-filter reproduces the inner
+    * join's semantics: a group all-null in ANY column has no order
+    * statistics there and drops. Round16Spec pins fused ≡ joined ≡
+    * buffered on skewed + null-bearing fixtures.
     */
   def rankedPercentilesFused(df: DataFrame, groupCols: Seq[String],
                              specs: Seq[PercentileSpec]): DataFrame = {

@@ -728,12 +728,14 @@ object QueryCatalog {
     * interpolation, no group-sized aggregation buffer anywhere. Checked
     * against the SAME `quantile_cont` oracle as q36: the two driver
     * entries jointly prove the cutover rule swaps plan shape, never
-    * values. r16: re-platformed onto
-    * [[graft.ops.ShapeDispatch.rankedPercentilesFused]] (via the dial's
-    * force param) — BOTH value columns through ONE melted ranked pass
-    * instead of one pass per column + join (the r15 advisory), so the
-    * shape users actually get from the ranged branch is the one this
-    * frozen hash checks.
+    * values. r16: rides the dial's forced ranged branch (one
+    * column-pruned rankedPercentiles pass per value column + join) —
+    * MEASURED as the right multi-column default over the melted
+    * one-exchange alternative, which moves slightly more scan AND
+    * shuffle bytes on columnar inputs
+    * (tools/bench_r16/AB_MULTIPCT_FUSION.txt; the fused form stays
+    * available as [[graft.ops.ShapeDispatch.rankedPercentilesFused]]
+    * for expensive-upstream callers, value-equality spec-pinned).
     */
   def rankedPercentilesQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.ShapeDispatch

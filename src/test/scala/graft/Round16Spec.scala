@@ -198,11 +198,14 @@ class Round16Spec extends SparkSpec {
     assert(f.map(_.getString(0)).toSeq == Seq("big", "mid", "one"))
   }
 
-  test("percentilesAutoMulti ranged branch: multi-spec takes the fused pass, single spec keeps rankedPercentiles' plan") {
+  test("percentilesAutoMulti ranged branch keeps the per-column form; the fused API is value-identical to it") {
     val df = fixtureDf()
     val specs = Seq(
       PercentileSpec("a", Seq(0.5), Seq("a50")),
       PercentileSpec("b", Seq(0.5), Seq("b50")))
+    // the dial's ranged default stays the measured winner (per-column
+    // pruned passes + join — AB_MULTIPCT_FUSION.txt); the fused
+    // one-exchange form is the opt-in API and must agree value-for-value
     val viaDial = ShapeDispatch.percentilesAutoMulti(df, Seq("grp"), specs,
       force = Some(RangedShape))
     val fused = ShapeDispatch.rankedPercentilesFused(df, Seq("grp"), specs)

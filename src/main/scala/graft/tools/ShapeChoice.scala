@@ -60,8 +60,8 @@ object ShapeChoice {
       val topk = sd.probeStats(rev, Seq("l_returnflag"))
       println(s"[shape:topk] dir=$dir rows=${topk.rows} groups=${topk.groups} " +
         s"maxRowsPerGroup=${topk.maxRowsPerGroup} " +
-        s"cutover=${sd.DefaultRowsPerGroupCutover} " +
-        s"choice=${sd.decideByRows(topk, sd.DefaultRowsPerGroupCutover)}")
+        s"cutover=${sd.DefaultTopKRowsPerGroupCutover} " + // r16: topk's own dial
+        s"choice=${sd.decideByRows(topk, sd.DefaultTopKRowsPerGroupCutover)}")
 
       // ssjoin dial (q142's construction): the pair-space estimate
       // ssJoinPairsAuto decides on, priced for the shape the exact

@@ -226,19 +226,22 @@ object ShapeDispatch {
     * plan, group/value columns) — default ON, "false" disables. The
     * probe is a full column-pruned scan; without the memo every auto
     * dial invocation on the same input re-pays it (the r15 sf10 cell
-    * measured ~13s of a 41s query — real money at 100×). Set "false"
-    * for inputs whose underlying files mutate mid-session under an
-    * unchanged plan (a stale entry can only mis-pick the SHAPE — both
-    * sides of every dial are bit-identical, so values never change). */
+    * measured ~13s of a 41s query — real money at 100×). File
+    * overwrites under an unchanged plan invalidate STRUCTURALLY since
+    * r17 ([[inputFingerprint]] is part of the key); "false" remains
+    * the blanket opt-out, and [[invalidateStats]] the surgical one (a
+    * stale entry can only mis-pick the SHAPE — both sides of every
+    * dial are bit-identical, so values never change). */
   val StatsCacheKey = "spark.graft.shape.statsCache"
 
   /** Probe memo, keyed by the ANALYZED plan's canonical semantic hash +
-    * the probed columns, session-scoped (the star/PQ-index lifecycle:
-    * entries die with the session, evicted by the context listener).
-    * A semantic-hash collision would serve another input's stats — the
-    * blast radius is a wrong plan SHAPE, never a wrong value (the
-    * dual-shape contract), the same trust level the dials already
-    * extend to catalog averages. */
+    * the file-leaf fingerprint ([[inputFingerprint]] — overwrites
+    * re-probe structurally) + the probed columns, session-scoped (the
+    * star/PQ-index lifecycle: entries die with the session, evicted by
+    * the context listener). A semantic-hash collision would serve
+    * another input's stats — the blast radius is a wrong plan SHAPE,
+    * never a wrong value (the dual-shape contract), the same trust
+    * level the dials already extend to catalog averages. */
   private val statsCache =
     graft.util.SessionScoped.cache[GroupStats]("shapeStats", _ => ())
 
@@ -247,12 +250,72 @@ object ShapeDispatch {
   private[graft] val probeInvocations = new java.util.concurrent.atomic.AtomicLong
 
   private def statsCacheOn(df: DataFrame): Boolean =
-    df.sparkSession.conf.getOption(StatsCacheKey).forall(_.toBoolean)
+    df.sparkSession.conf.getOption(StatsCacheKey) match {
+      case None | Some("true") => true
+      case Some("false")       => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"$StatsCacheKey must be 'true' or 'false', got '$other'")
+    }
+
+  /** Fingerprint of the plan's file-source leaves: per leaf the file
+    * count, total bytes, max modificationTime and a hash of the file
+    * paths — all read from the FileIndex's ALREADY-CACHED listing (the
+    * plan paid it at analysis; this is a driver-side fold over file
+    * statuses, no filesystem calls). Folding this into [[statsCacheKey]]
+    * makes the memo's staleness STRUCTURAL (r16 VERDICT advisory #1):
+    * overwriting the input files under a semantically unchanged plan
+    * changes the fingerprint (new part-file UUIDs at minimum), so the
+    * next auto-dial call re-probes instead of serving stale stats.
+    * Non-file leaves (in-memory relations, streaming sources)
+    * contribute nothing — their stats cannot go stale under the same
+    * plan. The residual caveat is Spark's own: a caller reusing the
+    * SAME DataFrame object across an overwrite reads through its
+    * cached FileIndex listing (stale scan AND stale fingerprint) until
+    * `spark.catalog.refreshByPath` — an engine-wide Spark contract,
+    * not a memo one. */
+  private[graft] def inputFingerprint(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
+    def fpOf(idx: FileIndex): String = idx match {
+      case p: PartitioningAwareFileIndex =>
+        val fs = p.allFiles()
+        val mt = if (fs.isEmpty) 0L else fs.iterator.map(_.getModificationTime).max
+        val ph = scala.util.hashing.MurmurHash3.orderedHash(
+          fs.iterator.map(_.getPath.toString))
+        s"${fs.size}:${fs.iterator.map(_.getLen).sum}:$mt:$ph"
+      case other => // generic FileIndex: count + bytes + paths hash
+        val names = other.inputFiles
+        s"${names.length}:${other.sizeInBytes}:-:" +
+          s"${scala.util.hashing.MurmurHash3.orderedHash(names.toSeq)}"
+    }
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => fpOf(h.location)
+        case _                   => ""
+      }
+      case d: DataSourceV2Relation => d.table match {
+        case ft: FileTable => fpOf(ft.fileIndex)
+        case _             => ""
+      }
+    }.filter(_.nonEmpty).mkString(";")
+  }
 
   private[graft] def statsCacheKey(df: DataFrame, groupCols: Seq[String],
                                    valueCols: Seq[String]): String =
-    s"${df.queryExecution.analyzed.semanticHash()}|g=${groupCols.mkString(",")}" +
-      s"|v=${valueCols.mkString(",")}"
+    s"${df.queryExecution.analyzed.semanticHash()}|f=${inputFingerprint(df)}" +
+      s"|g=${groupCols.mkString(",")}|v=${valueCols.mkString(",")}"
+
+  /** Drop the memoized probe entry for exactly this (input plan,
+    * columns) — the surgical alternative to `statsCache=false` for a
+    * caller who mutated an input mid-session and wants ONE entry gone
+    * instead of the memo off globally (r16 ADVICE). A no-op when no
+    * entry exists. File overwrites are already invalidated structurally
+    * by [[inputFingerprint]]; this covers the rest (e.g. an appended
+    * in-place mutation the caller knows about before re-reading). */
+  def invalidateStats(df: DataFrame, groupCols: Seq[String],
+                      valueCols: Seq[String] = Nil): Unit =
+    statsCache.invalidate(df.sparkSession,
+      statsCacheKey(df, groupCols, valueCols))
 
   /** The stats source the auto dials use: catalog stats ONLY when
     * [[trustCatalog]] holds for the statistic the dial decides on
@@ -353,6 +416,11 @@ object ShapeDispatch {
                                   outCols: Seq[String]) {
     require(ps.nonEmpty && ps.length == outCols.length,
       "one output column name per percentile")
+    // fail loud like CoreOps.rankedPercentiles' own require: an
+    // out-of-range p would put __pos outside [0, n-1], miss both
+    // rank-lookup joins, null the pivoted column and silently drop
+    // every group through the keep filter (r16 ADVICE)
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"percentiles in [0,1]: $ps")
   }
 
   /** [[percentilesAuto]] spanning SEVERAL value columns under one
@@ -397,9 +465,18 @@ object ShapeDispatch {
         // whose INPUT LINEAGE is expensive per evaluation (heavy
         // compute, non-prunable row-oriented checkpoints) should call
         // the fused form directly — it evaluates that lineage once.
+        // The reduce-join is NULL-SAFE on the group keys (r16 ADVICE):
+        // a USING join drops null-key groups, but groupBy keeps them —
+        // both sibling shapes (buffered aggregate, fused melt) emit the
+        // null-key group, so the per-column form must too.
         specs.map(sp => CoreOps.rankedPercentiles(df, groupCols,
             sp.valueCol, sp.ps, sp.outCols))
-          .reduce((a, b) => a.join(b, groupCols))
+          .reduce { (a, b) =>
+            val r = b.select(groupCols.map(c => col(c).as(s"__rg_$c")) ++
+              b.columns.filterNot(groupCols.contains).map(col): _*)
+            val cond = groupCols.map(c => a(c) <=> r(s"__rg_$c")).reduce(_ && _)
+            a.join(r, cond).drop(groupCols.map(c => s"__rg_$c"): _*)
+          }
     }
   }
 
@@ -554,14 +631,17 @@ object ShapeDispatch {
       DefaultTopKRowsPerGroupCutover)
     // the AUTO decision never heaps a huge k (O(k) insert, groups×k
     // state — the same line TopKRewrite draws); an explicit force is the
-    // caller's own sizing and is honored either way
+    // caller's own sizing and is honored either way. k > maxK decides
+    // WindowShape unconditionally, so short-circuit BEFORE touching
+    // stats — a cold memo would otherwise pay a full probe scan whose
+    // result is predetermined to be ignored (r16 ADVICE).
     val maxK = confLong(df, graft.plans.TopKRewrite.MaxKKey,
       graft.plans.TopKRewrite.DefaultMaxK.toLong)
-    def decide(st: GroupStats): Shape =
-      if (k > maxK) WindowShape else decideByRows(st, cut)
-    choose(df, force, decide,
-        stats.getOrElse(guardedStats(df, groupCols, Nil, cut,
-          byDistinct = false))) match {
+    (force.orElse(confForce(df)).getOrElse {
+      if (k > maxK) WindowShape
+      else decideByRows(stats.getOrElse(guardedStats(df, groupCols, Nil,
+        cut, byDistinct = false)), cut)
+    }) match {
       case WindowShape =>
         val w = Window.partitionBy(groupCols.map(col): _*)
           .orderBy(orderCols.map(c => asc(c)): _*)

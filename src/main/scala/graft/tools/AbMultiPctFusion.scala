@@ -51,10 +51,29 @@ object AbMultiPctFusion {
     // per-pass upstream is ~free and the comparison is pure exchange
     // mechanics — the r14 AB_q166_fusion receipt's same split).
     val derived = args.drop(2).headOption.contains("derived")
+    // `heavy[=N]` (r16 VERDICT advisory #2): the win case the fused
+    // form's scaladoc promises — a SHARED upstream genuinely expensive
+    // per evaluation. Both value columns derive from ONE iterated-sha2
+    // chain (N rounds, default 600) over the row keys: the per-column
+    // joined form evaluates that chain once per rankedPercentiles pass
+    // (2× total), the fused melt once (its single projection computes
+    // both columns; subexpression elimination shares the chain). The
+    // receipt metric is executorCpuTime — wall-clock-noise-resistant.
+    val heavyIters = args.find(_.startsWith("heavy"))
+      .map(a => a.split("=").drop(1).headOption.map(_.toInt).getOrElse(600))
     val liRaw = graft.io.Tables.table(spark, dir, "lineitem")
       .select("l_returnflag", "l_orderkey", "l_linenumber",
         "l_quantity", "l_extendedprice")
-    val li =
+    val li = heavyIters match {
+      case Some(iters) =>
+        val chain = (1 to iters).foldLeft(
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")))(
+          (c, _) => sha2(c, 256))
+        val base = conv(substring(chain, 1, 12), 16, 10).cast("long")
+        liRaw.select(col("l_returnflag"),
+          (base % 1009L).cast("double").as("l_quantity"),
+          ((base * 31L) % 100003L).cast("double").as("l_extendedprice"))
+      case None =>
       (if (!derived) liRaw
        else liRaw
          .withColumn("l_quantity",
@@ -68,6 +87,7 @@ object AbMultiPctFusion {
                col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))), 1, 6),
                16, 10).cast("long") % 11).cast("double")))
         .select("l_returnflag", "l_quantity", "l_extendedprice")
+    }
     val specs = Seq(
       PercentileSpec("l_quantity", Seq(0.5, 0.9), Seq("p50raw", "p90raw")),
       PercentileSpec("l_extendedprice", Seq(0.99), Seq("p99raw")))
@@ -87,16 +107,19 @@ object AbMultiPctFusion {
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
     val inputRead = new java.util.concurrent.atomic.AtomicLong
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         inputRead.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+        cpuNanos.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
       }
     })
     def time(label: String, run: Int)(df: => DataFrame): Unit = {
       val j0 = jobs.get(); val s0 = shuffleWrite.get(); val r0 = inputRead.get()
+      val c0 = cpuNanos.get()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       graft.dedup.Checkpoints.releaseOutputs()
@@ -104,7 +127,8 @@ object AbMultiPctFusion {
       Thread.sleep(300) // let the async listener bus drain
       println(f"[ab:multipct] dir=$dir form=$label run=$run time=$dt%.2fs " +
         f"jobs=${jobs.get() - j0} shuffleMB=${(shuffleWrite.get() - s0) / 1e6}%.0f " +
-        f"readMB=${(inputRead.get() - r0) / 1e6}%.0f")
+        f"readMB=${(inputRead.get() - r0) / 1e6}%.0f " +
+        f"cpuSec=${(cpuNanos.get() - c0) / 1e9}%.1f")
     }
     println(s"[ab:multipct] dir=$dir threads=$threads runs=$runs " +
       "(q166 shape: 2 value cols, 3 percentiles)")

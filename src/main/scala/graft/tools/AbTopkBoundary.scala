@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   * persisted input (generation excluded), noop sink, `runs` runs per
   * cell — trust medians, run 1 pays codegen.
   *
-  *   runMain graft.tools.AbTopkBoundary [groups] [k] [runs]
+  *   runMain graft.tools.AbTopkBoundary [groups] [k] [runs] [rowsPerGroupCsv]
+  *
+  * The optional 4th arg restricts the rows-per-group sweep (default
+  * 1M,2M,4M,8M) — the r17 k-sweep receipt runs k ∈ {10, 100, 1000} at
+  * "1000000,2000000" to bound the window form's group-sized sorts.
   */
 object AbTopkBoundary {
   def main(args: Array[String]): Unit = {
@@ -24,6 +28,9 @@ object AbTopkBoundary {
     val groups = args.headOption.map(_.toInt).getOrElse(4)
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val runs = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+    val rowsSweep = args.drop(3).headOption
+      .map(_.split(",").toSeq.map(_.trim.toLong))
+      .getOrElse(Seq(1000000L, 2000000L, 4000000L, 8000000L))
     val threads = math.min(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_THREADS", "16").toInt)
@@ -49,8 +56,8 @@ object AbTopkBoundary {
     }
 
     println(s"[ab:topk] groups=$groups k=$k runs=$runs threads=$threads " +
-      s"cutover=${ShapeDispatch.DefaultRowsPerGroupCutover}")
-    for (n <- Seq(1000000L, 2000000L, 4000000L, 8000000L)) {
+      s"cutover=${ShapeDispatch.DefaultTopKRowsPerGroupCutover}")
+    for (n <- rowsSweep) {
       val in = fixture(n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       in.count()
       for (run <- 1 to runs; (label, shape) <- Seq(

@@ -17,34 +17,84 @@ import org.apache.spark.sql.types._
   * sort (structs compare field-by-field): `struct(-count, name, payload…)`
   * is "count DESC, name ASC, payload along for the ride".
   *
-  * Kept sorted (k is small; insertion into a k-vector beats heap constant
-  * factors and makes merge a fold of inserts). Values are defensive copies
-  * — update hands buffer-backed rows that mutate underneath.
+  * Storage is a bounded binary MAX-heap (largest kept value at index 0),
+  * NOT a sorted vector: the comparisons run through Catalyst's
+  * interpreted ordering (several µs each on structs), and a sorted-array
+  * insert walks O(k) of them per accepted value — measured at k=1000 as
+  * a 27-100s cliff on a cell the k=10 form finishes in ~1s, with jstack
+  * pinning every executor in `InterpretedOrdering.compare` under
+  * `TopKBuffer.insert` (tools/bench_r17/AB_TOPK_KSWEEP.txt). The heap
+  * pays O(log k) compares per accept and ONE compare (against the root)
+  * per rejected row, so the per-row cost no longer grows with k.
+  * Values are defensive copies — update hands buffer-backed rows that
+  * mutate underneath.
   */
 final class TopKBuffer(val k: Int, ord: Ordering[Any]) {
-  private[functions] val entries = new scala.collection.mutable.ArrayBuffer[Any](k)
+  // max-heap order: entries(0) is the LARGEST kept value; parent ≥ children
+  private[functions] val entries = new scala.collection.mutable.ArrayBuffer[Any]()
 
   /** Would `v` enter the buffer? The saturated steady state rejects
-    * almost every row here — callers use this to skip the defensive
-    * copy entirely (see [[TopKStructs.update]]): a top-10 over an 8M-row
-    * group would otherwise allocate 8M struct copies to keep 10
-    * (measured: the copy-always form swung 4.6→28s on a 16M-row cell
-    * from the GC churn; the guarded form is flat — tools/bench_r16/
-    * AB_TOPK_BOUNDARY.txt). */
+    * almost every row here — ONE root comparison — and callers use this
+    * to skip the defensive copy entirely (see [[TopKStructs.update]]):
+    * a top-10 over an 8M-row group would otherwise allocate 8M struct
+    * copies to keep 10 (measured: the copy-always form swung 4.6→28s on
+    * a 16M-row cell from the GC churn; the guarded form is flat —
+    * tools/bench_r16/AB_TOPK_BOUNDARY.txt). */
   def wouldAccept(v: Any): Boolean =
-    entries.length < k || ord.gt(entries.last, v)
+    entries.length < k || ord.gt(entries(0), v)
 
   def insert(v: Any): Unit = {
-    if (entries.length >= k && ord.lteq(entries.last, v)) return
-    var i = entries.length
-    // walk back to the insertion point (values near the tail dominate once
-    // the buffer saturates, so the scan is short in the steady state)
-    while (i > 0 && ord.gt(entries(i - 1), v)) i -= 1
-    entries.insert(i, v)
-    if (entries.length > k) entries.remove(entries.length - 1)
+    if (entries.length < k) {
+      entries += v
+      siftUp(entries.length - 1)
+    } else if (ord.gt(entries(0), v)) {
+      entries(0) = v
+      siftDown()
+    }
+  }
+
+  private def siftUp(i0: Int): Unit = {
+    var i = i0
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (ord.lt(entries(p), entries(i))) {
+        val t = entries(p); entries(p) = entries(i); entries(i) = t; i = p
+      } else return
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    val n = entries.length
+    while (true) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var m = i
+      if (l < n && ord.gt(entries(l), entries(m))) m = l
+      if (r < n && ord.gt(entries(r), entries(m))) m = r
+      if (m == i) return
+      val t = entries(m); entries(m) = entries(i); entries(i) = t
+      i = m
+    }
   }
 
   def mergeWith(o: TopKBuffer): Unit = o.entries.foreach(insert)
+
+  /** The kept multiset in ASCENDING order — the output/serialization
+    * form (one O(k log k) sort per GROUP at eval, not per row). */
+  def sortedEntries: Array[Any] = {
+    val a = entries.toArray[Any].asInstanceOf[Array[AnyRef]]
+    java.util.Arrays.sort(a, ord.asInstanceOf[java.util.Comparator[AnyRef]])
+    a.asInstanceOf[Array[Any]]
+  }
+
+  /** Load from an ASCENDING array slice (deserialize): appending in
+    * REVERSE (descending) order is already a valid max-heap — a
+    * descending array satisfies parent ≥ children — so no sifting. */
+  private[functions] def loadAscending(get: Int => Any, n: Int): Unit = {
+    var i = n - 1
+    while (i >= 0) { entries += get(i); i -= 1 }
+  }
 }
 
 /** `topk_structs(value, k)` → ARRAY of the k smallest `value`s, ascending
@@ -120,24 +170,22 @@ case class TopKStructs(
   }
 
   override def eval(buffer: TopKBuffer): Any =
-    new GenericArrayData(buffer.entries.toArray)
+    new GenericArrayData(buffer.sortedEntries)
 
   // (de)serialize through a single-column UnsafeRow of the output array
-  // type — one generic path for every orderable element type
+  // type — one generic path for every orderable element type. Written
+  // ASCENDING (deterministic bytes per multiset); read back in reverse,
+  // which is already heap order (see TopKBuffer.loadAscending).
   @transient private lazy val ser = UnsafeProjection.create(Array[DataType](dataType))
   override def serialize(buffer: TopKBuffer): Array[Byte] =
-    ser(InternalRow(new GenericArrayData(buffer.entries.toArray))).getBytes
+    ser(InternalRow(new GenericArrayData(buffer.sortedEntries))).getBytes
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val row = new UnsafeRow(1)
     row.pointTo(bytes, bytes.length)
     val buf = new TopKBuffer(k, ordering)
     val arr = row.getArray(0)
     val et = child.dataType
-    var i = 0
-    while (i < arr.numElements()) {
-      buf.entries += InternalRow.copyValue(arr.get(i, et))
-      i += 1
-    }
+    buf.loadAscending(i => InternalRow.copyValue(arr.get(i, et)), arr.numElements())
     buf
   }
 

@@ -158,6 +158,41 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  // ---- (f) TopKBuffer is a bounded max-heap (k=1000 cliff fix) --------------
+
+  test("TopKBuffer heap: kept multiset == brute-force k smallest, across inserts and merges") {
+    val ord = implicitly[Ordering[Int]].asInstanceOf[Ordering[Any]]
+    // deterministic pseudo-random stream with duplicates
+    val xs = (0 until 5000).map(i => (i * 2654435761L % 977).toInt)
+    for (k <- Seq(1, 3, 10, 257)) {
+      val buf = new graft.functions.TopKBuffer(k, ord)
+      xs.foreach(v => if (buf.wouldAccept(v)) buf.insert(v))
+      assert(buf.sortedEntries.toSeq == xs.sorted.take(k),
+        s"k=$k: heap must keep exactly the k smallest (with duplicates)")
+      // merge path: two halves through separate buffers, merged
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val a = new graft.functions.TopKBuffer(k, ord)
+      val b = new graft.functions.TopKBuffer(k, ord)
+      l.foreach(a.insert); r.foreach(b.insert)
+      a.mergeWith(b)
+      assert(a.sortedEntries.toSeq == xs.sorted.take(k), s"k=$k: merge must agree")
+    }
+  }
+
+  test("topKPerGroupAuto heap shape at k=1000 stays value-identical to the window shape") {
+    import spark.implicits._
+    val df = (0 until 3000).map(i => (s"hg${i % 3}", i.toLong, (i * 2654435761L % 7919)))
+      .toDF("grp", "id", "v")
+    withConf(ShapeDispatch.TopKRowsPerGroupCutoverKey, "0") {
+      val heap = ShapeDispatch.topKPerGroupAuto(df, Seq("grp"), Seq("v", "id"), 1000)
+      assert(heap.queryExecution.executedPlan.toString.contains("topk_structs"))
+      val w = ShapeDispatch.topKPerGroupAuto(df, Seq("grp"), Seq("v", "id"), 1000,
+        force = Some(WindowShape))
+      assert(heap.exceptAll(w).isEmpty && w.exceptAll(heap).isEmpty,
+        "heap and window top-1000 must be identical multisets")
+    }
+  }
+
   // ---- (e) k > maxK short-circuits before the probe -------------------------
 
   test("topKPerGroupAuto: k > maxK decides window WITHOUT probing (cold memo, zero scans)") {

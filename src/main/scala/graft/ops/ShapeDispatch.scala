@@ -498,7 +498,11 @@ object ShapeDispatch {
     * job count (26 → 13). Reach for it when the shared upstream is
     * genuinely expensive per evaluation — heavy per-row compute, a
     * non-prunable row-oriented materialization — where "lineage × once"
-    * beats "pruned scan × numSpecs".
+    * beats "pruned scan × numSpecs". MEASURED r17 on a sha2-chain
+    * upstream feeding both value columns: the fused form costs 0.50×
+    * the per-column join's executor CPU (44.2 vs 88.4 min cpuSec, 14
+    * vs 28 jobs, the heavy base read once vs twice —
+    * tools/bench_r17/AB_MULTIPCT_FUSION_HEAVY.txt).
     *
     * Values are bit-identical to the per-column form (same
     * cast-to-double, same per-(group,spec) rank order statistics, same

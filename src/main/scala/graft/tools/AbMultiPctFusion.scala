@@ -60,15 +60,29 @@ object AbMultiPctFusion {
     // both columns; subexpression elimination shares the chain). The
     // receipt metric is executorCpuTime — wall-clock-noise-resistant.
     val heavyIters = args.find(_.startsWith("heavy"))
-      .map(a => a.split("=").drop(1).headOption.map(_.toInt).getOrElse(600))
-    val liRaw = graft.io.Tables.table(spark, dir, "lineitem")
+      .map(a => a.split("=").drop(1).headOption.map(_.toInt).getOrElse(150))
+    val liRaw0 = graft.io.Tables.table(spark, dir, "lineitem")
       .select("l_returnflag", "l_orderkey", "l_linenumber",
         "l_quantity", "l_extendedprice")
+    // the heavy chain must PARALLELIZE or the cell measures one task's
+    // sha2 throughput (sf0.1 lineitem is a single parquet split):
+    // spread the rows before the derivation so every pass's chain work
+    // rides all cores — the repartition exchange is part of the shared
+    // upstream both forms re-evaluate, which is exactly the premise
+    val liRaw = heavyIters match {
+      case Some(_) => liRaw0.repartition(threads)
+      case None    => liRaw0
+    }
     val li = heavyIters match {
       case Some(iters) =>
-        val chain = (1 to iters).foldLeft(
-          concat_ws("|", col("l_orderkey"), col("l_linenumber")))(
-          (c, _) => sha2(c, 256))
+        // iteration via the aggregate HOF, not expression nesting — a
+        // fold of N sha2 calls is an N-deep Catalyst tree and overflows
+        // the analyzer stack at N~600; the HOF keeps depth O(1) and
+        // runs the N rounds per row at execution time
+        val chain = aggregate(
+          sequence(lit(1), lit(iters)),
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+          (acc, _) => sha2(acc, 256))
         val base = conv(substring(chain, 1, 12), 16, 10).cast("long")
         liRaw.select(col("l_returnflag"),
           (base % 1009L).cast("double").as("l_quantity"),
@@ -132,10 +146,16 @@ object AbMultiPctFusion {
     }
     println(s"[ab:multipct] dir=$dir threads=$threads runs=$runs " +
       "(q166 shape: 2 value cols, 3 percentiles)")
+    // `only=single|joined|fused`: run ONE form in this JVM — the heavy
+    // cells showed cross-form JIT profile pollution (an identical
+    // single-column plan cost 42 CPU-sec cold and 958 after the fused
+    // form's interpreted paths ran in the same JVM), so fair heavy
+    // comparisons need one JVM per form
+    val only = args.find(_.startsWith("only=")).map(_.stripPrefix("only="))
     for (run <- 1 to runs) {
-      time("single_1col", run)(single())
-      time("joined_2col", run)(joined())
-      time("fused_2col", run)(fused())
+      if (only.forall(_ == "single")) time("single_1col", run)(single())
+      if (only.forall(_ == "joined")) time("joined_2col", run)(joined())
+      if (only.forall(_ == "fused")) time("fused_2col", run)(fused())
     }
     // ---- phase split (diagnostic): where does each form spend? ----------
     // phase A = the ranked pass alone (groupedRowNumberAndTotals through

@@ -250,7 +250,10 @@ object ShapeDispatch {
   private[graft] val probeInvocations = new java.util.concurrent.atomic.AtomicLong
 
   private def statsCacheOn(df: DataFrame): Boolean =
-    df.sparkSession.conf.getOption(StatsCacheKey) match {
+    // case-insensitive like Spark's own boolean confs (r17 ADVICE:
+    // exact-lowercase-only was a compat regression vs `.toBoolean`);
+    // still fails loud on anything that isn't a boolean spelling
+    df.sparkSession.conf.getOption(StatsCacheKey).map(_.toLowerCase) match {
       case None | Some("true") => true
       case Some("false")       => false
       case Some(other) => throw new IllegalArgumentException(
@@ -268,8 +271,17 @@ object ShapeDispatch {
     * next auto-dial call re-probes instead of serving stale stats.
     * Non-file leaves (in-memory relations, streaming sources)
     * contribute nothing — their stats cannot go stale under the same
-    * plan. The residual caveat is Spark's own: a caller reusing the
-    * SAME DataFrame object across an overwrite reads through its
+    * plan. The "no filesystem calls" claim is enforced structurally
+    * (r17 ADVICE): only PartitioningAwareFileIndex (whose `allFiles()`
+    * serves the cached listing paid at analysis) is fingerprinted;
+    * any other FileIndex subtype (e.g. CatalogFileIndex, which would
+    * run a full partition listing per call) contributes a constant —
+    * those callers get the pre-r17 behavior (memo keyed on plan
+    * semantics only, `invalidateStats()` for overwrites). Paths are
+    * hashed order-insensitively (r17 ADVICE: listing order is not a
+    * staleness signal; a re-list in a different order must not
+    * re-probe). The residual caveat is Spark's own: a caller reusing
+    * the SAME DataFrame object across an overwrite reads through its
     * cached FileIndex listing (stale scan AND stale fingerprint) until
     * `spark.catalog.refreshByPath` — an engine-wide Spark contract,
     * not a memo one. */
@@ -280,13 +292,10 @@ object ShapeDispatch {
       case p: PartitioningAwareFileIndex =>
         val fs = p.allFiles()
         val mt = if (fs.isEmpty) 0L else fs.iterator.map(_.getModificationTime).max
-        val ph = scala.util.hashing.MurmurHash3.orderedHash(
+        val ph = scala.util.hashing.MurmurHash3.unorderedHash(
           fs.iterator.map(_.getPath.toString))
         s"${fs.size}:${fs.iterator.map(_.getLen).sum}:$mt:$ph"
-      case other => // generic FileIndex: count + bytes + paths hash
-        val names = other.inputFiles
-        s"${names.length}:${other.sizeInBytes}:-:" +
-          s"${scala.util.hashing.MurmurHash3.orderedHash(names.toSeq)}"
+      case _ => "nocache" // no cached listing: never pay a live list per memo lookup
     }
     df.queryExecution.analyzed.collect {
       case lr: LogicalRelation => lr.relation match {

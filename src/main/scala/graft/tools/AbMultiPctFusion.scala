@@ -54,7 +54,8 @@ object AbMultiPctFusion {
     // `heavy[=N]` (r16 VERDICT advisory #2): the win case the fused
     // form's scaladoc promises — a SHARED upstream genuinely expensive
     // per evaluation. Both value columns derive from ONE iterated-sha2
-    // chain (N rounds, default 600) over the row keys: the per-column
+    // chain (N rounds; bare `heavy` defaults to 150) over the row keys:
+    // the per-column
     // joined form evaluates that chain once per rankedPercentiles pass
     // (2× total), the fused melt once (its single projection computes
     // both columns; subexpression elimination shares the chain). The

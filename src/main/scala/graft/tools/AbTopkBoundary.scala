@@ -48,11 +48,31 @@ object AbTopkBoundary {
         xxhash64(col("id")).as("v"),
         md5(col("id").cast("string")).as("payload"))
 
-    def time(df: => DataFrame): Double = {
+    // r18 (VERDICT item 5): the heap fix made large k cheap in CPU; the
+    // remaining bound is groups×k aggregation STATE. Receipt the memory
+    // behavior (spill or bounded) per cell, not just wall time. Spill
+    // totals are sums over tasks; peakExecMemMB is also a per-stage sum
+    // of task peaks — an upper bound on simultaneous demand, honest as
+    // a "did the hash aggregate stay in budget" signal.
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    val peakExec = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        memSpill.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
+        diskSpill.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
+        peakExec.addAndGet(sc.stageInfo.taskMetrics.peakExecutionMemory)
+      }
+    })
+    def time(df: => DataFrame): (Double, Long, Long, Long) = {
+      val m0 = memSpill.get(); val d0 = diskSpill.get(); val p0 = peakExec.get()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       graft.dedup.Checkpoints.releaseOutputs()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the async listener bus drain
+      (dt, memSpill.get() - m0, diskSpill.get() - d0, peakExec.get() - p0)
     }
 
     println(s"[ab:topk] groups=$groups k=$k runs=$runs threads=$threads " +
@@ -63,9 +83,11 @@ object AbTopkBoundary {
       for (run <- 1 to runs; (label, shape) <- Seq(
           "window" -> ShapeDispatch.WindowShape,
           "heap" -> ShapeDispatch.RangedShape)) {
-        val t = time(ShapeDispatch.topKPerGroupAuto(in, Seq("g"),
+        val (t, ms, ds, pe) = time(ShapeDispatch.topKPerGroupAuto(in, Seq("g"),
           Seq("v", "id"), k, force = Some(shape)))
-        println(f"[ab:topk] rowsPerGroup=$n form=$label run=$run time=$t%.2fs")
+        println(f"[ab:topk] rowsPerGroup=$n form=$label run=$run time=$t%.2fs " +
+          f"memSpillMB=${ms / 1e6}%.0f diskSpillMB=${ds / 1e6}%.0f " +
+          f"peakExecMemMB=${pe / 1e6}%.0f")
       }
       in.unpersist()
     }

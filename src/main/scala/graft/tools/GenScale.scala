@@ -135,6 +135,11 @@ object GenScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/root/repo/testdata-sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-list of table names to write (r18 — the
+    // ssjoin first-warn cell needs ONLY a big documents table; writing
+    // a full sf20 lineitem for it would be 120M wasted rows)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val nDocs = 5000L * replicas
     val nVecs = 2000L * replicas
     val spark = SparkSession.builder().master("local[16]")
@@ -146,10 +151,11 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
-      println(s"[gen] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
-    }
+    def write(df: => DataFrame, name: String): Unit =
+      if (only.forall(_.contains(name))) {
+        df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+        println(s"[gen] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+      } else println(s"[gen] $name: skipped (not in table filter)")
 
     val OFF = 10000000L
     def replicate(name: String, keyCols: Seq[String]): DataFrame = {

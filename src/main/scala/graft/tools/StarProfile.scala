@@ -22,6 +22,12 @@ object StarProfile {
       f
       println(f"[sp] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    // unpersisted compute-only baselines (r18): how much of each fill is
+    // the frame's own compute vs the InMemoryRelation build
+    time("dimInvoice nocache")(graft.model.Star.dimInvoice(spark, dir)
+      .write.format("noop").mode("overwrite").save())
+    time("fct nocache")(graft.model.Star.fctLineValue(spark, dir)
+      .write.format("noop").mode("overwrite").save())
     val star = graft.model.Star.build(spark, dir)
     time("dimCustomer fill")(star.dimCustomer.write.format("noop").mode("overwrite").save())
     time("dimDatetime fill")(star.dimDatetime.write.format("noop").mode("overwrite").save())

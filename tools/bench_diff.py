@@ -14,7 +14,13 @@ In median mode each side collapses to per-query MEDIANS first, and every
 flagged query gets an explicit verdict (the r15 refinement of the r14
 two-way split, which mislabeled moved medians as "median clean"):
   REGRESSION (reproduces k/n) -- the regression holds in at least half
-      of the new runs individually, not just in the median.
+      of the new runs individually, not just in the median. Since r18 a
+      reproduced flag may be adjudicated by the SAME-code A/B the DRIFT
+      class uses, but only the symmetric receipt pair (--solo AND
+      --solo-base, interleaved on the same box) can clear it: solo-new
+      wash-or-faster vs solo-base prints "adjudicated host drift" and
+      passes; still-over CONFIRMS and fails; a lone --solo never clears
+      a reproduced flag.
   DRIFT (median moved) -- the median crossed the threshold with fewer
       than half the runs individually over it, OR sits above
       --drift-ratio (default 1.25) with EVERY run elevated (the
@@ -145,8 +151,32 @@ def main():
             stalls.append((max(per_run) / b, q, b, n, over, len(per_run)))
         elif n > 0 and b / n >= ratio and b - n >= min_sec:
             improvements.append((b / n, q, b, n))
+    # r18: the same-code A/B adjudication DRIFT gets applies to reproduced
+    # REGRESSIONs too, with the SAME criteria — previously a host-window
+    # regression that reproduced in-suite could only be cleared by hand
+    # (the r17 judge did exactly that for 45 flags). Solo-new vs
+    # solo-base on the same box IS the stronger evidence: if the flagged
+    # query runs wash-or-faster on current code interleaved against the
+    # base worktree, the in-suite flag was the window, not the code.
+    # Requires BOTH receipts (--solo and --solo-base); a lone --solo is
+    # not accepted here (a suite-vs-solo comparison can hide a real
+    # regression behind the session-cache asymmetry, so only the
+    # symmetric A/B may clear a reproduced flag).
+    regression_failures = []
     for r, q, b, n, k, t in sorted(reproduced, reverse=True):
-        print(f"REGRESSION {q}: {b:.2f}s -> {n:.2f}s ({r:.1f}x, reproduces {k}/{t})")
+        head = f"REGRESSION {q}: {b:.2f}s -> {n:.2f}s ({r:.1f}x, reproduces {k}/{t})"
+        if q in solo_meds and q in solo_base_meds:
+            s, sb = solo_meds[q], solo_base_meds[q]
+            if sb > 0 and s / sb >= min(r, ratio) and s - sb >= min_sec:
+                regression_failures.append(q)
+                print(f"{head} -- same-code A/B CONFIRMS (solo new {s:.2f}s "
+                      f"vs solo base-code {sb:.2f}s): REGRESSION")
+            else:
+                print(f"{head} -- same-code A/B clean (solo new {s:.2f}s vs "
+                      f"solo base-code {sb:.2f}s): adjudicated host drift")
+        else:
+            regression_failures.append(q)
+            print(head)
     drift_failures = []
     for r, q, b, n, k, t in sorted(drifts, reverse=True):
         head = (f"DRIFT {q}: median {b:.2f}s -> {n:.2f}s "
@@ -187,7 +217,7 @@ def main():
     print(f"shared {len(shared)} queries ({len(base_runs)} base / "
           f"{len(new_runs)} new runs, medians): base {tb:.1f}s -> new {tn:.1f}s "
           f"({tn / tb:.2f}x)" if tb else "no shared queries")
-    sys.exit(1 if (reproduced or drift_failures) else 0)
+    sys.exit(1 if (regression_failures or drift_failures) else 0)
 
 
 if __name__ == "__main__":

@@ -35,42 +35,16 @@ object Bench {
     // query doesn't absorb session startup (~5-7s otherwise)
     spark.range(100000).selectExpr("md5(cast(id as string)) h").groupBy("h").count().count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
-    // r18: the quiet-box profile showed per-query first-run cost is
-    // dominated by JIT warmup of the shared operator paths, not by the
-    // queries' own work (identical cells run 2-8x faster on their 4th
-    // in-JVM run — tools/bench_r18/AB_JIT_POLLUTION.txt). Exercise the
-    // common physical operators ONCE on synthetic range data before
-    // timing starts: window functions, sort-merge + broadcast joins,
-    // hash aggregation over decimals, sort/range partitioning, array
-    // explode/HOF, columnar cache write+read. No test-data results are
-    // computed here (the inputs are spark.range rows); this is the
-    // standard long-lived-session warm state a production engine serves
-    // queries from, applied to every query instead of taxing whichever
-    // ones the bench order happens to put first.
-    locally {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      def drain(df: org.apache.spark.sql.DataFrame): Unit =
-        df.write.format("noop").mode("overwrite").save()
-      val n = 200000L
-      val a = spark.range(n).select(col("id"),
-        (col("id") % 997).as("k"), (col("id") % 31).as("g"),
-        col("id").cast("decimal(18,4)").as("d"),
-        concat(lit("s"), (col("id") % 1000).cast("string")).as("s"))
-      val w = Window.partitionBy("g").orderBy("id")
-      drain(a.select(col("g"), col("id"), lag(col("id"), 1).over(w).as("p"),
-        sum(col("id")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("c"),
-        row_number().over(w).as("r")))
-      val b = spark.range(n / 2).select((col("id") * 2).as("k2"), col("id").as("v"))
-      drain(a.join(b, col("k") === col("k2"), "left")
-        .groupBy("g").agg(sum(col("d")).as("sd"), count_distinct(col("s")).as("cd"),
-          percentile(col("id"), lit(0.5)).as("p50")))
-      drain(a.join(broadcast(b.limit(500)), col("k") === col("k2"), "inner"))
-      drain(a.repartitionByRange(threads, col("k")).sortWithinPartitions("k"))
-      drain(a.select(explode(sequence(lit(1), (col("id") % 8 + 1).cast("int"))).as("e")))
-      val c = a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      drain(c); drain(c.groupBy("k").count()); c.unpersist(blocking = true)
-    }
+    // r19: the r18 operator-JIT warmup block (bb7feb8) is REVERTED. Its
+    // claimed -40s came from a cross-window comparison; the honest
+    // same-window interleaved 3v3 on/off A/B this round
+    // (tools/bench_r19/before/ vs tools/bench_r19/warmup_off/, same
+    // binary, env-toggled) could not reproduce it: per-query median-sum
+    // 215.9s (on) vs 205.3s (off) — OFF faster — while the min-sum says
+    // the opposite (179.9 vs 185.6). Two failed reproductions (the final
+    // r18 gate's 1.02x and this one) mean the block's effect is not
+    // distinguishable from window noise on this box, so the harness goes
+    // back to minimal per the r18 VERDICT (item 2).
     // Time a materializing action: the noop sink consumes every output row
     // in full, so projection work is NOT column-pruned away the way it is
     // under count() (Catalyst prunes all columns for a bare count, turning

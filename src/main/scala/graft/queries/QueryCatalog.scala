@@ -3716,9 +3716,20 @@ object QueryCatalog {
     * the semantics at all three SFs.
     */
   def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"),
-      TextOps.tokenCount(col("text")).as("n_tokens"),
-      TextOps.qualityScore(col("text")).as("quality"))
+    // r19: checkpoint the scored frame. paretoFrontier2D consumes its
+    // input TWICE (the per-x aggregation branch and the join back), and
+    // the join's implied isnotnull key filters re-evaluate the whole
+    // scoring tree below the projection — the r18 before-plan shows the
+    // tokenCount/qualityScore expression forest (two regexp_counts, a
+    // stopword HOF filter, three splits) inlined FOUR times over two
+    // full text scans. Materializing (doc_id, n_tokens, quality) once
+    // scores each document exactly once and both branches read the
+    // 3-column checkpoint — the §8 "decide on small rows" proxy shape;
+    // at 100 TB the checkpoint is ~24 bytes/doc vs re-scanning the text.
+    val d = graft.dedup.Checkpoints.output(
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality")))
     graft.ops.CoreOps.paretoFrontier2D(d, "n_tokens", "quality")
       .select(col("doc_id"), col("n_tokens"), col("quality"))
       .orderBy("n_tokens", "doc_id")

@@ -4,24 +4,35 @@ import org.apache.spark.sql.SparkSession
 
 /** Diagnostic main (not part of the library surface).
   *
-  *   runMain graft.tools.PlanDump <outDir> <suffix> <query1,query2,...> [sfDir]
+  *   runMain graft.tools.PlanDump <outDir> <suffix> <query1,query2,...> [sfDir] [--executed]
   *
   * Writes the FULL `.explain("formatted")` output of each named driver
-  * query to `<outDir>/<query>_<suffix>.txt` — the r18 optimization
-  * round's plan-evidence files (plans/r18/<q>_{before,after}.txt). Runs
+  * query to `<outDir>/<query>_<suffix>.txt` — the optimization rounds'
+  * plan-evidence files (plans/rN/<q>_{before,after}.txt). Runs
   * under the same session shape as Bench (local[16] default, 16 shuffle
   * partitions, 64m broadcast threshold) so the captured plan is the
   * plan the bench executes, not a different-config cousin. Queries that
   * do eager work at construction (localCheckpoint loops) execute that
   * work here; the dump is the final frame's plan either way.
+  *
+  * With `--executed` (r19, VERDICT r18 item 1): each query is first
+  * driven to completion through its own QueryExecution
+  * (`toRdd.foreach`, which finalizes every AdaptiveSparkPlan), and the
+  * dump is the FINAL adaptive plan (`isFinalPlan=true`) — the plan AQE
+  * actually ran, with runtime join-strategy conversions and
+  * AQEShuffleRead coalescing visible. The pre-execution dumps r18
+  * committed are initial plans and cannot verify broadcast claims on
+  * InMemoryRelation-fed joins; these can.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: PlanDump <outDir> <suffix> <q1,q2,...> [sfDir]")
+    require(args.length >= 3, "usage: PlanDump <outDir> <suffix> <q1,q2,...> [sfDir] [--executed]")
     val outDir = java.nio.file.Paths.get(args(0))
     val suffix = args(1)
     val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
-    val dir = args.drop(3).headOption.getOrElse("/root/testdata/sf0.1")
+    val executed = args.contains("--executed")
+    val dir = args.drop(3).filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.1")
     val threads = math.min(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_THREADS", "16").toInt)
@@ -36,10 +47,18 @@ object PlanDump {
     names.foreach { q =>
       val fn = graft.SparkEntry.queries.getOrElse(q,
         sys.error(s"unknown query $q"))
-      val txt = fn(spark, dir).queryExecution.explainString(
+      val qe = fn(spark, dir).queryExecution
+      if (executed) {
+        // Execute THIS QueryExecution (a noop write would plan a separate
+        // write command and leave this one's AdaptiveSparkPlan unfinalized).
+        spark.sparkContext.setJobDescription(s"plandump:$q")
+        qe.toRdd.foreach(_ => ())
+      }
+      val txt = qe.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.writeString(outDir.resolve(s"${q}_$suffix.txt"), txt)
-      println(s"[plandump] wrote ${q}_$suffix.txt (${txt.length} chars)")
+      println(s"[plandump] wrote ${q}_$suffix.txt (${txt.length} chars)" +
+        (if (executed) s" isFinalPlan=${txt.contains("isFinalPlan=true")}" else ""))
     }
     spark.stop()
   }

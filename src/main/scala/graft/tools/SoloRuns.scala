@@ -33,11 +33,28 @@ object SoloRuns {
     spark.read.parquet(s"$dir/lineitem.parquet").limit(1000).count()
 
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         cpuNanos.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // listener-bus events are delivered asynchronously: settle before each
+    // CPU sample so one run's late stage events don't bleed into the next
+    // run's delta (r18 ADVICE). The bus API is private[spark]; poll the
+    // counter until it stops moving instead (50ms quiet, 1s cap).
+    def settledCpu(): Long = {
+      val deadline = System.nanoTime() + 1000000000L
+      var prev = cpuNanos.get()
+      var quietSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             System.nanoTime() - quietSince < 50000000L) {
+        Thread.sleep(10)
+        val cur = cpuNanos.get()
+        if (cur != prev) { prev = cur; quietSince = System.nanoTime() }
+      }
+      prev
+    }
 
     val catalog = graft.SparkEntry.queries
     for (name <- names) {
@@ -45,10 +62,10 @@ object SoloRuns {
         sys.error(s"unknown query $name; known: ${catalog.keys.toSeq.sorted.take(5)}..."))
       var best = Double.MaxValue; var bestCpu = Double.MaxValue
       for (r <- 1 to runs) {
-        val c0 = cpuNanos.get(); val t0 = System.nanoTime()
+        val c0 = settledCpu(); val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        val cpu = (cpuNanos.get() - c0) / 1e9
+        val cpu = (settledCpu() - c0) / 1e9
         // release per-query caches exactly as Bench does, so every
         // iteration re-pays the fill the bench charges this query
         graft.queries.QueryCatalog.cacheReleaseAfter.get(name)
@@ -57,7 +74,12 @@ object SoloRuns {
         if (r > 1) { best = math.min(best, sec); bestCpu = math.min(bestCpu, cpu) }
         println(f"[solo] q=$name run=$r wall=$sec%.2fs cpu=$cpu%.1fs")
       }
-      println(f"[solo] q=$name STEADY wall=$best%.2fs cpu=$bestCpu%.1fs (min over runs 2..$runs)")
+      // runs < 2 leaves no steady-state sample: skip the line rather than
+      // print Double.MaxValue garbage (r18 ADVICE)
+      if (runs >= 2)
+        println(f"[solo] q=$name STEADY wall=$best%.2fs cpu=$bestCpu%.1fs (min over runs 2..$runs)")
+      else
+        println(s"[solo] q=$name STEADY unavailable (runs=$runs < 2)")
     }
     spark.stop()
   }

@@ -2943,10 +2943,16 @@ object QueryCatalog {
     * least-squares weights (1-row frame, broadcast by callers).
     */
   private def qualityFeatsAndWeights(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val feats = t(s, dir, "documents").select(
-      TextOps.tokenCount(col("text")).cast("long").as("x1"),
-      TextOps.stopwordCount(col("text")).cast("long").as("x2"),
-      when(TextOps.qualityScore(col("text")) >= 0.8, 1L).otherwise(0L).as("y"))
+    // r19: checkpoint the feature frame — both callers consume it twice
+    // (the training sums AND the scoring pass), and each consumption
+    // re-scanned the text and re-evaluated the tokenCount/stopwordCount/
+    // qualityScore expression forest (the q139 pattern, same fix): the
+    // 3-long-column checkpoint is scored once and read by both branches.
+    val feats = graft.dedup.Checkpoints.output(
+      t(s, dir, "documents").select(
+        TextOps.tokenCount(col("text")).cast("long").as("x1"),
+        TextOps.stopwordCount(col("text")).cast("long").as("x2"),
+        when(TextOps.qualityScore(col("text")) >= 0.8, 1L).otherwise(0L).as("y")))
     val sums = feats.agg(
       count(lit(1)).as("n"),
       sum("x1").as("s1"), sum("x2").as("s2"),
